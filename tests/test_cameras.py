@@ -1,0 +1,80 @@
+"""Camera / ray-generation unit tests (SURVEY §4: rays vs analytically
+known poses; focal math fixing defect D8)."""
+
+import math
+
+import jax.numpy as jnp
+import numpy as np
+
+from tnerf.cameras import (
+    camera_rays,
+    focal_from_angle,
+    pixel_rays,
+    thetaphi_to_unit,
+    viewdirs_to_thetaphi,
+)
+
+
+def test_focal_from_angle_matches_nerf_convention():
+    # lego: camera_angle_x = 0.6911112, W=800 -> focal ~ 1111.111
+    f = focal_from_angle(800, 0.6911112070083618)
+    assert abs(f - 1111.1110311937682) < 1e-6
+
+
+def test_identity_pose_center_ray_points_down_minus_z():
+    pose = jnp.eye(4)
+    rays = camera_rays(pose, 4, 4, focal_px=2.0)
+    # center of image: average of the 4 middle pixels is exactly -z
+    d = np.asarray(rays.directions)
+    center = d[1:3, 1:3].mean(axis=(0, 1))
+    center /= np.linalg.norm(center)
+    np.testing.assert_allclose(center, [0, 0, -1], atol=1e-6)
+    assert np.allclose(np.linalg.norm(d, axis=-1), 1.0, atol=1e-6)
+
+
+def test_rays_respect_pose_rotation_and_translation():
+    # camera at (1,2,3) rotated 90 deg about z: x_cam -> y_world
+    c, s = 0.0, 1.0
+    pose = jnp.array(
+        [[c, -s, 0, 1.0], [s, c, 0, 2.0], [0, 0, 1, 3.0], [0, 0, 0, 1.0]]
+    )
+    rays = camera_rays(pose, 3, 3, focal_px=100.0, scene_scale=0.5)
+    np.testing.assert_allclose(np.asarray(rays.origins)[0, 0], [0.5, 1.0, 1.5], atol=1e-6)
+    # central pixel direction ~ -z world (rotation is about z)
+    d = np.asarray(rays.directions)[1, 1]
+    np.testing.assert_allclose(d, [0, 0, -1], atol=1e-2)
+
+
+def test_pixel_rays_matches_camera_rays():
+    rng = np.random.default_rng(0)
+    pose = np.eye(4, dtype=np.float32)
+    pose[:3, 3] = [0.3, -0.2, 1.5]
+    w, h, f = 8, 6, 7.0
+    full = camera_rays(jnp.asarray(pose), w, h, f, scene_scale=0.7)
+    xs = rng.integers(0, w, 10)
+    ys = rng.integers(0, h, 10)
+    pix = jnp.stack([jnp.asarray(xs, jnp.float32), jnp.asarray(ys, jnp.float32)], -1)
+    poses = jnp.broadcast_to(jnp.asarray(pose), (10, 4, 4))
+    batch = pixel_rays(poses, pix, w, h, f, scene_scale=0.7)
+    np.testing.assert_allclose(
+        np.asarray(batch.directions), np.asarray(full.directions)[ys, xs], atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(batch.origins), np.asarray(full.origins)[ys, xs], atol=1e-6
+    )
+
+
+def test_thetaphi_roundtrip_and_reference_convention():
+    rng = np.random.default_rng(1)
+    d = rng.normal(size=(100, 3))
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    tp = viewdirs_to_thetaphi(jnp.asarray(d, jnp.float32))
+    back = thetaphi_to_unit(tp)
+    np.testing.assert_allclose(np.asarray(back), d, atol=1e-5)
+    # reference convention check (optixPrograms.cu:71-73): +z -> theta=0
+    tp_z = viewdirs_to_thetaphi(jnp.asarray([[0.0, 0.0, 1.0]]))
+    assert abs(float(tp_z[0, 0])) < 1e-6
+    # +x -> theta=pi/2, phi=0
+    tp_x = viewdirs_to_thetaphi(jnp.asarray([[1.0, 0.0, 0.0]]))
+    assert abs(float(tp_x[0, 0]) - math.pi / 2) < 1e-6
+    assert abs(float(tp_x[0, 1])) < 1e-6

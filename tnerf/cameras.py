@@ -1,0 +1,139 @@
+"""Camera models and ray generation.
+
+Replaces the reference's raygen camera math
+(reference rtx/src/optixPrograms.cu:43-116) with the *intended* semantics:
+
+- Focal length in pixels from the dataset's `camera_angle_x`:
+  `focal_px = 0.5 * W / tan(0.5 * camera_angle_x)`.  The reference computes
+  this twice and mangles it (data_loader.cpp:85 then main.cu:365 treats the
+  pixel count as an angle — defect D8); we do it once, correctly.
+- OpenGL/NeRF convention: camera looks down -z, x right, y up; pixel (i, j)
+  maps to direction R @ [(i - W/2 + 0.5)/f, -(j - H/2 + 0.5)/f, -1].
+- Ray origins are the pose translation scaled by an explicit
+  `scene_scale` (replacing the /10 hack at optixPrograms.cu:76-78, D9).
+- Viewing direction is also exported in the reference's (theta, phi)
+  spherical parameterization (optixPrograms.cu:71-73):
+  theta = atan2(sqrt(dx^2+dy^2), dz), phi = atan2(dy, dx).
+
+All functions are pure jnp, shape-polymorphic over leading batch dims, and
+jit/vmap/shard_map-safe (static shapes, no data-dependent control flow).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+
+class Rays(NamedTuple):
+    """A bundle of rays. Leading dims are arbitrary batch dims."""
+
+    origins: jnp.ndarray     # [..., 3] in grid/world space (post scene_scale)
+    directions: jnp.ndarray  # [..., 3] unit vectors
+    viewdirs_tp: jnp.ndarray  # [..., 2] (theta, phi) per reference convention
+
+
+def focal_from_angle(width: int, camera_angle_x: float) -> float:
+    """Pixel focal length from horizontal field of view.
+
+    Intended behavior of reference loader/data_loader.cpp:85 (without the
+    hardcoded 800 and without main.cu:365 re-mangling it — defect D8).
+    """
+    return 0.5 * float(width) / math.tan(0.5 * float(camera_angle_x))
+
+
+def pixel_directions_cam(width: int, height: int, focal_px: float) -> jnp.ndarray:
+    """[H, W, 3] camera-space ray directions (not normalized).
+
+    NeRF convention: +x right, +y up, camera looks down -z; pixel centers
+    at half-integer coordinates.
+    """
+    i = jnp.arange(width, dtype=jnp.float32) + 0.5
+    j = jnp.arange(height, dtype=jnp.float32) + 0.5
+    ii, jj = jnp.meshgrid(i, j, indexing="xy")  # [H, W]
+    x = (ii - 0.5 * width) / focal_px
+    y = -(jj - 0.5 * height) / focal_px
+    z = -jnp.ones_like(x)
+    return jnp.stack([x, y, z], axis=-1)
+
+
+def viewdirs_to_thetaphi(directions: jnp.ndarray) -> jnp.ndarray:
+    """(theta, phi) spherical view direction, reference convention
+    (optixPrograms.cu:71-73): theta = atan2(|d_xy|, d_z), phi = atan2(y, x).
+    `directions` must be unit vectors. Returns [..., 2]."""
+    dx, dy, dz = directions[..., 0], directions[..., 1], directions[..., 2]
+    theta = jnp.arctan2(jnp.sqrt(dx * dx + dy * dy), dz)
+    phi = jnp.arctan2(dy, dx)
+    return jnp.stack([theta, phi], axis=-1)
+
+
+def thetaphi_to_unit(tp: jnp.ndarray) -> jnp.ndarray:
+    """Inverse of :func:`viewdirs_to_thetaphi`. [..., 2] -> [..., 3]."""
+    theta, phi = tp[..., 0], tp[..., 1]
+    st = jnp.sin(theta)
+    return jnp.stack([st * jnp.cos(phi), st * jnp.sin(phi), jnp.cos(theta)], axis=-1)
+
+
+def camera_rays(
+    pose: jnp.ndarray,
+    width: int,
+    height: int,
+    focal_px: float,
+    scene_scale: float = 1.0,
+) -> Rays:
+    """All W*H rays of one camera. pose: [4, 4] camera-to-world.
+
+    Returns Rays with [H, W, ...] leading shape.  This is the TPU-native
+    equivalent of one `optixLaunch(pipeline, W, H, 1)` raygen pass
+    (reference main.cu:506-508 + optixPrograms.cu:43-116), as pure
+    vectorized jnp that XLA fuses — no per-pixel program dispatch.
+    """
+    dirs_cam = pixel_directions_cam(width, height, focal_px)  # [H, W, 3]
+    rot = pose[:3, :3]
+    # Elementwise broadcast-and-sum, NOT einsum: default matmul precision
+    # on TPU is bf16, which visibly bends rays. Camera math must be exact
+    # fp32.
+    dirs_world = jnp.sum(rot[None, None] * dirs_cam[..., None, :], axis=-1)
+    dirs_world = dirs_world / jnp.linalg.norm(dirs_world, axis=-1, keepdims=True)
+    origin = pose[:3, 3] * scene_scale
+    origins = jnp.broadcast_to(origin, dirs_world.shape)
+    return Rays(
+        origins=origins,
+        directions=dirs_world,
+        viewdirs_tp=viewdirs_to_thetaphi(dirs_world),
+    )
+
+
+def pixel_rays(
+    poses: jnp.ndarray,
+    pix_xy: jnp.ndarray,
+    width: int,
+    height: int,
+    focal_px: float,
+    scene_scale: float = 1.0,
+) -> Rays:
+    """Rays for a flat batch of (pose, pixel) pairs — the training-batch
+    path.  The reference instead precomputes *all* rays of *all* images on
+    host and shuffles a giant payload vector (main.cu:463-559,612-626,
+    defects D11/D16); we regenerate rays on device from (pose index, pixel)
+    pairs, which is pure FLOPs and removes the host round-trip entirely.
+
+    poses:  [B, 4, 4] camera-to-world (already gathered per ray)
+    pix_xy: [B, 2] float pixel coordinates (x=col, y=row), pixel centers
+            at +0.5 like :func:`pixel_directions_cam`.
+    """
+    x = (pix_xy[..., 0] + 0.5 - 0.5 * width) / focal_px
+    y = -(pix_xy[..., 1] + 0.5 - 0.5 * height) / focal_px
+    z = -jnp.ones_like(x)
+    dirs_cam = jnp.stack([x, y, z], axis=-1)  # [B, 3]
+    # fp32-exact rotation apply (see note in camera_rays re matmul precision)
+    dirs_world = jnp.sum(poses[..., :3, :3] * dirs_cam[..., None, :], axis=-1)
+    dirs_world = dirs_world / jnp.linalg.norm(dirs_world, axis=-1, keepdims=True)
+    origins = poses[..., :3, 3] * scene_scale
+    return Rays(
+        origins=origins,
+        directions=dirs_world,
+        viewdirs_tp=viewdirs_to_thetaphi(dirs_world),
+    )

@@ -1,0 +1,268 @@
+"""Typed configuration tree with JSON / CLI overrides.
+
+The reference has no config system at all: its model config is a hardcoded
+tcnn JSON literal (reference main.cu:35-69), hyperparameters are #defines
+(main.cu:185-187: EPOCHS=10, BATCH_SIZE=256*176), and inline constants
+(grid_res=8 main.cu:394, 32 samples/interval sampler/sampler.h:4, pcg32
+seed 1337 main.cu:344).  Those values become the *defaults* here, so a
+reference configuration translates 1:1.
+
+Every config node is a frozen dataclass; `Config.from_dict` /
+`Config.to_dict` round-trip to plain JSON, and `apply_overrides` accepts
+dotted `key.path=value` strings for CLI use.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from dataclasses import dataclass, field, fields
+from typing import Any, Tuple
+
+
+def _coerce(value: str, typ: Any) -> Any:
+    """Parse a CLI string into the dataclass field's type."""
+    if typ in (int, "int"):
+        return int(value)
+    if typ in (float, "float"):
+        return float(value)
+    if typ in (bool, "bool"):
+        return value.lower() in ("1", "true", "yes", "on")
+    if typ in (str, "str"):
+        return value
+    # tuples and anything else: JSON
+    return tuple(json.loads(value)) if "Tuple" in str(typ) else json.loads(value)
+
+
+@dataclass(frozen=True)
+class SceneConfig:
+    """Which scene to load and how to map it into grid space.
+
+    Replaces the hardcoded `load_data(SYNTHETIC, LEGO)` call
+    (reference main.cu:358) and the /10 origin hack
+    (reference rtx/src/optixPrograms.cu:76-78, defect D9) with an explicit
+    scene-to-grid transform.
+    """
+
+    kind: str = "nerf_synthetic"  # nerf_synthetic | llff | procedural
+    name: str = "lego"            # chair|drums|ficus|hotdog|lego|materials|mic|ship
+    root: str = "./data/nerf_synthetic"
+    # Explicit scene scale applied to camera origins (and implicitly all
+    # geometry): world * scene_scale must land inside the grid AABB.
+    scene_scale: float = 0.33
+    white_background: bool = True
+    # stbi_loadf applies a gamma 2.2 decode by default; the NeRF convention
+    # is a plain /255.  Expose both, default NeRF (SURVEY §2.2 stb note).
+    srgb_to_linear: bool = False
+    # Downscale factor applied to images on load (1 = native 800x800).
+    downscale: int = 1
+
+
+@dataclass(frozen=True)
+class GridConfig:
+    """Occupancy grid geometry.
+
+    The reference covers [-1,1]^3 with a dense res^3 = 8^3 AABB grid baked
+    into an OptiX GAS (reference main.cu:154-174,394-399).  MAX_HITS per ray
+    is the reference's own structural bound 3*res (main.cu:486).
+    """
+
+    resolution: int = 8
+    aabb_min: Tuple[float, float, float] = (-1.0, -1.0, -1.0)
+    aabb_max: Tuple[float, float, float] = (1.0, 1.0, 1.0)
+    # Per-ray traversal interval capacity; reference uses 3*grid_res.
+    max_hits: int = 0  # 0 => auto: 3 * resolution
+    # Occupancy update schedule (capability the reference lacks but the
+    # north star requires: periodic occupancy-grid updates from density).
+    update_every: int = 16
+    warmup_steps: int = 256
+    density_threshold: float = 0.01
+    ema_decay: float = 0.95
+
+    @property
+    def effective_max_hits(self) -> int:
+        return self.max_hits if self.max_hits > 0 else 3 * self.resolution
+
+
+@dataclass(frozen=True)
+class SamplerConfig:
+    """Interval -> sample-point generation.
+
+    Mirrors reference sampler/sampler.h:4-9: 32 samples per interval and
+    three modes (REGULAR, STRATIFIED_JITTERING, UNIFORM) — with a working
+    per-ray RNG instead of the broken shared thrust engine (defect D10).
+    """
+
+    samples_per_interval: int = 32
+    mode: str = "regular"  # regular | stratified | uniform
+    # Fixed-count ray-marching path (TPU-native fast path; the reference's
+    # dead "ray sample" OptiX pipeline #2 intended exactly this fusion).
+    samples_per_ray: int = 192
+    near: float = 0.05
+    far: float = 4.0
+
+
+@dataclass(frozen=True)
+class FieldConfig:
+    """Radiance field: encoding + MLP.
+
+    Defaults mirror the reference tcnn config (main.cu:35-69): composite
+    Frequency encoding (n_frequencies=10 over 3 spatial dims, frequency
+    over 2 view dims), FullyFusedMLP with ReLU hidden, Sigmoid RGB output,
+    128 neurons, 8 hidden layers, 5-D input -> 4-D RGBsigma output.
+    """
+
+    encoding: str = "frequency"  # frequency | hashgrid
+    n_frequencies: int = 10
+    n_frequencies_view: int = 4
+    # Viewing-direction parameterization: "thetaphi" matches the reference
+    # (optixPrograms.cu:71-73); "unit" uses the normalized 3-vector.
+    view_param: str = "thetaphi"
+    hidden_width: int = 128
+    hidden_layers: int = 8
+    # Hash-grid (Instant-NGP) settings, used when encoding == "hashgrid".
+    hash_levels: int = 16
+    hash_features_per_level: int = 2
+    hash_log2_table_size: int = 19
+    hash_base_resolution: int = 16
+    hash_max_resolution: int = 2048
+    # With hashgrid, Instant-NGP uses a shallow MLP.
+    hash_hidden_width: int = 64
+    hash_hidden_layers: int = 2
+    # Compute dtype for matmuls ("bfloat16" hits the MXU natively — the
+    # TPU analog of tcnn's fp16 tensor-core path, main.cu:328-353).
+    compute_dtype: str = "bfloat16"
+
+
+@dataclass(frozen=True)
+class RenderConfig:
+    """Volume-rendering quadrature + image assembly."""
+
+    # Transmittance below this is treated as terminated (early ray
+    # termination, expressed as masking on TPU).
+    transmittance_threshold: float = 1e-4
+    # Rays per device per render chunk (static shape per compile).
+    chunk_size: int = 65536
+    white_background: bool = True
+
+
+@dataclass(frozen=True)
+class TrainConfig:
+    """Optimization loop.
+
+    Defaults mirror reference main.cu:39-46,185-186,344: L2 loss,
+    Adam(lr=1e-3, beta1=0.9, beta2=0.999, eps=1e-8), seed 1337,
+    10 epochs, 45,056-ray batches.
+    """
+
+    batch_size: int = 4096
+    steps: int = 2000
+    lr: float = 1e-3
+    beta1: float = 0.9
+    beta2: float = 0.999
+    eps: float = 1e-8
+    # Exponential LR decay to this fraction of lr over `steps` (1.0 = off).
+    lr_final_fraction: float = 1.0
+    weight_decay: float = 0.0
+    seed: int = 1337
+    eval_every: int = 500
+    checkpoint_every: int = 1000
+    checkpoint_dir: str = "./checkpoints"
+    resume: bool = False
+    # Skip the optimizer update when the loss is non-finite (fail-safe the
+    # reference lacks, SURVEY §5 failure detection).
+    skip_nonfinite: bool = True
+    log_every: int = 50
+
+
+@dataclass(frozen=True)
+class ParallelConfig:
+    """Device-mesh / sharding layout (absent in reference — SURVEY §2.4)."""
+
+    # Data-parallel axis over rays; -1 = all available devices.
+    data_parallel: int = -1
+    axis_name: str = "data"
+
+
+@dataclass(frozen=True)
+class LoggingConfig:
+    out_dir: str = "./runs/default"
+    metrics_file: str = "metrics.jsonl"
+    level: str = "INFO"
+    profile: bool = False
+
+
+@dataclass(frozen=True)
+class Config:
+    scene: SceneConfig = field(default_factory=SceneConfig)
+    grid: GridConfig = field(default_factory=GridConfig)
+    sampler: SamplerConfig = field(default_factory=SamplerConfig)
+    field_: FieldConfig = field(default_factory=FieldConfig)
+    render: RenderConfig = field(default_factory=RenderConfig)
+    train: TrainConfig = field(default_factory=TrainConfig)
+    parallel: ParallelConfig = field(default_factory=ParallelConfig)
+    logging: LoggingConfig = field(default_factory=LoggingConfig)
+
+    # ---- serialization ----------------------------------------------------
+    def to_dict(self) -> dict:
+        return dataclasses.asdict(self)
+
+    def to_json(self, **kw) -> str:
+        return json.dumps(self.to_dict(), indent=2, **kw)
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "Config":
+        kwargs = {}
+        for f in fields(cls):
+            sub = d.get(f.name, {})
+            subcls = f.default_factory  # type: ignore[union-attr]
+            valid = {sf.name for sf in fields(subcls)}
+            kwargs[f.name] = subcls(**{k: _tupleize(v) for k, v in sub.items() if k in valid})
+        return cls(**kwargs)
+
+    @classmethod
+    def from_json_file(cls, path: str) -> "Config":
+        with open(path) as fh:
+            return cls.from_dict(json.load(fh))
+
+    # ---- CLI overrides -----------------------------------------------------
+    def apply_overrides(self, overrides: list[str]) -> "Config":
+        """Apply `section.key=value` strings, returning a new Config."""
+        d = self.to_dict()
+        for ov in overrides:
+            if "=" not in ov:
+                raise ValueError(f"override must be key.path=value, got {ov!r}")
+            path, value = ov.split("=", 1)
+            parts = path.split(".")
+            node = d
+            for p in parts[:-1]:
+                if p not in node:
+                    raise KeyError(f"unknown config section {p!r} in {ov!r}")
+                node = node[p]
+            key = parts[-1]
+            if key not in node:
+                raise KeyError(f"unknown config key {path!r}")
+            cur = node[key]
+            if isinstance(cur, bool):
+                node[key] = value.lower() in ("1", "true", "yes", "on")
+            elif isinstance(cur, int):
+                node[key] = int(value)
+            elif isinstance(cur, float):
+                node[key] = float(value)
+            elif isinstance(cur, str):
+                node[key] = value
+            else:
+                node[key] = _tupleize(json.loads(value))
+        return Config.from_dict(d)
+
+
+def _tupleize(v):
+    return tuple(v) if isinstance(v, list) else v
+
+
+def reference_parity_config() -> Config:
+    """The configuration matching the reference executable's hardcoded
+    behavior (intended semantics, defects excluded): lego, 8^3 grid over
+    [-1,1]^3, 32 regular samples/interval, freq-encoded 8x128 MLP, Adam
+    1e-3, seed 1337."""
+    return Config()

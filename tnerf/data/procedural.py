@@ -1,0 +1,191 @@
+"""Procedural analytic scenes + ground-truth renderer.
+
+The build environment has no NeRF-synthetic data on disk and no network
+egress, so end-to-end training, eval, and benchmarking need a hermetic
+data source.  This module defines analytic density/color fields (soft
+colored primitives inside the [-1,1]^3 grid box), renders ground-truth
+images with the exact same quadrature as the framework's renderer
+(tnerf.render.composite), and packages them as `ImageDataset` splits —
+bit-identical in structure to what the NeRF-synthetic reader produces, and
+exportable to disk in NeRF-synthetic format (transforms_*.json + PNGs) so
+the loader round-trips (reference format: loader/data_loader.cpp:34-94).
+
+Camera rig matches NeRF-synthetic conventions: cameras on a sphere of
+radius ~3.5 looking at the origin, camera_angle_x = 0.6911112 (lego's).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from functools import partial
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tnerf.cameras import camera_rays, focal_from_angle
+from tnerf.data.dataset import ImageDataset
+from tnerf.render.composite import composite
+
+CAMERA_ANGLE_X = 0.6911112070083618  # lego's horizontal FoV
+
+
+# --------------------------------------------------------------------------
+# Analytic fields
+# --------------------------------------------------------------------------
+
+def _sphere_sdf(x, center, radius):
+    return jnp.linalg.norm(x - jnp.asarray(center), axis=-1) - radius
+
+
+def _box_sdf(x, center, half):
+    q = jnp.abs(x - jnp.asarray(center)) - jnp.asarray(half)
+    outside = jnp.linalg.norm(jnp.maximum(q, 0.0), axis=-1)
+    inside = jnp.minimum(jnp.max(q, axis=-1), 0.0)
+    return outside + inside
+
+
+_PRIMS = (
+    # (sdf_fn, color)
+    (partial(_sphere_sdf, center=(0.35, 0.0, 0.1), radius=0.32), (0.9, 0.25, 0.2)),
+    (partial(_sphere_sdf, center=(-0.3, 0.3, -0.2), radius=0.26), (0.2, 0.55, 0.95)),
+    (partial(_box_sdf, center=(-0.1, -0.35, 0.25), half=(0.3, 0.16, 0.2)), (0.3, 0.85, 0.35)),
+    (partial(_box_sdf, center=(0.0, 0.0, -0.45), half=(0.55, 0.55, 0.08)), (0.9, 0.8, 0.3)),
+)
+
+
+def analytic_field(x: jnp.ndarray, sharpness: float = 60.0, density_scale: float = 45.0):
+    """Analytic ground-truth radiance field.
+
+    x: [..., 3] positions. Returns (rgb [..., 3], sigma [...]).
+    Density is a smooth indicator of the union of primitives; color is the
+    softmin-weighted blend of primitive colors.
+    """
+    sdfs = jnp.stack([sdf(x) for sdf, _ in _PRIMS], axis=-1)        # [..., P]
+    colors = jnp.asarray([c for _, c in _PRIMS], dtype=jnp.float32)  # [P, 3]
+    occ = jax.nn.sigmoid(-sharpness * sdfs)                          # [..., P]
+    union = 1.0 - jnp.prod(1.0 - occ, axis=-1)
+    sigma = density_scale * union
+    wts = jax.nn.softmax(-sharpness * sdfs, axis=-1)
+    # explicit fp32 blend (einsum would run at bf16 matmul precision)
+    rgb = jnp.sum(wts[..., :, None] * colors, axis=-2)
+    return rgb, sigma
+
+
+# --------------------------------------------------------------------------
+# Ground-truth renderer (dense uniform marching, exact quadrature)
+# --------------------------------------------------------------------------
+
+def _look_at_pose(eye: np.ndarray, target: np.ndarray, up: np.ndarray) -> np.ndarray:
+    """OpenGL/NeRF camera-to-world: camera looks down its -z at target."""
+    z = eye - target
+    z = z / np.linalg.norm(z)
+    x = np.cross(up, z)
+    x = x / np.linalg.norm(x)
+    y = np.cross(z, x)
+    pose = np.eye(4, dtype=np.float32)
+    pose[:3, 0], pose[:3, 1], pose[:3, 2], pose[:3, 3] = x, y, z, eye
+    return pose
+
+
+def sphere_poses(n: int, radius: float = 3.5, seed: int = 0,
+                 elevation_range=(0.15, 1.1)) -> np.ndarray:
+    """n camera poses on a sphere looking at the origin. [n, 4, 4]."""
+    rng = np.random.default_rng(seed)
+    azim = rng.uniform(0.0, 2.0 * np.pi, size=n)
+    elev = rng.uniform(*elevation_range, size=n)
+    poses = []
+    for a, e in zip(azim, elev):
+        eye = radius * np.array(
+            [np.cos(a) * np.cos(e), np.sin(a) * np.cos(e), np.sin(e)], dtype=np.float32
+        )
+        poses.append(_look_at_pose(eye, np.zeros(3, np.float32), np.array([0, 0, 1.0], np.float32)))
+    return np.stack(poses)
+
+
+@partial(jax.jit, static_argnames=("width", "height", "n_samples", "white_background"))
+def _render_gt_image(
+    pose: jnp.ndarray,
+    width: int,
+    height: int,
+    focal_px: float,
+    near: float,
+    far: float,
+    n_samples: int,
+    white_background: bool,
+) -> jnp.ndarray:
+    rays = camera_rays(pose, width, height, focal_px)
+    t = jnp.linspace(near, far, n_samples + 1, dtype=jnp.float32)
+    t_mid = 0.5 * (t[:-1] + t[1:])
+    deltas = jnp.broadcast_to(t[1:] - t[:-1], (height, width, n_samples))
+    pts = rays.origins[..., None, :] + rays.directions[..., None, :] * t_mid[..., :, None]
+    rgb, sigma = analytic_field(pts.reshape(-1, 3))
+    rgb = rgb.reshape(height, width, n_samples, 3)
+    sigma = sigma.reshape(height, width, n_samples)
+    res = composite(rgb, sigma, deltas, t_mid=jnp.broadcast_to(t_mid, sigma.shape),
+                    white_background=white_background)
+    return res.rgb
+
+
+def generate_procedural_scene(
+    name: str = "prims",
+    width: int = 128,
+    height: int = 128,
+    n_train: int = 24,
+    n_val: int = 4,
+    n_test: int = 8,
+    n_samples: int = 384,
+    near: float = 2.0,
+    far: float = 5.5,
+    white_background: bool = True,
+    radius: float = 3.5,
+) -> Dict[str, ImageDataset]:
+    """Generate a full {train, val, test} dataset from the analytic field."""
+    focal = focal_from_angle(width, CAMERA_ANGLE_X)
+    out: Dict[str, ImageDataset] = {}
+    counts = {"train": n_train, "val": n_val, "test": n_test}
+    seeds = {"train": 10, "val": 20, "test": 30}
+    for split, n in counts.items():
+        if n == 0:
+            continue
+        poses = sphere_poses(n, radius=radius, seed=seeds[split])
+        imgs = []
+        for i in range(n):
+            img = _render_gt_image(
+                jnp.asarray(poses[i]), width, height, focal,
+                near, far, n_samples, white_background,
+            )
+            imgs.append(np.asarray(jax.device_get(img), dtype=np.float32))
+        out[split] = ImageDataset(
+            images=np.clip(np.stack(imgs), 0.0, 1.0),
+            poses=poses,
+            focal=focal,
+            width=width,
+            height=height,
+            channels=3,
+            split=split,
+        )
+    return out
+
+
+def export_nerf_synthetic_format(datasets: Dict[str, ImageDataset], scene_dir: str) -> None:
+    """Write a procedural scene to disk in NeRF-synthetic layout so the
+    loader (tnerf.data.dataset) can round-trip it."""
+    from tnerf.data.png_io import write_png
+
+    os.makedirs(scene_dir, exist_ok=True)
+    for split, ds in datasets.items():
+        os.makedirs(os.path.join(scene_dir, split), exist_ok=True)
+        frames = []
+        for i in range(len(ds)):
+            rel = f"./{split}/r_{i}"
+            write_png(os.path.join(scene_dir, f"{split}/r_{i}.png"), ds.images[i])
+            frames.append({
+                "file_path": rel,
+                "transform_matrix": ds.poses[i].tolist(),
+            })
+        meta = {"camera_angle_x": CAMERA_ANGLE_X, "frames": frames}
+        with open(os.path.join(scene_dir, f"transforms_{split}.json"), "w") as fh:
+            json.dump(meta, fh)

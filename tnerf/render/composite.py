@@ -1,0 +1,98 @@
+"""Emission-absorption volume rendering quadrature.
+
+TPU-native replacement for reference vol_render/vol_render.cu.  The
+reference's forward pass accumulates optical depth *including* the current
+sample before exponentiating (vol_render.cu:60-63, defect D3), resets `t`
+per segment (D5), and its hand-derived backward is inconsistent with its
+own forward (D4/D6/D7).  This module implements the *intended* standard
+NeRF quadrature:
+
+    alpha_i = 1 - exp(-sigma_i * delta_i)
+    T_i     = exp(-sum_{j<i} sigma_j delta_j)     (exclusive!)
+    w_i     = T_i * alpha_i
+    rgb     = sum_i w_i c_i  (+ background * (1 - sum_i w_i))
+
+The backward pass is exact by construction: the forward is expressed as
+cumsum + elementwise ops, so `jax.grad` produces the true VJP (the TPU
+answer to vol_render.cu:75-143's hand-derived kernel).  XLA fuses the whole
+thing into a handful of VPU loops; a Pallas blockwise-scan variant with
+early-termination masking lives in tnerf.render.pallas_composite for very
+long sample axes.
+
+Everything is shape-polymorphic over leading batch dims with a static
+sample axis S — rays are rows of a [batch, S] matrix, never ragged
+(SURVEY §7.1 core data-model decision).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax.numpy as jnp
+
+
+class RenderResult(NamedTuple):
+    rgb: jnp.ndarray          # [..., 3] composited color
+    acc: jnp.ndarray          # [...] accumulated opacity (sum of weights)
+    depth: jnp.ndarray        # [...] expected termination t
+    weights: jnp.ndarray      # [..., S] per-sample compositing weights
+    transmittance: jnp.ndarray  # [..., S] exclusive transmittance T_i
+
+
+def render_weights(
+    sigma: jnp.ndarray,
+    deltas: jnp.ndarray,
+    mask: Optional[jnp.ndarray] = None,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-sample compositing weights w_i = T_i * (1 - exp(-sigma_i d_i)).
+
+    sigma:  [..., S] non-negative densities
+    deltas: [..., S] segment lengths along the ray (monotone global t —
+            fixing defect D5's per-segment reset)
+    mask:   optional [..., S] bool; masked-out samples contribute nothing
+            (the static-shape padding story, SURVEY §7.3 item 1)
+    Returns (weights [..., S], transmittance [..., S]) in float32.
+    """
+    sigma = sigma.astype(jnp.float32)
+    deltas = deltas.astype(jnp.float32)
+    tau = sigma * deltas  # optical depth per segment
+    if mask is not None:
+        tau = jnp.where(mask, tau, 0.0)
+    # Exclusive prefix sum: T_i depends on j < i only (fixes D3).
+    tau_cum = jnp.cumsum(tau, axis=-1) - tau
+    transmittance = jnp.exp(-tau_cum)
+    alpha = 1.0 - jnp.exp(-tau)
+    weights = transmittance * alpha
+    return weights, transmittance
+
+
+def composite(
+    rgb: jnp.ndarray,
+    sigma: jnp.ndarray,
+    deltas: jnp.ndarray,
+    t_mid: Optional[jnp.ndarray] = None,
+    mask: Optional[jnp.ndarray] = None,
+    background: Optional[jnp.ndarray] = None,
+    white_background: bool = False,
+) -> RenderResult:
+    """Full composite: per-sample radiance -> per-ray pixel.
+
+    rgb:    [..., S, 3] sample colors in [0, 1]
+    sigma:  [..., S]
+    deltas: [..., S]
+    t_mid:  optional [..., S] sample depths for the expected-depth output
+    background: optional [..., 3] or [3]; overrides white_background
+    """
+    weights, transmittance = render_weights(sigma, deltas, mask)
+    rgb = rgb.astype(jnp.float32)
+    out_rgb = jnp.sum(weights[..., None] * rgb, axis=-2)
+    acc = jnp.sum(weights, axis=-1)
+    if t_mid is None:
+        depth = jnp.zeros_like(acc)
+    else:
+        depth = jnp.sum(weights * t_mid.astype(jnp.float32), axis=-1)
+    if background is None and white_background:
+        background = jnp.ones((3,), dtype=jnp.float32)
+    if background is not None:
+        out_rgb = out_rgb + (1.0 - acc)[..., None] * background
+    return RenderResult(out_rgb, acc, depth, weights, transmittance)

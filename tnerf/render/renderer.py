@@ -1,0 +1,102 @@
+"""Ray -> pixel renderers: sampling + field evaluation + compositing.
+
+This is the layer the reference wires by hand inside its batch loop
+(main.cu:704-746: launchSampler -> network->forward -> launch_volrender),
+including the wiring it gets wrong (the MLP input matrix is never filled —
+defect D2).  Here a renderer is one pure function rays -> RenderResult,
+jitted as a whole so XLA fuses encoding, MLP, and compositing.
+
+Renderers come in two flavors:
+- `make_uniform_renderer`: fixed-count sampling over [near, far]
+  (BASELINE config 1; no grid).
+- `make_grid_renderer` (tnerf.render.grid_renderer): occupancy-grid
+  traversal -> interval sampling -> field -> composite (BASELINE config 2).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+
+from tnerf.cameras import Rays
+from tnerf.config import RenderConfig, SamplerConfig
+from tnerf.fields.nerf_field import NeRFField
+from tnerf.render.composite import RenderResult, composite
+from tnerf.sampling import sample_positions, uniform_ray_samples
+
+RendererFn = Callable[[dict, Rays, Optional[jax.Array]], RenderResult]
+
+
+def make_uniform_renderer(
+    field: NeRFField,
+    sampler_cfg: SamplerConfig,
+    render_cfg: RenderConfig,
+    mode: Optional[str] = None,
+) -> RendererFn:
+    """Renderer with fixed-count full-range sampling (no occupancy grid)."""
+    mode = mode or sampler_cfg.mode
+
+    def render(params: dict, rays: Rays, key: Optional[jax.Array] = None) -> RenderResult:
+        batch_shape = rays.origins.shape[:-1]
+        samples = uniform_ray_samples(
+            sampler_cfg.near,
+            sampler_cfg.far,
+            sampler_cfg.samples_per_ray,
+            batch_shape,
+            mode=mode if key is not None else "regular",
+            key=key,
+        )
+        pts = sample_positions(rays.origins, rays.directions, samples.t)
+        rgb, sigma = field.apply(params, pts, rays.viewdirs_tp[..., None, :])
+        res = composite(
+            rgb,
+            sigma,
+            samples.deltas,
+            t_mid=samples.t,
+            mask=samples.mask,
+            white_background=render_cfg.white_background,
+        )
+        return res
+
+    return render
+
+
+def render_image(
+    renderer: RendererFn,
+    params: dict,
+    rays: Rays,
+    chunk_size: int = 65536,
+    key: Optional[jax.Array] = None,
+) -> RenderResult:
+    """Render a full [H, W] ray grid in fixed-size chunks.
+
+    Chunks are static-shape (padded), so exactly one compile services every
+    image size; this is the render-an-image capability the reference
+    intended but never built (stb_image_write.h included at main.cu:19-21,
+    never called).
+    """
+    h, w = rays.origins.shape[:2]
+    n = h * w
+    flat = Rays(
+        origins=rays.origins.reshape(n, 3),
+        directions=rays.directions.reshape(n, 3),
+        viewdirs_tp=rays.viewdirs_tp.reshape(n, 2),
+    )
+    n_pad = ((n + chunk_size - 1) // chunk_size) * chunk_size
+    pad = n_pad - n
+    flat = jax.tree.map(lambda a: jnp.pad(a, ((0, pad), (0, 0))), flat)
+    outs = []
+    for i in range(0, n_pad, chunk_size):
+        chunk = jax.tree.map(lambda a: jax.lax.dynamic_slice_in_dim(a, i, chunk_size), flat)
+        outs.append(renderer(params, chunk, key))
+    res = jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=0), *outs)
+    unflat = lambda a: a[:n].reshape(h, w, *a.shape[1:])
+    return RenderResult(
+        rgb=unflat(res.rgb),
+        acc=unflat(res.acc),
+        depth=unflat(res.depth),
+        weights=unflat(res.weights),
+        transmittance=unflat(res.transmittance),
+    )
