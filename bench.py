@@ -1,0 +1,178 @@
+"""Benchmark harness (driver entry: prints ONE JSON line).
+
+Primary metric: ray-march throughput (Mrays/sec) at the reference's own
+workload — 800x800 camera rays marched through an 8^3 grid into per-cell
+interval lists with 24-hit capacity (reference main.cu:394,486,506-508).
+This is the capability rtx_nerf accelerates with RT cores; BASELINE.json's
+north star asks for >=100 Mrays/sec on one v5e chip.
+
+Also reported (extra keys): 128^3-grid march throughput and full-pipeline
+render throughput (traversal + field + composite) with frames/sec at
+800x800.
+
+Timing methodology: the axon tunnel adds ~1ms RTT per synchronous call,
+so each measurement enqueues `iters` launches over a rotating set of
+DIFFERENT staged inputs (defeats any transport-level caching) and blocks
+once at the end — the steady-state throughput a real training/render loop
+sees.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+
+def _queued_timeit(fns_and_args, iters: int = 30, warmup: int = 3):
+    """Enqueue iters launches cycling over (fn, args) variants; one final
+    block. Returns seconds per launch."""
+    import jax
+
+    n = len(fns_and_args)
+    for i in range(warmup):
+        fn, args = fns_and_args[i % n]
+        jax.block_until_ready(fn(*args))
+    t0 = time.perf_counter()
+    out = None
+    for i in range(iters):
+        fn, args = fns_and_args[i % n]
+        out = fn(*args)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / iters
+
+
+def _camera_ray_variants(width: int, height: int, n_variants: int = 4):
+    import jax.numpy as jnp
+
+    from tnerf.cameras import camera_rays, focal_from_angle
+    from tnerf.data.procedural import CAMERA_ANGLE_X, sphere_poses
+
+    poses = sphere_poses(n_variants, radius=3.5, seed=0)
+    focal = focal_from_angle(width, CAMERA_ANGLE_X)
+    out = []
+    for i in range(n_variants):
+        rays = camera_rays(jnp.asarray(poses[i]), width, height, focal)
+        n = width * height
+        out.append(
+            (
+                rays.origins.reshape(n, 3),
+                rays.directions.reshape(n, 3),
+                rays.viewdirs_tp.reshape(n, 2),
+            )
+        )
+    return out
+
+
+def bench_ray_march(width=800, height=800, res=8, iters=30) -> dict:
+    """Traversal throughput: rays -> per-cell interval lists (the
+    reference's OptiX ray-march stage, §3.3)."""
+    import jax
+
+    from tnerf.config import GridConfig
+    from tnerf.grid.traversal import traverse_grid
+
+    grid = GridConfig(resolution=res)
+    variants = _camera_ray_variants(width, height)
+
+    @jax.jit
+    def march(o, d):
+        iv = traverse_grid(o, d, grid)
+        return iv.t_starts.sum(), iv.mask.sum()
+
+    dt = _queued_timeit([(march, (o, d)) for (o, d, _) in variants], iters=iters)
+    n_rays = width * height
+    return {
+        "mrays_per_sec": n_rays / dt / 1e6,
+        "seconds_per_launch": dt,
+        "n_rays": n_rays,
+        "grid_res": res,
+    }
+
+
+def bench_render(width=800, height=800, res=64, samples=128, iters=6) -> dict:
+    """Full-pipeline render throughput (march + field + composite) with a
+    realistic occupancy grid derived from the analytic procedural field."""
+    import jax
+    import jax.numpy as jnp
+
+    from tnerf.cameras import Rays
+    from tnerf.config import Config
+    from tnerf.data.procedural import analytic_field
+    from tnerf.fields.nerf_field import NeRFField
+    from tnerf.grid.occupancy import cell_centers
+    from tnerf.render.grid_renderer import make_grid_renderer
+
+    cfg = Config().apply_overrides([
+        f"grid.resolution={res}",
+        f"sampler.samples_per_ray={samples}",
+        "sampler.near=2.0", "sampler.far=5.5",
+        "scene.scene_scale=1.0",
+    ])
+    field = NeRFField(cfg.field_, cfg.grid)
+    params = field.init(jax.random.PRNGKey(0))
+    _, sigma = analytic_field(cell_centers(cfg.grid).reshape(-1, 3))
+    occ = (sigma > 0.5).reshape(res, res, res)
+    occ_frac = float(occ.mean())
+
+    variants = _camera_ray_variants(width, height)
+    chunk = 32768
+    n = width * height
+    renderer = make_grid_renderer(
+        field, cfg.grid, cfg.sampler, cfg.render,
+        strategy="march", compact=False,
+    )
+
+    @jax.jit
+    def render_chunk(params, o, d, v, occ):
+        rays = Rays(origins=o, directions=d, viewdirs_tp=v)
+        return renderer(params, rays, None, occ).rgb
+
+    def frame(o, d, v):
+        out = None
+        for i in range(0, n - chunk + 1, chunk):
+            out = render_chunk(
+                params, o[i:i + chunk], d[i:i + chunk], v[i:i + chunk], occ
+            )
+        return out
+
+    dt = _queued_timeit([(frame, var) for var in variants], iters=iters, warmup=2)
+    n_eff = (n // chunk) * chunk
+    return {
+        "render_mrays_per_sec": n_eff / dt / 1e6,
+        "fps_800x800": (1.0 / dt) if (width, height) == (800, 800) else None,
+        "occupancy_frac": occ_frac,
+        "samples_per_ray": samples,
+        "field": cfg.field_.encoding,
+    }
+
+
+def main():
+    import jax
+
+    device = jax.devices()[0].device_kind
+    march8 = bench_ray_march(res=8)
+    march128 = bench_ray_march(res=128, iters=10)
+    render = bench_render()
+    value = round(march8["mrays_per_sec"], 2)
+    line = {
+        "metric": "ray_march_Mrays_per_sec_800x800_8^3grid",
+        "value": value,
+        "unit": "Mrays/s",
+        "vs_baseline": round(value / 100.0, 3),  # north star: 100 Mrays/s
+        "extra": {
+            "march_128grid_mrays_per_sec": round(march128["mrays_per_sec"], 2),
+            "render_mrays_per_sec": round(render["render_mrays_per_sec"], 3),
+            "fps_800x800": round(render["fps_800x800"], 3) if render["fps_800x800"] else None,
+            "render_occupancy_frac": round(render["occupancy_frac"], 4),
+            "render_samples_per_ray": render["samples_per_ray"],
+            "march_seconds_per_launch": round(march8["seconds_per_launch"], 6),
+            "device": device,
+        },
+    }
+    print(json.dumps(line))
+
+
+if __name__ == "__main__":
+    main()

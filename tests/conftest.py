@@ -1,17 +1,35 @@
 """Test configuration: force CPU with 8 virtual devices.
 
-Multi-chip logic is tested on a virtual CPU mesh
-(SURVEY §4 "Multi-chip without a cluster"); this must run before any
-`import jax` in the test session.
+Multi-chip logic is tested on a virtual CPU mesh (SURVEY §4 "Multi-chip
+without a cluster").
+
+Environment gotcha: this image's sitecustomize (/root/.axon_site, on
+PYTHONPATH) imports jax and initializes the axon TPU backend at
+interpreter startup — *before* conftest runs.  Env vars are therefore too
+late; we must clear the initialized backends and redirect the platform
+via jax.config.  Without this, "CPU" tests silently run on the real TPU
+through the tunnel (~10x slower and single-device).
 """
 
 import os
+import sys
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Keep anything we spawn from re-registering axon.
+os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+sys.path[:] = [p for p in sys.path if ".axon_site" not in p]
 
 import jax  # noqa: E402
+import jax.extend.backend  # noqa: E402
 
+jax.extend.backend.clear_backends()
+jax.config.update("jax_platforms", "cpu")
+try:
+    jax.config.update("jax_num_cpu_devices", 8)
+except Exception:
+    pass  # already 8 via XLA_FLAGS if backends weren't pre-initialized
 jax.config.update("jax_enable_x64", False)
+
+assert jax.devices()[0].platform == "cpu", "tests must run on CPU"

@@ -1,0 +1,81 @@
+"""Multi-chip DP on a virtual 8-device CPU mesh (SURVEY §4): sharded
+training must be numerically equivalent to single-device training."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tnerf.config import Config
+from tnerf.data.procedural import generate_procedural_scene
+from tnerf.fields.nerf_field import NeRFField
+from tnerf.parallel.mesh import (
+    make_dp_train_step,
+    make_mesh,
+    replicate,
+    shard_batch,
+)
+from tnerf.render.renderer import make_uniform_renderer
+from tnerf.train import PixelSampler, create_optimizer, init_train_state, make_train_step
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = Config().apply_overrides([
+        "sampler.samples_per_ray=32", "sampler.near=2.0", "sampler.far=5.5",
+        "field_.hidden_width=32", "field_.hidden_layers=2", "field_.n_frequencies=4",
+        "train.batch_size=256", "scene.scene_scale=1.0",
+    ])
+    scene = generate_procedural_scene(
+        width=24, height=24, n_train=4, n_val=0, n_test=1, n_samples=64
+    )
+    field = NeRFField(cfg.field_, cfg.grid)
+    renderer = make_uniform_renderer(field, cfg.sampler, cfg.render)
+    optimizer = create_optimizer(cfg.train)
+    state = init_train_state(field, optimizer, cfg.train.seed)
+    sampler = PixelSampler(scene["train"], 1.0, True)
+    return cfg, renderer, optimizer, state, sampler
+
+
+def test_mesh_has_8_virtual_devices():
+    assert len(jax.devices()) == 8  # conftest forces this
+    mesh = make_mesh()
+    assert mesh.shape == {"data": 8}
+
+
+def test_dp_step_matches_single_device(setup):
+    cfg, renderer, optimizer, state, sampler = setup
+    mesh = make_mesh()
+    train_step = make_train_step(renderer, optimizer)
+    dp_step = make_dp_train_step(train_step, mesh)
+
+    key = jax.random.PRNGKey(0)
+    batch = sampler.sample(key, cfg.train.batch_size)
+
+    new_single, aux_single = train_step(state, batch, key)
+    state_r = replicate(state, mesh)
+    batch_s = shard_batch(batch, mesh)
+    new_dp, aux_dp = dp_step(state_r, batch_s, replicate(key, mesh))
+
+    np.testing.assert_allclose(
+        float(aux_single["loss"]), float(aux_dp["loss"]), rtol=1e-5
+    )
+    for a, b in zip(jax.tree.leaves(new_single.params), jax.tree.leaves(new_dp.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_dp_multiple_steps_stay_in_sync(setup):
+    cfg, renderer, optimizer, state, sampler = setup
+    mesh = make_mesh()
+    train_step = make_train_step(renderer, optimizer)
+    dp_step = make_dp_train_step(train_step, mesh)
+    state_dp = replicate(state, mesh)
+    key = jax.random.PRNGKey(1)
+    for _ in range(3):
+        key, k1, k2 = jax.random.split(key, 3)
+        batch = sampler.sample(k1, cfg.train.batch_size)
+        state, aux = train_step(state, batch, k2)
+        state_dp, aux_dp = dp_step(state_dp, shard_batch(batch, mesh), replicate(k2, mesh))
+    np.testing.assert_allclose(
+        float(aux["loss"]), float(aux_dp["loss"]), rtol=1e-4
+    )

@@ -1,0 +1,125 @@
+"""Hash-grid encoding tests: numpy mirror parity, interpolation
+properties, gradient flow (SURVEY §4 'hash-encoding vs a numpy mirror')."""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+import pytest
+
+from tnerf.config import Config, FieldConfig
+from tnerf.fields.hashgrid import (
+    apply_hashgrid,
+    hashgrid_num_params,
+    init_hashgrid,
+    level_resolutions,
+)
+from tnerf.fields.nerf_field import NeRFField
+
+
+def small_cfg(**kw):
+    base = dict(
+        encoding="hashgrid", hash_levels=4, hash_features_per_level=2,
+        hash_log2_table_size=10, hash_base_resolution=4, hash_max_resolution=32,
+    )
+    base.update(kw)
+    return FieldConfig(**base)
+
+
+def numpy_hashgrid(tables, x01, cfg):
+    """Independent numpy mirror of apply_hashgrid."""
+    L, F = cfg.hash_levels, cfg.hash_features_per_level
+    T = 1 << cfg.hash_log2_table_size
+    res = level_resolutions(cfg)
+    out = np.zeros((x01.shape[0], L, F), np.float32)
+    for l in range(L):
+        N = int(res[l])
+        pos = np.clip(x01 * N, 0, N - 1e-4)
+        i0 = np.floor(pos).astype(np.uint32)
+        frac = (pos - i0).astype(np.float32)
+        dense = (N + 1) ** 3 <= T
+        for c in range(8):
+            off = np.array([(c >> 2) & 1, (c >> 1) & 1, c & 1], np.uint32)
+            cx = i0 + off
+            w = np.prod(np.where(off.astype(bool), frac, 1 - frac), axis=-1)
+            if dense:
+                idx = cx[:, 0] + (N + 1) * (cx[:, 1] + (N + 1) * cx[:, 2])
+            else:
+                idx = (
+                    cx[:, 0] * np.uint32(1)
+                    ^ cx[:, 1] * np.uint32(2654435761)
+                    ^ cx[:, 2] * np.uint32(805459861)
+                )
+            idx = (idx & np.uint32(T - 1)).astype(np.int64) + l * T
+            out[:, l] += w[:, None] * tables[idx]
+    return out.reshape(x01.shape[0], L * F)
+
+
+def test_matches_numpy_mirror():
+    cfg = small_cfg()
+    params = init_hashgrid(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(0)
+    x = rng.uniform(0, 1, (64, 3)).astype(np.float32)
+    got = np.asarray(apply_hashgrid(params, jnp.asarray(x), cfg))
+    want = numpy_hashgrid(np.asarray(params["tables"]), x, cfg)
+    np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+def test_corner_ordering_matches_weights():
+    """At an exact lattice point the encoding must equal that corner's
+    table entry (all weight on one corner) — catches corner/weight
+    mismatches the mirror test could share."""
+    cfg = small_cfg(hash_levels=1, hash_base_resolution=4, hash_max_resolution=4)
+    params = init_hashgrid(jax.random.PRNGKey(1), cfg)
+    tab = np.asarray(params["tables"])
+    x = np.array([[0.25, 0.5, 0.75]], np.float32)  # lattice point at N=4: (1,2,3)
+    got = np.asarray(apply_hashgrid(params, jnp.asarray(x), cfg))[0]
+    idx = 1 + 5 * (2 + 5 * 3)  # dense linear index at N+1=5
+    np.testing.assert_allclose(got, tab[idx], atol=1e-6)
+
+
+def test_continuity_across_cell_boundary():
+    cfg = small_cfg()
+    params = init_hashgrid(jax.random.PRNGKey(2), cfg)
+    eps = 1e-5
+    x = jnp.asarray([[0.5 - eps, 0.3, 0.3], [0.5 + eps, 0.3, 0.3]])
+    out = np.asarray(apply_hashgrid(params, x, cfg))
+    np.testing.assert_allclose(out[0], out[1], atol=1e-3)
+
+
+def test_gradients_reach_tables():
+    cfg = small_cfg()
+    params = init_hashgrid(jax.random.PRNGKey(3), cfg)
+    x = jnp.asarray(np.random.default_rng(1).uniform(0, 1, (32, 3)), jnp.float32)
+
+    def loss(p):
+        return jnp.sum(apply_hashgrid(p, x, cfg) ** 2)
+
+    g = jax.grad(loss)(params)["tables"]
+    gnp = np.asarray(g)
+    assert np.isfinite(gnp).all()
+    assert (np.abs(gnp).sum(axis=-1) > 0).sum() > 0  # some entries touched
+    assert hashgrid_num_params(cfg) == g.size
+
+
+def test_full_field_with_hashgrid_trains():
+    cfg = Config().apply_overrides([
+        "field_.encoding=hashgrid", "field_.hash_levels=4",
+        "field_.hash_log2_table_size=10", "field_.hash_base_resolution=4",
+        "field_.hash_max_resolution=32", "field_.hash_hidden_width=32",
+        "field_.hash_hidden_layers=2",
+    ])
+    field = NeRFField(cfg.field_, cfg.grid, arch="twobranch")
+    params = field.init(jax.random.PRNGKey(0))
+    x = jax.random.uniform(jax.random.PRNGKey(1), (16, 3), minval=-1, maxval=1)
+    v = jnp.zeros((16, 2))
+    rgb, sigma = field.apply(params, x, v)
+    assert rgb.shape == (16, 3) and sigma.shape == (16,)
+
+    def loss(p):
+        rgb, sigma = field.apply(p, x, v)
+        return jnp.mean(rgb) + jnp.mean(sigma)
+
+    g = jax.grad(loss)(params)
+    assert all(np.isfinite(np.asarray(l)).all() for l in jax.tree.leaves(g))
+    assert float(jnp.abs(g["hashgrid"]["tables"]).sum()) > 0

@@ -1,0 +1,81 @@
+"""Integration: run_training end-to-end with the grid pipeline —
+occupancy updates, metrics JSONL, checkpoint/resume, render output."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from tnerf.config import Config
+from tnerf.data.procedural import generate_procedural_scene
+from tnerf.train_loop import run_training
+from tnerf.utils.checkpoint import (
+    latest_checkpoint,
+    restore_checkpoint,
+    save_checkpoint,
+)
+
+
+@pytest.fixture(scope="module")
+def scene():
+    return generate_procedural_scene(
+        width=24, height=24, n_train=4, n_val=1, n_test=1, n_samples=64
+    )
+
+
+def _cfg(tmp, **extra):
+    ov = [
+        "scene.kind=procedural", "scene.scene_scale=1.0",
+        "sampler.samples_per_ray=32", "sampler.near=2.0", "sampler.far=5.5",
+        "field_.hidden_width=32", "field_.hidden_layers=2", "field_.n_frequencies=4",
+        "grid.resolution=8", "grid.warmup_steps=5", "grid.update_every=5",
+        "train.batch_size=256", "train.steps=40", "train.eval_every=0",
+        "train.checkpoint_every=20", "train.log_every=10",
+        f"logging.out_dir={tmp}",
+        "render.chunk_size=1024",
+    ]
+    ov += extra.get("ov", [])
+    return Config().apply_overrides(ov)
+
+
+def test_run_training_grid_pipeline(tmp_path, scene):
+    cfg = _cfg(str(tmp_path / "run"))
+    metrics = run_training(cfg, datasets=scene)
+    assert "psnr_test" in metrics and np.isfinite(metrics["psnr_test"])
+    # metrics JSONL written
+    mpath = tmp_path / "run" / "metrics.jsonl"
+    lines = [json.loads(l) for l in open(mpath)]
+    assert any("loss" in l for l in lines)
+    assert any("occupancy_frac" in l for l in lines)
+    # final render images exist
+    renders = tmp_path / "run" / "renders_40"
+    assert renders.exists() and len(list(renders.iterdir())) >= 1
+    # checkpoints exist
+    found = latest_checkpoint(str(tmp_path / "run" / "checkpoints"))
+    assert found is not None and found[0] == 40
+
+
+def test_resume_from_checkpoint(tmp_path, scene):
+    out = str(tmp_path / "resume_run")
+    cfg = _cfg(out)
+    run_training(cfg, datasets=scene)
+    # resume: continue 10 more steps from step 40
+    cfg2 = cfg.apply_overrides(["train.resume=true", "train.steps=50"])
+    metrics = run_training(cfg2, datasets=scene)
+    assert np.isfinite(metrics["psnr_test"])
+    found = latest_checkpoint(os.path.join(out, "checkpoints"))
+    assert found[0] == 50
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    import jax.numpy as jnp
+
+    state = {"a": jnp.arange(5.0), "b": [jnp.ones((2, 2)), jnp.zeros(3)]}
+    save_checkpoint(str(tmp_path), 7, state)
+    step, restored = restore_checkpoint(str(tmp_path), state)
+    assert step == 7
+    np.testing.assert_allclose(np.asarray(restored["a"]), np.arange(5.0))
+    # mismatched template errors clearly
+    with pytest.raises(ValueError):
+        restore_checkpoint(str(tmp_path), {"a": jnp.zeros(5)})

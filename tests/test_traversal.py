@@ -1,0 +1,145 @@
+"""Grid-traversal tests vs a brute-force per-cell slab-test oracle — the
+reference's own intersection math (optixPrograms.cu:143-156) applied to
+every cell AABB independently (SURVEY §4)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tnerf.config import GridConfig
+from tnerf.grid.occupancy import init_occupancy
+from tnerf.grid.traversal import (
+    march_samples_t,
+    occupancy_lookup,
+    ray_aabb,
+    traverse_grid,
+)
+
+
+def brute_force_intervals(o, d, grid: GridConfig):
+    """Oracle: slab-test the ray against every cell AABB (reference
+    optixPrograms.cu:143-156 math), keep positive-length hits, sort by t."""
+    res = grid.resolution
+    lo = np.asarray(grid.aabb_min)
+    hi = np.asarray(grid.aabb_max)
+    h = (hi - lo) / res
+    out = []
+    for i in range(res):
+        for j in range(res):
+            for k in range(res):
+                cmin = lo + h * np.array([i, j, k])
+                cmax = cmin + h
+                invd = 1.0 / np.where(np.abs(d) < 1e-12, 1e-12, d)
+                t0 = (cmin - o) * invd
+                t1 = (cmax - o) * invd
+                te = np.max(np.minimum(t0, t1))
+                tx = np.min(np.maximum(t0, t1))
+                te = max(te, 0.0)
+                if tx > te + 1e-7:
+                    out.append((te, tx, (i * res + j) * res + k))
+    out.sort()
+    return out
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+@pytest.mark.parametrize("res", [4, 8])
+def test_traversal_matches_bruteforce_oracle(seed, res):
+    grid = GridConfig(resolution=res)
+    rng = np.random.default_rng(seed)
+    n_rays = 16
+    # rays from outside the box aimed near the center, plus some that miss
+    o = rng.uniform(-3, 3, (n_rays, 3))
+    o = o / np.linalg.norm(o, axis=-1, keepdims=True) * 2.5
+    target = rng.uniform(-1.2, 1.2, (n_rays, 3))
+    d = target - o
+    d = d / np.linalg.norm(d, axis=-1, keepdims=True)
+
+    iv = traverse_grid(jnp.asarray(o, jnp.float32), jnp.asarray(d, jnp.float32), grid)
+    for r in range(n_rays):
+        oracle = brute_force_intervals(o[r], d[r], grid)
+        got_mask = np.asarray(iv.mask[r])
+        got = [
+            (float(iv.t_starts[r, s]), float(iv.t_ends[r, s]), int(iv.cells[r, s]))
+            for s in range(got_mask.shape[0])
+            if got_mask[s]
+        ]
+        assert len(got) == len(oracle), (r, len(got), len(oracle))
+        for (gs, ge, gc), (os_, oe, oc) in zip(got, oracle):
+            assert gc == oc, (r, got, oracle)
+            np.testing.assert_allclose([gs, ge], [os_, oe], atol=2e-4)
+
+
+def test_traversal_intervals_are_contiguous_and_sorted():
+    grid = GridConfig(resolution=8)
+    o = jnp.asarray([[-2.0, 0.05, 0.1]])
+    d = jnp.asarray([[1.0, 0.0, 0.0]])
+    iv = traverse_grid(o, d, grid)
+    m = np.asarray(iv.mask[0])
+    ts = np.asarray(iv.t_starts[0])[m]
+    te = np.asarray(iv.t_ends[0])[m]
+    assert m.sum() == 8  # axis-aligned ray crosses exactly res cells
+    np.testing.assert_allclose(ts[1:], te[:-1], atol=1e-5)  # contiguous
+    assert np.all(np.diff(ts) > 0)  # sorted (ray order)
+
+
+def test_ray_missing_box_has_no_hits():
+    grid = GridConfig(resolution=8)
+    o = jnp.asarray([[5.0, 5.0, 5.0]])
+    d = jnp.asarray([[1.0, 0.0, 0.0]])  # pointing away
+    iv = traverse_grid(o, d, grid)
+    assert not bool(np.asarray(iv.mask).any())
+
+
+def test_origin_inside_box_starts_at_zero():
+    grid = GridConfig(resolution=8)
+    o = jnp.asarray([[0.0, 0.0, 0.0]])
+    d = jnp.asarray([[0.577, 0.577, 0.577]])
+    iv = traverse_grid(o, d, grid)
+    m = np.asarray(iv.mask[0])
+    assert m.any()
+    assert abs(float(np.asarray(iv.t_starts[0])[m][0])) < 1e-6
+
+
+def test_occupancy_masking_prunes_cells():
+    grid = GridConfig(resolution=4)
+    occ = jnp.zeros((4, 4, 4), bool).at[2, 2, 2].set(True)
+    o = jnp.asarray([[-2.0, 0.3, 0.3]])  # crosses row j where y=0.3 -> cell 2
+    d = jnp.asarray([[1.0, 0.0, 0.0]])
+    iv = traverse_grid(o, d, grid, occupancy=occ)
+    m = np.asarray(iv.mask[0])
+    assert m.sum() == 1
+    assert int(np.asarray(iv.cells[0])[m][0]) == (2 * 4 + 2) * 4 + 2
+    # compaction: the single valid interval sits in slot 0
+    assert m[0]
+
+
+def test_capacity_truncation():
+    grid = GridConfig(resolution=8)
+    o = jnp.asarray([[-2.0, -1.9, -1.95]]) * 0.9
+    d = jnp.asarray([[1.0, 0.95, 0.97]])
+    d = d / jnp.linalg.norm(d)
+    iv = traverse_grid(o, d, grid, max_hits=4)
+    assert iv.t_starts.shape[-1] == 4
+    m = np.asarray(iv.mask[0])
+    # truncated but the kept ones are the first along the ray
+    ts = np.asarray(iv.t_starts[0])[m]
+    assert np.all(np.diff(ts) > 0)
+
+
+def test_march_samples_and_lookup():
+    grid = GridConfig(resolution=8)
+    o = jnp.asarray([[-2.0, 0.0, 0.0]])
+    d = jnp.asarray([[1.0, 0.0, 0.0]])
+    te, tx = ray_aabb(o, d, grid.aabb_min, grid.aabb_max)
+    np.testing.assert_allclose(float(te[0]), 1.0, atol=1e-6)
+    np.testing.assert_allclose(float(tx[0]), 3.0, atol=1e-6)
+    t, dt = march_samples_t(te, tx, 16)
+    assert t.shape == (1, 16)
+    np.testing.assert_allclose(np.asarray(dt), 2.0 / 16, atol=1e-6)
+    assert float(t[0, 0]) > 1.0 and float(t[0, -1]) < 3.0
+    st = init_occupancy(grid)
+    pts = o + d * t[..., None]
+    inside = occupancy_lookup(pts, st.bitfield, grid)
+    assert bool(np.asarray(inside).all())
+    outside = occupancy_lookup(jnp.asarray([[9.0, 0.0, 0.0]]), st.bitfield, grid)
+    assert not bool(np.asarray(outside)[0])

@@ -1,0 +1,143 @@
+"""Command-line interface.
+
+The reference has zero CLI — `int main()` takes no arguments
+(main.cu:319) and every knob is a recompile.  Subcommands:
+
+  tnerf train   --config cfg.json --override a.b=c ...
+  tnerf render  --config cfg.json --checkpoint dir --pose-index 0 --out img.png
+  tnerf eval    --config cfg.json --checkpoint dir
+  tnerf bench   [--width 800 --height 800]   (see bench.py for the driver entry)
+  tnerf config  [--config cfg.json]          (print the resolved config)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+from tnerf.config import Config
+
+
+def _load_cfg(args) -> Config:
+    cfg = Config.from_json_file(args.config) if args.config else Config()
+    if args.override:
+        cfg = cfg.apply_overrides(args.override)
+    if getattr(args, "out", None) and args.cmd == "train":
+        cfg = cfg.apply_overrides([f"logging.out_dir={args.out}"])
+    return cfg
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="tnerf", description=__doc__)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    def common(sp):
+        sp.add_argument("--config", help="JSON config file")
+        sp.add_argument(
+            "--override", "-o", action="append", default=[],
+            help="config override key.path=value (repeatable)",
+        )
+
+    sp = sub.add_parser("train", help="train a radiance field")
+    common(sp)
+    sp.add_argument("--out", help="output directory (overrides logging.out_dir)")
+
+    sp = sub.add_parser("render", help="render one view from a checkpoint")
+    common(sp)
+    sp.add_argument("--checkpoint", required=False, help="checkpoint dir (default: out_dir/checkpoints)")
+    sp.add_argument("--pose-index", type=int, default=0)
+    sp.add_argument("--split", default="test")
+    sp.add_argument("--out", default="render.png")
+
+    sp = sub.add_parser("eval", help="PSNR over the test split from a checkpoint")
+    common(sp)
+    sp.add_argument("--checkpoint", required=False)
+
+    sp = sub.add_parser("config", help="print resolved config JSON")
+    common(sp)
+
+    args = p.parse_args(argv)
+
+    if args.cmd == "config":
+        print(_load_cfg(args).to_json())
+        return 0
+
+    cfg = _load_cfg(args)
+
+    if args.cmd == "train":
+        from tnerf.train_loop import run_training
+
+        metrics = run_training(cfg)
+        print(json.dumps(metrics, indent=2))
+        return 0
+
+    # render / eval need a restored state
+    import os
+
+    import jax
+
+    from tnerf.data.dataset import load_data
+    from tnerf.grid.occupancy import init_occupancy
+    from tnerf.train import create_optimizer, init_train_state
+    from tnerf.train_loop import build_field, build_renderer
+    from tnerf.utils.checkpoint import restore_checkpoint
+
+    field = build_field(cfg)
+    renderer = build_renderer(cfg, field)
+    optimizer = create_optimizer(cfg.train)
+    state = init_train_state(field, optimizer, cfg.train.seed)
+    use_grid = cfg.render.pipeline.startswith("grid")
+    occ = init_occupancy(cfg.grid) if use_grid else None
+    ckpt_dir = args.checkpoint or os.path.join(cfg.logging.out_dir, "checkpoints")
+    template = (state, occ) if occ is not None else state
+    restored = restore_checkpoint(ckpt_dir, template)
+    if restored is None:
+        print(f"error: no checkpoint found in {ckpt_dir}", file=sys.stderr)
+        return 1
+    step, payload = restored
+    if occ is not None:
+        state, occ = payload
+    else:
+        state = payload
+    print(f"restored step {step} from {ckpt_dir}", file=sys.stderr)
+    bits = occ.bitfield if occ is not None else None
+    datasets = load_data(
+        cfg.scene.kind, cfg.scene.name, root=cfg.scene.root,
+        srgb_to_linear=cfg.scene.srgb_to_linear, downscale=cfg.scene.downscale,
+    )
+
+    if args.cmd == "render":
+        from tnerf.data.png_io import write_png
+        from tnerf.eval import render_dataset_view
+
+        ds = datasets[args.split]
+        rend = lambda p, r, k=None, o=None: renderer(p, r, k, bits)
+        img = render_dataset_view(
+            rend, state.params, ds, args.pose_index, cfg.scene.scene_scale,
+            chunk_size=cfg.render.chunk_size,
+        )
+        write_png(args.out, img)
+        print(f"wrote {args.out}")
+        return 0
+
+    # eval
+    from tnerf.eval import evaluate
+
+    rend = lambda p, r, k=None, o=None: renderer(p, r, k, bits)
+    out = {}
+    for split in ("val", "test"):
+        if split in datasets:
+            out.update(
+                evaluate(
+                    rend, state.params, datasets[split], cfg.scene.scene_scale,
+                    white_background=cfg.scene.white_background,
+                    chunk_size=cfg.render.chunk_size,
+                )
+            )
+    print(json.dumps(out, indent=2))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

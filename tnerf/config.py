@@ -138,6 +138,18 @@ class FieldConfig:
 class RenderConfig:
     """Volume-rendering quadrature + image assembly."""
 
+    # Rendering pipeline: "uniform" (no grid, BASELINE config 1),
+    # "grid_march" (occupancy-masked fixed-step marching, fast path),
+    # "grid_intervals" (DDA interval lists + 32 samples/interval —
+    # reference-parity pipeline shape).
+    pipeline: str = "grid_march"
+    # Compact occupied samples across the batch before the MLP
+    # (grid_march only) — the static-shape replacement for the
+    # reference's thrust-scan batch compaction.
+    compact: bool = True
+    # Compaction buffer capacity as a fraction of batch*samples;
+    # overflowing samples are dropped.
+    compact_fraction: float = 0.25
     # Transmittance below this is treated as terminated (early ray
     # termination, expressed as masking on TPU).
     transmittance_threshold: float = 1e-4

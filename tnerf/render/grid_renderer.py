@@ -1,0 +1,157 @@
+"""Occupancy-grid renderers (BASELINE config 2).
+
+Two strategies, both pure functions jitted end-to-end:
+
+- "intervals" (reference parity): traverse_grid -> per-interval sampling
+  (32/interval, reference sampler.h:4) -> field -> composite.  This is
+  the reference's exact pipeline shape (optixLaunch -> launchSampler ->
+  network->forward -> launch_volrender, main.cu:506-746) as one fused
+  XLA program.
+- "march" (TPU fast path): slab-range fixed-count marching with
+  occupancy-bitfield masking and optional cross-batch sample compaction —
+  the fusion the reference's dead "ray sample" pipeline #2 intended
+  (optixPrograms.cu:250-314).  Compaction replaces tcnn's ragged batch
+  with a static-capacity gather: only (approximately) the occupied
+  samples pay MLP FLOPs, which is where >5x of the speed-of-light budget
+  lives at typical occupancies.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from tnerf.cameras import Rays
+from tnerf.config import GridConfig, RenderConfig, SamplerConfig
+from tnerf.fields.nerf_field import NeRFField
+from tnerf.grid.traversal import (
+    march_samples_t,
+    occupancy_lookup,
+    ray_aabb,
+    traverse_grid,
+)
+from tnerf.render.composite import RenderResult, composite
+from tnerf.sampling import interval_samples, sample_positions
+
+
+def compacted_field_apply(
+    field: NeRFField,
+    params: dict,
+    positions: jnp.ndarray,   # [B, S, 3]
+    viewdirs: jnp.ndarray,    # [B, 2]
+    mask: jnp.ndarray,        # [B, S] bool
+    capacity: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Evaluate the field only on masked-in samples.
+
+    Static-capacity scatter/gather compaction (cumsum write indices) — the
+    TPU replacement for the reference's thrust::exclusive_scan batch
+    compaction (main.cu:631-637), without ragged shapes.  Samples beyond
+    `capacity` are dropped (contribute nothing); callers size capacity to
+    make overflow statistically negligible and can inspect the overflow
+    via the returned sigma (dropped samples have sigma=0).
+    """
+    B, S = mask.shape
+    N = B * S
+    flat_pos = positions.reshape(N, 3)
+    flat_view = jnp.broadcast_to(viewdirs[:, None, :], (B, S, viewdirs.shape[-1])).reshape(N, -1)
+    flat_mask = mask.reshape(N)
+
+    write_idx = jnp.cumsum(flat_mask.astype(jnp.int32)) - 1  # [N]
+    write_idx = jnp.where(flat_mask, write_idx, capacity)    # parked at OOB slot
+    buf_pos = jnp.zeros((capacity + 1, 3), flat_pos.dtype).at[write_idx].set(flat_pos)
+    buf_view = jnp.zeros((capacity + 1, flat_view.shape[-1]), flat_view.dtype).at[
+        write_idx
+    ].set(flat_view)
+
+    rgb_c, sigma_c = field.apply(params, buf_pos[:capacity], buf_view[:capacity])
+    rgb_c = jnp.concatenate([rgb_c, jnp.zeros((1, 3), rgb_c.dtype)], axis=0)
+    sigma_c = jnp.concatenate([sigma_c, jnp.zeros((1,), sigma_c.dtype)], axis=0)
+
+    read_idx = jnp.minimum(write_idx, capacity)
+    rgb = rgb_c[read_idx].reshape(B, S, 3)
+    sigma = jnp.where(flat_mask & (write_idx < capacity), sigma_c[read_idx], 0.0).reshape(B, S)
+    return rgb, sigma
+
+
+def make_grid_renderer(
+    field: NeRFField,
+    grid_cfg: GridConfig,
+    sampler_cfg: SamplerConfig,
+    render_cfg: RenderConfig,
+    strategy: str = "march",
+    compact: bool = True,
+    compact_fraction: Optional[float] = None,
+    compact_capacity: Optional[int] = None,
+    max_hits: Optional[int] = None,
+):
+    """Build render(params, rays, key=None, occupancy=None) -> RenderResult.
+
+    occupancy: [res^3] / [res,res,res] bool bitfield; None = dense
+    (reference behavior: march every crossed cell).
+    """
+    if strategy not in ("march", "intervals"):
+        raise ValueError(f"unknown grid render strategy {strategy!r}")
+
+    def render(
+        params: dict,
+        rays: Rays,
+        key: Optional[jax.Array] = None,
+        occupancy: Optional[jnp.ndarray] = None,
+    ) -> RenderResult:
+        occ3 = None
+        if occupancy is not None:
+            r = grid_cfg.resolution
+            occ3 = occupancy.reshape(r, r, r)
+
+        if strategy == "intervals":
+            iv = traverse_grid(
+                rays.origins, rays.directions, grid_cfg, occupancy=occ3,
+                max_hits=max_hits,
+            )
+            samples = interval_samples(
+                iv.t_starts,
+                iv.t_ends,
+                iv.mask,
+                sampler_cfg.samples_per_interval,
+                mode=sampler_cfg.mode if key is not None else "regular",
+                key=key,
+            )
+            t, deltas, smask = samples.t, samples.deltas, samples.mask
+        else:  # march
+            t_enter, t_exit = ray_aabb(
+                rays.origins, rays.directions, grid_cfg.aabb_min, grid_cfg.aabb_max
+            )
+            t_enter = jnp.maximum(t_enter, sampler_cfg.near)
+            t_exit = jnp.maximum(t_exit, t_enter)
+            S = sampler_cfg.samples_per_ray
+            jitter = (
+                jax.random.uniform(key, (*t_enter.shape, S), jnp.float32)
+                if key is not None
+                else None
+            )
+            t, deltas = march_samples_t(t_enter, t_exit, S, jitter=jitter)
+            smask = t_exit[..., None] > t_enter[..., None]
+            if occ3 is not None:
+                pts_probe = sample_positions(rays.origins, rays.directions, t)
+                smask = smask & occupancy_lookup(pts_probe, occ3, grid_cfg)
+
+        pts = sample_positions(rays.origins, rays.directions, t)
+        if strategy == "march" and compact and occ3 is not None:
+            B = pts.shape[0]
+            S = pts.shape[1]
+            frac = compact_fraction if compact_fraction is not None else render_cfg.compact_fraction
+            cap = compact_capacity or max(1, int(B * S * frac))
+            rgb, sigma = compacted_field_apply(
+                field, params, pts, rays.viewdirs_tp, smask, cap
+            )
+        else:
+            rgb, sigma = field.apply(params, pts, rays.viewdirs_tp[..., None, :])
+        return composite(
+            rgb, sigma, deltas, t_mid=t, mask=smask,
+            white_background=render_cfg.white_background,
+        )
+
+    return render

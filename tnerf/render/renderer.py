@@ -38,7 +38,12 @@ def make_uniform_renderer(
     """Renderer with fixed-count full-range sampling (no occupancy grid)."""
     mode = mode or sampler_cfg.mode
 
-    def render(params: dict, rays: Rays, key: Optional[jax.Array] = None) -> RenderResult:
+    def render(
+        params: dict,
+        rays: Rays,
+        key: Optional[jax.Array] = None,
+        occupancy: Optional[jnp.ndarray] = None,  # ignored: no grid
+    ) -> RenderResult:
         batch_shape = rays.origins.shape[:-1]
         samples = uniform_ray_samples(
             sampler_cfg.near,
@@ -69,6 +74,7 @@ def render_image(
     rays: Rays,
     chunk_size: int = 65536,
     key: Optional[jax.Array] = None,
+    occupancy: Optional[jnp.ndarray] = None,
 ) -> RenderResult:
     """Render a full [H, W] ray grid in fixed-size chunks.
 
@@ -90,7 +96,7 @@ def render_image(
     outs = []
     for i in range(0, n_pad, chunk_size):
         chunk = jax.tree.map(lambda a: jax.lax.dynamic_slice_in_dim(a, i, chunk_size), flat)
-        outs.append(renderer(params, chunk, key))
+        outs.append(renderer(params, chunk, key, occupancy))
     res = jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=0), *outs)
     unflat = lambda a: a[:n].reshape(h, w, *a.shape[1:])
     return RenderResult(

@@ -113,8 +113,8 @@ def make_train_step(
 ) -> Callable[[TrainState, RayBatch, jax.Array], Tuple[TrainState, dict]]:
     """Build the jitted train step: L2 photometric loss + Adam update."""
 
-    def loss_fn(params: dict, batch: RayBatch, key: jax.Array):
-        res = renderer(params, batch.rays, key)
+    def loss_fn(params: dict, batch: RayBatch, key: jax.Array, occupancy):
+        res = renderer(params, batch.rays, key, occupancy)
         err = res.rgb - batch.gt_rgb
         loss = jnp.mean(jnp.square(err))
         aux = {
@@ -125,9 +125,14 @@ def make_train_step(
         return loss, aux
 
     @jax.jit
-    def train_step(state: TrainState, batch: RayBatch, key: jax.Array):
+    def train_step(
+        state: TrainState,
+        batch: RayBatch,
+        key: jax.Array,
+        occupancy: Optional[jnp.ndarray] = None,
+    ):
         (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params, batch, key
+            state.params, batch, key, occupancy
         )
         updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)

@@ -1,0 +1,222 @@
+"""High-level training orchestration: the framework's `main()`.
+
+Everything the reference's 490-line driver does (main.cu:319-807) —
+model init, data load, traversal setup, the epoch/batch loop, loss
+printing — plus everything it lacks: occupancy updates, eval/PSNR,
+checkpointing/resume, metrics, render output (SURVEY §7.4).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tnerf.config import Config
+from tnerf.data.dataset import ImageDataset, load_data
+from tnerf.eval import evaluate
+from tnerf.fields.nerf_field import NeRFField
+from tnerf.grid.occupancy import (
+    OccupancyGridState,
+    init_occupancy,
+    occupancy_fraction,
+    update_occupancy,
+)
+from tnerf.render.grid_renderer import make_grid_renderer
+from tnerf.render.renderer import make_uniform_renderer
+from tnerf.train import (
+    PixelSampler,
+    TrainState,
+    create_optimizer,
+    init_train_state,
+    make_train_step,
+)
+from tnerf.utils.checkpoint import restore_checkpoint, save_checkpoint
+from tnerf.utils.metrics import MetricsWriter, get_logger, maybe_profile, step_timer
+
+
+def build_field(cfg: Config) -> NeRFField:
+    arch = "twobranch" if cfg.field_.encoding == "hashgrid" else "fused5d"
+    return NeRFField(cfg.field_, cfg.grid, arch=arch)
+
+
+def build_renderer(cfg: Config, field: NeRFField, compact: Optional[bool] = None):
+    """Renderer per cfg.render.pipeline; `compact` overrides the config
+    (training uses a dense variant while the occupancy grid is still
+    dense, switching to the compacted variant once it has pruned —
+    see run_training)."""
+    p = cfg.render.pipeline
+    if p == "uniform":
+        return make_uniform_renderer(field, cfg.sampler, cfg.render)
+    do_compact = cfg.render.compact if compact is None else compact
+    if p == "grid_march":
+        return make_grid_renderer(
+            field, cfg.grid, cfg.sampler, cfg.render,
+            strategy="march", compact=do_compact,
+            compact_fraction=cfg.render.compact_fraction,
+        )
+    if p == "grid_intervals":
+        return make_grid_renderer(
+            field, cfg.grid, cfg.sampler, cfg.render, strategy="intervals",
+        )
+    raise ValueError(f"unknown render pipeline {p!r}")
+
+
+def run_training(
+    cfg: Config,
+    datasets: Optional[Dict[str, ImageDataset]] = None,
+) -> Dict[str, float]:
+    """Train a field per `cfg`; returns final metrics."""
+    log = get_logger(level=cfg.logging.level)
+    out_dir = cfg.logging.out_dir
+    os.makedirs(out_dir, exist_ok=True)
+    metrics = MetricsWriter(os.path.join(out_dir, cfg.logging.metrics_file))
+
+    if datasets is None:
+        datasets = load_data(
+            cfg.scene.kind, cfg.scene.name, root=cfg.scene.root,
+            srgb_to_linear=cfg.scene.srgb_to_linear, downscale=cfg.scene.downscale,
+        )
+    train_ds = datasets["train"]
+    log.info(
+        "scene=%s/%s: %d train views %dx%d focal=%.2f",
+        cfg.scene.kind, cfg.scene.name, len(train_ds),
+        train_ds.width, train_ds.height, train_ds.focal,
+    )
+
+    field = build_field(cfg)
+    # Dense variant while the occupancy grid is still mostly occupied
+    # (compaction capacity would overflow and silently drop samples);
+    # compacted variant once the grid has pruned below the capacity with
+    # headroom. Eval always renders dense (exactness over speed).
+    renderer_dense = build_renderer(cfg, field, compact=False)
+    renderer_compact = build_renderer(cfg, field, compact=True)
+    renderer = renderer_dense
+    optimizer = create_optimizer(cfg.train)
+    state = init_train_state(field, optimizer, cfg.train.seed)
+    n_params = sum(int(np.prod(l.shape)) for l in jax.tree.leaves(state.params))
+    log.info("field=%s/%s params=%.2fM pipeline=%s", cfg.field_.encoding,
+             field.arch, n_params / 1e6, cfg.render.pipeline)
+
+    use_grid = cfg.render.pipeline.startswith("grid")
+    occ: Optional[OccupancyGridState] = init_occupancy(cfg.grid) if use_grid else None
+
+    ckpt_dir = os.path.join(out_dir, "checkpoints")
+    start_step = 0
+    if cfg.train.resume:
+        template = (state, occ) if occ is not None else state
+        restored = restore_checkpoint(ckpt_dir, template)
+        if restored is not None:
+            start_step, payload = restored
+            if occ is not None:
+                state, occ = payload
+            else:
+                state = payload
+            log.info("resumed from step %d", start_step)
+
+    sampler = PixelSampler(train_ds, cfg.scene.scene_scale, cfg.scene.white_background)
+    step_dense = make_train_step(renderer_dense, optimizer)
+    step_compact = (
+        make_train_step(renderer_compact, optimizer)
+        if use_grid and cfg.render.compact
+        else step_dense
+    )
+    train_step = step_dense
+    # switch to the compacted step once occupied cells fit the capacity
+    # with ~40% headroom (sample hit-rate tracks cell occupancy loosely)
+    compact_switch_frac = cfg.render.compact_fraction * 0.6
+    occ_frac_host = 1.0
+
+    update_occ = None
+    if use_grid:
+
+        @jax.jit
+        def update_occ(occ_state, params, key):
+            return update_occupancy(
+                occ_state, lambda x: field.density(params, x), cfg.grid, key
+            )
+
+    key = jax.random.PRNGKey(cfg.train.seed + 1)
+    rays_per_step = cfg.train.batch_size
+    final_metrics: Dict[str, float] = {}
+    with maybe_profile(cfg.logging.profile, os.path.join(out_dir, "profile")):
+        for step in range(start_step, cfg.train.steps):
+            key, k_batch, k_render, k_occ = jax.random.split(key, 4)
+            with step_timer() as t:
+                batch = sampler.sample(k_batch, rays_per_step)
+                bits = occ.bitfield if occ is not None else None
+                state, aux = train_step(state, batch, k_render, bits)
+                if (
+                    use_grid
+                    and step >= cfg.grid.warmup_steps
+                    and step % cfg.grid.update_every == 0
+                ):
+                    occ = update_occ(occ, state.params, k_occ)
+                    occ_frac_host = float(occupancy_fraction(occ))
+                    train_step = (
+                        step_compact
+                        if occ_frac_host < compact_switch_frac
+                        else step_dense
+                    )
+                jax.block_until_ready(aux["loss"])
+
+            if step % cfg.train.log_every == 0 or step == cfg.train.steps - 1:
+                m = {
+                    "loss": float(aux["loss"]),
+                    "train_psnr": float(aux["psnr"]),
+                    "acc_mean": float(aux["acc_mean"]),
+                    "rays_per_sec": rays_per_step / max(t.seconds, 1e-9),
+                    "step_seconds": t.seconds,
+                }
+                if occ is not None:
+                    m["occupancy_frac"] = float(occupancy_fraction(occ))
+                metrics.write(step, **m)
+                log.info(
+                    "step %d loss=%.5f psnr=%.2f rays/s=%.0f%s",
+                    step, m["loss"], m["train_psnr"], m["rays_per_sec"],
+                    f" occ={m['occupancy_frac']:.2f}" if occ is not None else "",
+                )
+
+            if not np.isfinite(float(aux["loss"])):
+                log.warning("non-finite loss at step %d (update was skipped)", step)
+
+            if cfg.train.eval_every and (step + 1) % cfg.train.eval_every == 0:
+                final_metrics.update(_eval(cfg, renderer, state, occ, datasets, step, log, metrics))
+
+            if cfg.train.checkpoint_every and (step + 1) % cfg.train.checkpoint_every == 0:
+                payload = (state, occ) if occ is not None else state
+                save_checkpoint(ckpt_dir, step + 1, payload)
+
+    payload = (state, occ) if occ is not None else state
+    save_checkpoint(ckpt_dir, cfg.train.steps, payload)
+    final_metrics.update(
+        _eval(cfg, renderer, state, occ, datasets, cfg.train.steps, log, metrics,
+              save_images=True)
+    )
+    metrics.close()
+    return final_metrics
+
+
+def _eval(cfg, renderer, state, occ, datasets, step, log, metrics, save_images=False):
+    out: Dict[str, float] = {}
+    bits = occ.bitfield if occ is not None else None
+    rend = lambda p, r, k=None, o=None: renderer(p, r, k, bits)
+    for split in ("val", "test"):
+        if split not in datasets or len(datasets[split]) == 0:
+            continue
+        save_dir = (
+            os.path.join(cfg.logging.out_dir, f"renders_{step}") if save_images else None
+        )
+        m = evaluate(
+            rend, state.params, datasets[split], cfg.scene.scene_scale,
+            white_background=cfg.scene.white_background,
+            max_views=None if save_images else 2,
+            save_dir=save_dir, chunk_size=cfg.render.chunk_size,
+        )
+        out.update(m)
+        log.info("eval step %d: %s", step, m)
+        metrics.write(step, **m)
+    return out
