@@ -10,11 +10,12 @@ Also reported (extra keys): 128^3-grid march throughput and full-pipeline
 render throughput (traversal + field + composite) with frames/sec at
 800x800.
 
-Timing methodology: the axon tunnel adds ~1ms RTT per synchronous call,
-so each measurement enqueues `iters` launches over a rotating set of
-DIFFERENT staged inputs (defeats any transport-level caching) and blocks
-once at the end — the steady-state throughput a real training/render loop
-sees.
+Timing methodology: the transport layer both adds ~1ms RTT per
+synchronous call AND pipelines/caches queued identical calls, so naive
+timings are wrong in both directions.  Each measurement therefore CHAINS
+launches — iteration i+1's input is perturbed by iteration i's scalar
+output — forcing every launch to really execute on device, while a single
+final block keeps per-call RTT out of the measurement.
 """
 
 from __future__ import annotations
@@ -25,21 +26,20 @@ import time
 import numpy as np
 
 
-def _queued_timeit(fns_and_args, iters: int = 30, warmup: int = 3):
-    """Enqueue iters launches cycling over (fn, args) variants; one final
-    block. Returns seconds per launch."""
+def _chained_timeit(step, seed_args, iters: int = 30, warmup: int = 3):
+    """step(carry, *args) -> (carry, out); carry chains launches so none
+    can be deduplicated or elided. Returns seconds per launch."""
     import jax
+    import jax.numpy as jnp
 
-    n = len(fns_and_args)
-    for i in range(warmup):
-        fn, args = fns_and_args[i % n]
-        jax.block_until_ready(fn(*args))
+    carry = jnp.zeros((), jnp.float32)
+    for _ in range(warmup):
+        carry, out = step(carry, *seed_args)
+    jax.block_until_ready(carry)
     t0 = time.perf_counter()
-    out = None
-    for i in range(iters):
-        fn, args = fns_and_args[i % n]
-        out = fn(*args)
-    jax.block_until_ready(out)
+    for _ in range(iters):
+        carry, out = step(carry, *seed_args)
+    jax.block_until_ready(carry)
     return (time.perf_counter() - t0) / iters
 
 
@@ -74,14 +74,18 @@ def bench_ray_march(width=800, height=800, res=8, iters=30) -> dict:
     from tnerf.grid.traversal import traverse_grid
 
     grid = GridConfig(resolution=res)
-    variants = _camera_ray_variants(width, height)
+    (o, d, _v), = _camera_ray_variants(width, height, n_variants=1)
 
     @jax.jit
-    def march(o, d):
+    def march(carry, o, d):
+        # carry perturbs origins by a sub-micron epsilon: forces real
+        # execution of every launch without changing the workload
+        o = o + carry * 1e-7
         iv = traverse_grid(o, d, grid)
-        return iv.t_starts.sum(), iv.mask.sum()
+        s = iv.t_starts.sum()
+        return s * 1e-9, s
 
-    dt = _queued_timeit([(march, (o, d)) for (o, d, _) in variants], iters=iters)
+    dt = _chained_timeit(march, (o, d), iters=iters)
     n_rays = width * height
     return {
         "mrays_per_sec": n_rays / dt / 1e6,
@@ -116,7 +120,7 @@ def bench_render(width=800, height=800, res=64, samples=128, iters=6) -> dict:
     occ = (sigma > 0.5).reshape(res, res, res)
     occ_frac = float(occ.mean())
 
-    variants = _camera_ray_variants(width, height)
+    (o, d, v), = _camera_ray_variants(width, height, n_variants=1)
     chunk = 32768
     n = width * height
     renderer = make_grid_renderer(
@@ -125,19 +129,21 @@ def bench_render(width=800, height=800, res=64, samples=128, iters=6) -> dict:
     )
 
     @jax.jit
-    def render_chunk(params, o, d, v, occ):
-        rays = Rays(origins=o, directions=d, viewdirs_tp=v)
-        return renderer(params, rays, None, occ).rgb
+    def render_chunk(carry, params, o, d, v, occ):
+        rays = Rays(origins=o + carry * 1e-7, directions=d, viewdirs_tp=v)
+        rgb = renderer(params, rays, None, occ).rgb
+        s = rgb.sum()
+        return s * 1e-9, s
 
-    def frame(o, d, v):
+    def frame(carry, o, d, v):
         out = None
         for i in range(0, n - chunk + 1, chunk):
-            out = render_chunk(
-                params, o[i:i + chunk], d[i:i + chunk], v[i:i + chunk], occ
+            carry, out = render_chunk(
+                carry, params, o[i:i + chunk], d[i:i + chunk], v[i:i + chunk], occ
             )
-        return out
+        return carry, out
 
-    dt = _queued_timeit([(frame, var) for var in variants], iters=iters, warmup=2)
+    dt = _chained_timeit(frame, (o, d, v), iters=iters, warmup=2)
     n_eff = (n // chunk) * chunk
     return {
         "render_mrays_per_sec": n_eff / dt / 1e6,
