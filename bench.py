@@ -69,6 +69,7 @@ def bench_ray_march(width=800, height=800, res=8, iters=30) -> dict:
     """Traversal throughput: rays -> per-cell interval lists (the
     reference's OptiX ray-march stage, §3.3)."""
     import jax
+    import jax.numpy as jnp
 
     from tnerf.config import GridConfig
     from tnerf.grid.traversal import traverse_grid
@@ -78,12 +79,14 @@ def bench_ray_march(width=800, height=800, res=8, iters=30) -> dict:
 
     @jax.jit
     def march(carry, o, d):
-        # carry perturbs origins by a sub-micron epsilon: forces real
-        # execution of every launch without changing the workload
-        o = o + carry * 1e-7
+        # carry (an O(1) value derived from the previous launch's output)
+        # perturbs origins by ~1e-4 scene units — geometrically negligible
+        # but REPRESENTABLE in fp32 (a 1e-7 shift on o~2.5 underflows and
+        # re-enables transport-level memoization of identical launches)
+        o = o + carry * 1e-4
         iv = traverse_grid(o, d, grid)
         s = iv.t_starts.sum()
-        return s * 1e-9, s
+        return s - jnp.floor(s), s
 
     dt = _chained_timeit(march, (o, d), iters=iters)
     n_rays = width * height
@@ -130,10 +133,10 @@ def bench_render(width=800, height=800, res=64, samples=128, iters=6) -> dict:
 
     @jax.jit
     def render_chunk(carry, params, o, d, v, occ):
-        rays = Rays(origins=o + carry * 1e-7, directions=d, viewdirs_tp=v)
+        rays = Rays(origins=o + carry * 1e-4, directions=d, viewdirs_tp=v)
         rgb = renderer(params, rays, None, occ).rgb
         s = rgb.sum()
-        return s * 1e-9, s
+        return s - jnp.floor(s), s
 
     def frame(carry, o, d, v):
         out = None

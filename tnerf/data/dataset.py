@@ -67,22 +67,37 @@ def load_images_json(
     with open(tf_path) as fh:
         meta = json.load(fh)
     camera_angle_x = float(meta["camera_angle_x"])
-    images: List[np.ndarray] = []
+    paths: List[str] = []
     poses: List[np.ndarray] = []
     for frame in meta["frames"]:
-        fp = frame["file_path"]
-        img_path = os.path.join(scene_dir, fp)
+        img_path = os.path.join(scene_dir, frame["file_path"])
         if not os.path.splitext(img_path)[1]:
             img_path += ".png"
-        img = read_png(img_path, channels=4, srgb_to_linear=srgb_to_linear)
-        if downscale > 1:
-            h, w = img.shape[:2]
-            img = img.reshape(h // downscale, downscale, w // downscale, downscale, -1).mean(
-                axis=(1, 3)
-            )
-        images.append(img)
+        paths.append(img_path)
         poses.append(np.asarray(frame["transform_matrix"], dtype=np.float32))
-    images_arr = np.stack(images).astype(np.float32)
+
+    # Fast path: native C++ thread-pool decode of the whole split
+    # (tnerf/native; the reference decodes sequentially per file,
+    # data_loader.cpp:34-84).
+    images_u8 = None
+    if not srgb_to_linear:
+        try:
+            from tnerf.native import png as native_png
+
+            images_u8 = native_png.decode_batch(paths)
+        except Exception:
+            images_u8 = None
+    if images_u8 is not None:
+        images_arr = images_u8.astype(np.float32) / 255.0
+    else:
+        images_arr = np.stack(
+            [read_png(p, channels=4, srgb_to_linear=srgb_to_linear) for p in paths]
+        ).astype(np.float32)
+    if downscale > 1:
+        n, h, w, c = images_arr.shape
+        images_arr = images_arr.reshape(
+            n, h // downscale, downscale, w // downscale, downscale, c
+        ).mean(axis=(2, 4))
     poses_arr = np.stack(poses)
     h, w = images_arr.shape[1:3]
     focal = focal_from_angle(w, camera_angle_x)

@@ -1,0 +1,102 @@
+"""ctypes wrapper for the native PNG decoder (libtnerf_native.so).
+
+Falls back cleanly: `decode` returns None when the shared library isn't
+built or the file uses an unsupported PNG feature, and callers (e.g.
+tnerf.data.png_io.read_png) drop back to PIL.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+from typing import List, Optional
+
+import numpy as np
+
+_LIB = None
+_TRIED = False
+
+
+def _lib():
+    global _LIB, _TRIED
+    if _TRIED:
+        return _LIB
+    _TRIED = True
+    so = os.path.join(os.path.dirname(__file__), "libtnerf_native.so")
+    if not os.path.exists(so):
+        return None
+    try:
+        lib = ctypes.CDLL(so)
+        lib.tnerf_png_info.argtypes = [
+            ctypes.c_char_p,
+            ctypes.POINTER(ctypes.c_uint32),
+            ctypes.POINTER(ctypes.c_uint32),
+        ]
+        lib.tnerf_png_info.restype = ctypes.c_int
+        lib.tnerf_png_decode.argtypes = [
+            ctypes.c_char_p,
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.c_uint32,
+            ctypes.c_uint32,
+        ]
+        lib.tnerf_png_decode.restype = ctypes.c_int
+        lib.tnerf_png_decode_batch.argtypes = [
+            ctypes.POINTER(ctypes.c_char_p),
+            ctypes.c_int,
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.c_uint32,
+            ctypes.c_uint32,
+            ctypes.c_int,
+            ctypes.POINTER(ctypes.c_int),
+        ]
+        lib.tnerf_png_decode_batch.restype = ctypes.c_int
+        _LIB = lib
+    except OSError:
+        _LIB = None
+    return _LIB
+
+
+def available() -> bool:
+    return _lib() is not None
+
+
+def decode(path: str) -> Optional[np.ndarray]:
+    """Decode one PNG -> [H, W, 4] uint8, or None (fall back to PIL)."""
+    lib = _lib()
+    if lib is None:
+        return None
+    w = ctypes.c_uint32()
+    h = ctypes.c_uint32()
+    if lib.tnerf_png_info(path.encode(), ctypes.byref(w), ctypes.byref(h)) != 0:
+        return None
+    out = np.empty((h.value, w.value, 4), np.uint8)
+    rc = lib.tnerf_png_decode(
+        path.encode(),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        w.value,
+        h.value,
+    )
+    return out if rc == 0 else None
+
+
+def decode_batch(
+    paths: List[str], num_threads: int = 0
+) -> Optional[np.ndarray]:
+    """Decode same-sized PNGs in parallel -> [N, H, W, 4] uint8, or None."""
+    lib = _lib()
+    if lib is None or not paths:
+        return None
+    w = ctypes.c_uint32()
+    h = ctypes.c_uint32()
+    if lib.tnerf_png_info(paths[0].encode(), ctypes.byref(w), ctypes.byref(h)) != 0:
+        return None
+    n = len(paths)
+    out = np.empty((n, h.value, w.value, 4), np.uint8)
+    arr = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
+    statuses = (ctypes.c_int * n)()
+    rc = lib.tnerf_png_decode_batch(
+        arr, n,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        w.value, h.value, num_threads, statuses,
+    )
+    return out if rc == 0 else None
