@@ -1,0 +1,63 @@
+"""LLFF reader tests on a synthetic poses_bounds.npy fixture (round-trip
+through the LLFF axis convention)."""
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from tnerf.data import load_data
+
+
+def _make_llff_scene(tmp_path, n=9, w=32, h=24, focal=40.0):
+    rng = np.random.default_rng(0)
+    scene = tmp_path / "fern"
+    img_dir = scene / "images"
+    img_dir.mkdir(parents=True)
+    c2ws = []
+    pb = np.zeros((n, 17), np.float64)
+    for i in range(n):
+        # random c2w in NeRF convention [right, up, back]
+        a = rng.normal(size=3)
+        z = a / np.linalg.norm(a)
+        x = np.cross([0, 0, 1.0], z)
+        x /= np.linalg.norm(x)
+        y = np.cross(z, x)
+        c2w = np.eye(4, dtype=np.float32)
+        c2w[:3, 0], c2w[:3, 1], c2w[:3, 2] = x, y, z
+        c2w[:3, 3] = rng.normal(size=3)
+        c2ws.append(c2w)
+        # store in LLFF convention [down, right, back]: col0=-y, col1=x
+        m = np.zeros((3, 5))
+        m[:, 0] = -c2w[:3, 1]
+        m[:, 1] = c2w[:3, 0]
+        m[:, 2] = c2w[:3, 2]
+        m[:, 3] = c2w[:3, 3]
+        m[:, 4] = [h, w, focal]
+        pb[i, :15] = m.reshape(-1)
+        pb[i, 15:] = [1.0, 10.0]
+        img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        Image.fromarray(img, "RGB").save(img_dir / f"im_{i:03d}.png")
+    np.save(scene / "poses_bounds.npy", pb)
+    return np.stack(c2ws)
+
+
+def test_llff_loads_and_converts_axes(tmp_path):
+    c2ws = _make_llff_scene(tmp_path)
+    out = load_data("llff", "fern", root=str(tmp_path))
+    assert set(out) == {"train", "test"}
+    n_total = len(out["train"]) + len(out["test"])
+    assert n_total == 9
+    assert len(out["test"]) == 2  # every 8th of 9
+    # poses converted back to NeRF convention
+    test_idx = [0, 8]
+    np.testing.assert_allclose(out["test"].poses, c2ws[test_idx], atol=1e-6)
+    train_idx = [i for i in range(9) if i not in test_idx]
+    np.testing.assert_allclose(out["train"].poses, c2ws[train_idx], atol=1e-6)
+    assert abs(out["train"].focal - 40.0) < 1e-4
+    assert out["train"].near_far.shape == (7, 2)
+    np.testing.assert_allclose(out["train"].near_far[0], [1.0, 10.0])
+
+
+def test_llff_errors(tmp_path):
+    with pytest.raises(FileNotFoundError):
+        load_data("llff", "nonexistent", root=str(tmp_path))

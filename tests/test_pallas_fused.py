@@ -127,3 +127,37 @@ def test_early_termination_consistent(setup):
     ref = np.asarray(fused_reference(params_hot, rays_packed, mask_t,
                                      cfg.field_, cfg.grid))
     np.testing.assert_allclose(got[0:4], ref[0:4], atol=0.15)
+
+
+def test_fused_pipeline_renderer_protocol(setup):
+    """The fused pipeline adapter: standard renderer protocol, padding,
+    occupancy masking, white background."""
+    from tnerf.cameras import Rays, viewdirs_to_thetaphi
+    from tnerf.grid.occupancy import init_occupancy
+    from tnerf.render.grid_renderer import make_grid_renderer
+    from tnerf.render.pallas_fused import make_fused_pipeline_renderer
+
+    cfg, field, params, _, _, _ = setup
+    cfg = cfg.apply_overrides([
+        "sampler.samples_per_ray=64", "render.white_background=true",
+    ])
+    fusedr = make_fused_pipeline_renderer(
+        cfg.field_, cfg.grid, cfg.sampler, cfg.render, interpret=True
+    )
+    marchr = make_grid_renderer(field, cfg.grid, cfg.sampler, cfg.render,
+                                strategy="march", compact=False)
+    rng = np.random.default_rng(9)
+    B = 200  # deliberately NOT a multiple of b_tile (tests padding)
+    o = rng.uniform(-1, 1, (B, 3))
+    o = o / np.linalg.norm(o, axis=-1, keepdims=True) * 2.5
+    d = -o / np.linalg.norm(o, axis=-1, keepdims=True)
+    rays = Rays(jnp.asarray(o, jnp.float32), jnp.asarray(d, jnp.float32),
+                viewdirs_to_thetaphi(jnp.asarray(d, jnp.float32)))
+    occ = init_occupancy(cfg.grid).bitfield
+    got = fusedr(params, rays, None, occ)
+    want = marchr(params, rays, None, occ)
+    assert got.rgb.shape == (B, 3)
+    np.testing.assert_allclose(np.asarray(got.rgb), np.asarray(want.rgb),
+                               atol=3e-3)
+    np.testing.assert_allclose(np.asarray(got.acc), np.asarray(want.acc),
+                               atol=3e-3)

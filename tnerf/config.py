@@ -202,6 +202,10 @@ class LoggingConfig:
     metrics_file: str = "metrics.jsonl"
     level: str = "INFO"
     profile: bool = False
+    # Dev-mode numerics sanitizer (SURVEY §5 race-detection/sanitizers
+    # row): jax_debug_nans/jax_debug_infs raise at the op that produced
+    # the first non-finite value. Costly; off by default.
+    debug_nans: bool = False
 
 
 @dataclass(frozen=True)

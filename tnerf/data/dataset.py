@@ -42,6 +42,8 @@ class ImageDataset:
     height: int
     channels: int
     split: str = "train"
+    # Per-view [near, far] depth bounds (LLFF); None for synthetic scenes.
+    near_far: "np.ndarray | None" = None
 
     def __len__(self) -> int:
         return self.images.shape[0]
@@ -127,13 +129,11 @@ def load_synthetic_scene(
 
 
 def load_llff_scene(root: str, name: str, **kw) -> Dict[str, ImageDataset]:
-    """LLFF reader (poses_bounds.npy). The reference's LLFF branch is dead
-    (data_loader.cpp:140-148, D15); real support is tracked as a stretch
-    goal (SURVEY §2.3)."""
-    raise NotImplementedError(
-        "LLFF (poses_bounds.npy) loading is not implemented yet; "
-        "use kind='nerf_synthetic' or 'procedural'."
-    )
+    """LLFF reader (poses_bounds.npy) — real implementation of the
+    reference's dead branch (data_loader.cpp:140-148, D15)."""
+    from tnerf.data.llff import load_llff_scene as _impl
+
+    return _impl(root, name, **kw)
 
 
 def load_data(
@@ -148,7 +148,9 @@ def load_data(
     if kind == "nerf_synthetic":
         return load_synthetic_scene(root, name, srgb_to_linear, downscale, splits)
     if kind == "llff":
-        return load_llff_scene(root, name)
+        return load_llff_scene(
+            root, name, srgb_to_linear=srgb_to_linear, downscale=downscale
+        )
     if kind == "procedural":
         from tnerf.data.procedural import generate_procedural_scene
 

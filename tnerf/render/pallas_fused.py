@@ -217,12 +217,21 @@ def _fused_kernel(
         )
         T0 = T_run[0:1, :]  # [1, B]
         w = T0 * jnp.exp(-excl) * (1.0 - jnp.exp(-tau))  # [SC, B]
-        out_ref[0:1, :] += jnp.sum(w * to2d(rgb_r), axis=0, keepdims=True)
-        out_ref[1:2, :] += jnp.sum(w * to2d(rgb_g), axis=0, keepdims=True)
-        out_ref[2:3, :] += jnp.sum(w * to2d(rgb_b), axis=0, keepdims=True)
-        out_ref[3:4, :] += jnp.sum(w, axis=0, keepdims=True)
-        out_ref[4:5, :] += jnp.sum(w * t2, axis=0, keepdims=True)
-        T_new = T0 * jnp.exp(-jnp.sum(tau, axis=0, keepdims=True))
+
+        # Sublane reductions as explicit [1,SC]@[SC,B] matmuls (Mosaic
+        # rejects keepdims row-sums: "unsupported output implicit dim").
+        ones_row = jnp.ones((1, sc), jnp.float32)
+        rowsum = lambda x: jax.lax.dot_general(
+            ones_row, x, (((1,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
+        )
+        out_ref[0:1, :] += rowsum(w * to2d(rgb_r))
+        out_ref[1:2, :] += rowsum(w * to2d(rgb_g))
+        out_ref[2:3, :] += rowsum(w * to2d(rgb_b))
+        out_ref[3:4, :] += rowsum(w)
+        out_ref[4:5, :] += rowsum(w * t2)
+        T_new = T0 * jnp.exp(-rowsum(tau))
         T_run[0:1, :] = T_new
         out_ref[5:6, :] = T_new
 
@@ -309,6 +318,66 @@ def pack_rays(
         ],
         axis=1,
     ).astype(jnp.float32)
+
+
+def make_fused_pipeline_renderer(
+    field_cfg: FieldConfig,
+    grid_cfg: GridConfig,
+    sampler_cfg,
+    render_cfg,
+    b_tile: int = 128,
+    sc: int = 32,
+    interpret: bool = False,
+):
+    """Adapt the fused kernel to the standard renderer protocol
+    render(params, rays, key=None, occupancy=None) -> RenderResult.
+
+    Inference-path only (rendering/eval/bench): the kernel has no custom
+    VJP yet, so training through it raises at trace time via jax.grad.
+    Occupancy masks are computed in XLA (one gather) and fed to the
+    kernel as the [S, B] validity plane.
+    """
+    from tnerf.cameras import Rays  # local import to avoid cycles
+    from tnerf.grid.traversal import occupancy_lookup, ray_aabb
+    from tnerf.render.composite import RenderResult
+    from tnerf.sampling import sample_positions
+
+    fused = make_fused_renderer(field_cfg, grid_cfg, b_tile=b_tile, sc=sc,
+                                term_eps=render_cfg.transmittance_threshold,
+                                interpret=interpret)
+    S = sampler_cfg.samples_per_ray
+    if S % sc:
+        raise ValueError(f"samples_per_ray={S} must be a multiple of sc={sc}")
+
+    def render(params, rays: Rays, key=None, occupancy=None) -> RenderResult:
+        B = rays.origins.shape[0]
+        pad = (-B) % b_tile
+        o = jnp.pad(rays.origins, ((0, pad), (0, 0)))
+        d = jnp.pad(rays.directions, ((0, pad), (0, 0)), constant_values=1.0)
+        tp = jnp.pad(rays.viewdirs_tp, ((0, pad), (0, 0)))
+        te, tx = ray_aabb(o, d, grid_cfg.aabb_min, grid_cfg.aabb_max)
+        te = jnp.maximum(te, sampler_cfg.near)
+        tx = jnp.maximum(tx, te)
+        dt = (tx - te) / S
+        mask = (tx > te)[:, None] & jnp.ones((o.shape[0], S), bool)
+        if occupancy is not None:
+            r = grid_cfg.resolution
+            s_idx = jnp.arange(S, dtype=jnp.float32) + 0.5
+            t = te[:, None] + s_idx * dt[:, None]
+            pts = sample_positions(o, d, t)
+            mask = mask & occupancy_lookup(pts, occupancy.reshape(r, r, r), grid_cfg)
+        out = fused(params, pack_rays(o, d, tp, te, dt),
+                    mask.T.astype(jnp.float32))
+        rgb = out[0:3, :B].T
+        acc = out[3, :B]
+        depth = out[4, :B]
+        if render_cfg.white_background:
+            rgb = rgb + (1.0 - acc)[:, None]
+        empty = jnp.zeros((B, 0), jnp.float32)
+        return RenderResult(rgb=rgb, acc=acc, depth=depth,
+                            weights=empty, transmittance=empty)
+
+    return render
 
 
 def fused_reference(

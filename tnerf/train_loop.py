@@ -62,6 +62,12 @@ def build_renderer(cfg: Config, field: NeRFField, compact: Optional[bool] = None
         return make_grid_renderer(
             field, cfg.grid, cfg.sampler, cfg.render, strategy="intervals",
         )
+    if p == "fused":
+        from tnerf.render.pallas_fused import make_fused_pipeline_renderer
+
+        return make_fused_pipeline_renderer(
+            cfg.field_, cfg.grid, cfg.sampler, cfg.render
+        )
     raise ValueError(f"unknown render pipeline {p!r}")
 
 
@@ -71,6 +77,9 @@ def run_training(
 ) -> Dict[str, float]:
     """Train a field per `cfg`; returns final metrics."""
     log = get_logger(level=cfg.logging.level)
+    if cfg.logging.debug_nans:
+        jax.config.update("jax_debug_nans", True)
+        jax.config.update("jax_debug_infs", True)
     out_dir = cfg.logging.out_dir
     os.makedirs(out_dir, exist_ok=True)
     metrics = MetricsWriter(os.path.join(out_dir, cfg.logging.metrics_file))
