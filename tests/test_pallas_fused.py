@@ -46,7 +46,7 @@ def setup():
     tx = jnp.maximum(tx, te)
     dt = (tx - te) / S
     rays_packed = pack_rays(o, d, tp, te, dt)
-    mask = (tx > te)[None, :] & jnp.ones((S, B), bool)
+    mask = (tx > te)[:, None] & jnp.ones((B, S), bool)
     return cfg, field, params, rays_packed, mask.astype(jnp.float32), (B, S)
 
 
@@ -57,12 +57,12 @@ def test_fused_kernel_matches_reference(setup):
     got = np.asarray(fused(params, rays_packed, mask_t))
     want = np.asarray(fused_reference(params, rays_packed, mask_t,
                                       cfg.field_, cfg.grid))
-    # bf16 matmuls + f32 composite: row 0-2 rgb, 3 acc, 4 depth, 5 T
-    np.testing.assert_allclose(got[0:4], want[0:4], atol=2e-3)
-    np.testing.assert_allclose(got[4], want[4], atol=6e-3)  # depth (t-scaled)
-    np.testing.assert_allclose(got[5], want[5], atol=2e-3)
+    # bf16 matmuls + f32 composite: col 0-2 rgb, 3 acc, 4 depth, 5 T
+    np.testing.assert_allclose(got[:, 0:4], want[:, 0:4], atol=2e-3)
+    np.testing.assert_allclose(got[:, 4], want[:, 4], atol=6e-3)  # depth
+    np.testing.assert_allclose(got[:, 5], want[:, 5], atol=2e-3)
     # the scene must be non-trivial for this test to mean anything
-    assert float(want[3].max()) > 0.3, "test scene rendered ~empty"
+    assert float(want[:, 3].max()) > 0.3, "test scene rendered ~empty"
 
 
 def test_fused_kernel_respects_mask(setup):
@@ -75,7 +75,7 @@ def test_fused_kernel_respects_mask(setup):
     got = np.asarray(fused(params, rays_packed, mask2))
     want = np.asarray(fused_reference(params, rays_packed, mask2,
                                       cfg.field_, cfg.grid))
-    np.testing.assert_allclose(got[0:4], want[0:4], atol=2e-3)
+    np.testing.assert_allclose(got[:, 0:4], want[:, 0:4], atol=2e-3)
 
 
 def test_fused_kernel_zero_mask_gives_empty(setup):
@@ -83,8 +83,8 @@ def test_fused_kernel_zero_mask_gives_empty(setup):
     fused = make_fused_renderer(cfg.field_, cfg.grid, b_tile=128, sc=32,
                                 interpret=True)
     got = np.asarray(fused(params, rays_packed, jnp.zeros_like(mask_t)))
-    np.testing.assert_allclose(got[0:5], 0.0, atol=1e-6)
-    np.testing.assert_allclose(got[5], 1.0, atol=1e-6)  # full transmittance
+    np.testing.assert_allclose(got[:, 0:5], 0.0, atol=1e-6)
+    np.testing.assert_allclose(got[:, 5], 1.0, atol=1e-6)  # full transmittance
 
 
 def test_early_termination_consistent(setup):
@@ -113,20 +113,20 @@ def test_early_termination_consistent(setup):
     te, tx = ray_aabb(o, d, cfg.grid.aabb_min, cfg.grid.aabb_max)
     te = jnp.maximum(te, 0.05)
     rays_packed = pack_rays(o, d, viewdirs_to_thetaphi(d), te, (tx - te) / S)
-    mask_t = jnp.ones((S, B), jnp.float32)
+    mask_t = jnp.ones((B, S), jnp.float32)
     fused = make_fused_renderer(cfg.field_, cfg.grid, b_tile=128, sc=32,
                                 term_eps=1e-4, interpret=True)
     fused_exact = make_fused_renderer(cfg.field_, cfg.grid, b_tile=128,
                                       sc=32, term_eps=0.0, interpret=True)
     got = np.asarray(fused(params_hot, rays_packed, mask_t))
     want = np.asarray(fused_exact(params_hot, rays_packed, mask_t))
-    np.testing.assert_allclose(got[0:5], want[0:5], atol=2e-4)
+    np.testing.assert_allclose(got[:, 0:5], want[:, 0:5], atol=2e-4)
     # and the termination path must actually have triggered
-    assert float(want[5].max()) < 1e-4, "scene not opaque enough to test"
+    assert float(want[:, 5].max()) < 1e-4, "scene not opaque enough to test"
     # sanity vs the production reference at loose tolerance (precision)
     ref = np.asarray(fused_reference(params_hot, rays_packed, mask_t,
                                      cfg.field_, cfg.grid))
-    np.testing.assert_allclose(got[0:4], ref[0:4], atol=0.15)
+    np.testing.assert_allclose(got[:, 0:4], ref[:, 0:4], atol=0.15)
 
 
 def test_fused_pipeline_renderer_protocol(setup):

@@ -184,6 +184,9 @@ class TrainConfig:
     # Skip the optimizer update when the loss is non-finite (fail-safe the
     # reference lacks, SURVEY §5 failure detection).
     skip_nonfinite: bool = True
+    # Rematerialize the renderer in backward (jax.checkpoint): trades
+    # recompute FLOPs for activation memory -> larger ray batches.
+    remat: bool = False
     log_every: int = 50
 
 

@@ -11,20 +11,26 @@ TERMINATION: once every ray in a block is opaque, remaining sample chunks
 skip the MLP entirely (`@pl.when`), a data-dependent saving XLA cannot
 express.
 
-Layout design (all constraints probed on real v5e hardware):
-- Rows are SAMPLE-MAJOR: row r of a chunk is (sample s = r // B_TILE,
-  ray b = r % B_TILE).  Per-ray data expands to rows by stacking the
-  [B_TILE, 16] ray block SC times (static sublane concat — Mosaic
-  supports this; per-element `repeat`/gather does not exist).
-- MLP IO is [R, 128] (R = B_TILE*SC rows, features on lanes); the MLP's
-  per-sample outputs move to the compositing layout [SC, B_TILE]
-  (samples on sublanes, rays on lanes) via the one reshape Mosaic
-  supports ([R, 1] -> [SC, B_TILE] when R = SC*B_TILE).
-- Exclusive per-ray transmittance cumsum = strict-lower-triangular
-  [SC, SC] matmul from the left (MXU, HIGHEST precision).
+Layout design (every constraint probed on real v5e hardware):
+- Rows are RAY-MAJOR: row r of a chunk is (ray b = r // SC, sample
+  s = r % SC).  Per-ray data expands to rows with
+  broadcast_to(block[:, None, :], (B, SC, 16)).reshape(R, 16) — a
+  leading-dim collapse Mosaic supports (per-element gather/repeat and
+  lane->sublane reshapes do not exist).
+- MLP IO is [R, 128] (R = B_TILE*SC rows, features on lanes); per-sample
+  outputs move to the compositing layout [B_TILE, SC] (rays on sublanes,
+  samples on lanes) via the one supported reshape direction
+  ([R, 1] -> [B_TILE, SC]).
+- Exclusive per-ray transmittance cumsum = strict-upper-triangular
+  [SC, SC] matmul from the right (MXU, HIGHEST precision — exact).
+- Per-ray reductions are lane sums with keepdims ([B_TILE, SC] ->
+  [B_TILE, 1]) — natively supported.  (Sublane reductions and M=1
+  matmuls are NOT: keepdims row-sums fail to lower, and [1,K]@[K,N]
+  dots compile to wrong values, with HIGHEST precision hanging the
+  Mosaic compiler outright.)
 - Running transmittance lives in VMEM scratch and chains across sample
   chunks (the grid iterates chunks innermost); outputs accumulate into a
-  revisited [8, B_TILE] block per ray block.
+  revisited [B_TILE, 8] block per ray block.
 
 The kernel is inference-path (render/eval/bench); training uses the
 autodiff XLA path (a custom-VJP backward kernel is future work).
@@ -136,13 +142,15 @@ def _pack_params(params: dict, cfg: FieldConfig, n_feat: int):
 
 def _fused_kernel(
     rays_ref,    # [B_TILE, RAY_COLS] f32
-    mask_ref,    # [SC, B_TILE] f32 (0/1)
+    mask_ref,    # [SC, B_TILE] f32 (0/1) — sample-major so the lane dim
+                 # is 128 (block lane dims must be 128-divisible);
+                 # transposed to ray-major in-kernel (cheap xpose op)
     A_ref,       # [8, 123] f32
     C_ref,       # [8, 123] f32
     W_ref,       # [NL, 128, 128] bf16
     Bias_ref,    # [NL, 128] f32
-    out_ref,     # [8, B_TILE] f32: rows r,g,b,acc,depth,T_final
-    T_run,       # scratch [8, B_TILE] f32 (row 0: running transmittance)
+    out_ref,     # [B_TILE, 8] f32: cols r,g,b,acc,depth,T_final
+    T_run,       # scratch [B_TILE, 8] f32 (col 0: running transmittance)
     *,
     b_tile: int,
     sc: int,
@@ -159,14 +167,20 @@ def _fused_kernel(
         out_ref[:] = jnp.zeros_like(out_ref)
         T_run[:] = jnp.ones_like(T_run)
 
-    alive = jnp.max(T_run[0, :]) > term_eps
+    # Skip the chunk when every ray is terminated (transmittance below
+    # eps) OR the whole [rays x samples] tile is masked empty space —
+    # the two data-dependent savings XLA's fixed pipeline cannot express.
+    alive = (jnp.max(T_run[:, 0:1]) > term_eps) & (jnp.max(mask_ref[:]) > 0.0)
 
     @pl.when(alive)
     def _work():
         block = rays_ref[:]  # [B_TILE, 16]
-        rep = jnp.concatenate([block] * sc, axis=0)  # [R, 16] sample-major
+        # ray-major per-row expansion: row r -> ray r // sc
+        rep = jnp.broadcast_to(
+            block[:, None, :], (b_tile, sc, RAY_COLS)
+        ).reshape(R, RAY_COLS)
         s_in_chunk = (
-            jax.lax.broadcasted_iota(jnp.int32, (R, 1), 0) // b_tile
+            jax.lax.broadcasted_iota(jnp.int32, (R, 1), 0) % sc
         ).astype(jnp.float32)
         s_idx = s_in_chunk + chunk * sc
         t = rep[:, 6:7] + (s_idx + 0.5) * rep[:, 7:8]  # [R, 1]
@@ -200,40 +214,34 @@ def _fused_kernel(
         rgb_b = jax.nn.sigmoid(h[:, 2:3])
         sigma = jax.nn.softplus(h[:, 3:4] - 1.0)
 
-        # -> compositing layout [SC, B_TILE]
-        to2d = lambda col: col.reshape(sc, b_tile)
+        # -> compositing layout [B_TILE, SC] (ray-major row fill)
+        to2d = lambda col: col.reshape(b_tile, sc)
         sig2 = to2d(sigma)
         dt2 = to2d(rep[:, 7:8])
         t2 = to2d(t)
-        tau = sig2 * dt2 * mask_ref[:]
+        tau = sig2 * dt2 * mask_ref[:].T
+        # exclusive lane cumsum: excl[b, s] = sum_{j < s} tau[b, j]
         tri = (
             jax.lax.broadcasted_iota(jnp.int32, (sc, sc), 0)
-            > jax.lax.broadcasted_iota(jnp.int32, (sc, sc), 1)
-        ).astype(jnp.float32)  # strict lower: excl[s] = sum_{j<s} tau[j]
+            < jax.lax.broadcasted_iota(jnp.int32, (sc, sc), 1)
+        ).astype(jnp.float32)
         excl = jax.lax.dot_general(
-            tri, tau, (((1,), (0,)), ((), ())),
+            tau, tri, (((1,), (0,)), ((), ())),
             precision=jax.lax.Precision.HIGHEST,
             preferred_element_type=jnp.float32,
         )
-        T0 = T_run[0:1, :]  # [1, B]
-        w = T0 * jnp.exp(-excl) * (1.0 - jnp.exp(-tau))  # [SC, B]
+        T0 = T_run[:, 0:1]  # [B, 1]
+        w = T0 * jnp.exp(-excl) * (1.0 - jnp.exp(-tau))  # [B, SC]
 
-        # Sublane reductions as explicit [1,SC]@[SC,B] matmuls (Mosaic
-        # rejects keepdims row-sums: "unsupported output implicit dim").
-        ones_row = jnp.ones((1, sc), jnp.float32)
-        rowsum = lambda x: jax.lax.dot_general(
-            ones_row, x, (((1,), (0,)), ((), ())),
-            precision=jax.lax.Precision.HIGHEST,
-            preferred_element_type=jnp.float32,
-        )
-        out_ref[0:1, :] += rowsum(w * to2d(rgb_r))
-        out_ref[1:2, :] += rowsum(w * to2d(rgb_g))
-        out_ref[2:3, :] += rowsum(w * to2d(rgb_b))
-        out_ref[3:4, :] += rowsum(w)
-        out_ref[4:5, :] += rowsum(w * t2)
-        T_new = T0 * jnp.exp(-rowsum(tau))
-        T_run[0:1, :] = T_new
-        out_ref[5:6, :] = T_new
+        lanesum = lambda x: jnp.sum(x, axis=1, keepdims=True)  # [B, 1]
+        out_ref[:, 0:1] += lanesum(w * to2d(rgb_r))
+        out_ref[:, 1:2] += lanesum(w * to2d(rgb_g))
+        out_ref[:, 2:3] += lanesum(w * to2d(rgb_b))
+        out_ref[:, 3:4] += lanesum(w)
+        out_ref[:, 4:5] += lanesum(w * t2)
+        T_new = T0 * jnp.exp(-lanesum(tau))
+        T_run[:, 0:1] = T_new
+        out_ref[:, 5:6] = T_new
 
 
 def make_fused_renderer(
@@ -244,11 +252,11 @@ def make_fused_renderer(
     term_eps: float = 1e-4,
     interpret: bool = False,
 ):
-    """Build fused_render(params, rays_packed, mask_T) -> [8, B] outputs.
+    """Build fused_render(params, rays_packed, mask) -> [B, 8] outputs.
 
     rays_packed: [B, 16] f32 (see pack_rays); B % b_tile == 0.
-    mask_T: [S, B] f32 0/1 sample validity (occupancy x in-span), S % sc == 0.
-    Returns [8, B]: rows (r, g, b, acc, depth, T_final, 0, 0).
+    mask: [B, S] f32 0/1 sample validity (occupancy x in-span), S % sc == 0.
+    Returns [B, 8]: cols (r, g, b, acc, depth, T_final, 0, 0).
     """
     A, C, n_feat = _encoding_matrices(field_cfg)
     A_j = jnp.asarray(A)
@@ -257,9 +265,9 @@ def make_fused_renderer(
     hi = tuple(float(v) for v in grid_cfg.aabb_max)
     inv_half = tuple(2.0 / (h - l) for l, h in zip(lo, hi))
 
-    def fused_render(params: dict, rays_packed: jnp.ndarray, mask_t: jnp.ndarray):
+    def fused_render(params: dict, rays_packed: jnp.ndarray, mask: jnp.ndarray):
         B = rays_packed.shape[0]
-        S = mask_t.shape[0]
+        S = mask.shape[1]
         if B % b_tile or S % sc:
             raise ValueError(f"B={B} must divide {b_tile}, S={S} must divide {sc}")
         W, Bias = _pack_params(params, field_cfg, n_feat)
@@ -287,12 +295,12 @@ def make_fused_renderer(
                 pl.BlockSpec((nl, LANES), lambda rb, sc_: (0, 0),
                              memory_space=pltpu.VMEM),
             ],
-            out_specs=pl.BlockSpec((8, b_tile), lambda rb, sc_: (0, rb),
+            out_specs=pl.BlockSpec((b_tile, 8), lambda rb, sc_: (rb, 0),
                                    memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct((8, B), jnp.float32),
-            scratch_shapes=[pltpu.VMEM((8, b_tile), jnp.float32)],
+            out_shape=jax.ShapeDtypeStruct((B, 8), jnp.float32),
+            scratch_shapes=[pltpu.VMEM((b_tile, 8), jnp.float32)],
             interpret=interpret,
-        )(rays_packed, mask_t, A_j, C_j, W, Bias)
+        )(rays_packed, mask.T, A_j, C_j, W, Bias)
         return out
 
     return fused_render
@@ -367,10 +375,10 @@ def make_fused_pipeline_renderer(
             pts = sample_positions(o, d, t)
             mask = mask & occupancy_lookup(pts, occupancy.reshape(r, r, r), grid_cfg)
         out = fused(params, pack_rays(o, d, tp, te, dt),
-                    mask.T.astype(jnp.float32))
-        rgb = out[0:3, :B].T
-        acc = out[3, :B]
-        depth = out[4, :B]
+                    mask.astype(jnp.float32))
+        rgb = out[:B, 0:3]
+        acc = out[:B, 3]
+        depth = out[:B, 4]
         if render_cfg.white_background:
             rgb = rgb + (1.0 - acc)[:, None]
         empty = jnp.zeros((B, 0), jnp.float32)
@@ -383,19 +391,18 @@ def make_fused_pipeline_renderer(
 def fused_reference(
     params: dict,
     rays_packed: jnp.ndarray,
-    mask_t: jnp.ndarray,
+    mask: jnp.ndarray,
     field_cfg: FieldConfig,
     grid_cfg: GridConfig,
 ) -> jnp.ndarray:
     """Parity target for the kernel: the PRODUCTION field + compositor
     (NeRFField.apply + composite), on the kernel's packed inputs.
-    No early termination. Returns [8, B] like the kernel."""
+    No early termination. mask: [B, S]. Returns [B, 8] like the kernel."""
     from tnerf.fields.nerf_field import NeRFField
     from tnerf.render.composite import composite
 
     field = NeRFField(field_cfg, grid_cfg)
-    B = rays_packed.shape[0]
-    S = mask_t.shape[0]
+    B, S = mask.shape
     o = rays_packed[:, 0:3]
     d = rays_packed[:, 3:6]
     t_enter = rays_packed[:, 6]
@@ -406,14 +413,14 @@ def fused_reference(
     pts = o[:, None, :] + d[:, None, :] * t[..., None]
     rgb, sigma = field.apply(params, pts, tp[:, None, :])
     deltas = jnp.broadcast_to(dt[:, None], (B, S))
-    mask = mask_t.T.astype(bool)
-    res = composite(rgb, sigma, deltas, t_mid=t, mask=mask)
-    T_final = jnp.exp(-jnp.sum(sigma * deltas * mask_t.T, axis=-1))
+    maskb = mask.astype(bool)
+    res = composite(rgb, sigma, deltas, t_mid=t, mask=maskb)
+    T_final = jnp.exp(-jnp.sum(sigma * deltas * mask, axis=-1))
     return jnp.stack(
         [
             res.rgb[:, 0], res.rgb[:, 1], res.rgb[:, 2],
             res.acc, res.depth, T_final,
             jnp.zeros((B,)), jnp.zeros((B,)),
         ],
-        axis=0,
+        axis=1,
     )

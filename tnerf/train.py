@@ -110,8 +110,17 @@ class PixelSampler:
 def make_train_step(
     renderer: Callable,
     optimizer: optax.GradientTransformation,
+    remat: bool = False,
 ) -> Callable[[TrainState, RayBatch, jax.Array], Tuple[TrainState, dict]]:
-    """Build the jitted train step: L2 photometric loss + Adam update."""
+    """Build the jitted train step: L2 photometric loss + Adam update.
+
+    remat=True wraps the renderer in jax.checkpoint, dropping forward
+    activations (per-sample encodings/hidden states — the big buffers)
+    and recomputing them in backward: activation memory ~O(batch) instead
+    of O(batch * samples * width).
+    """
+    if remat:
+        renderer = jax.checkpoint(renderer, static_argnums=())
 
     def loss_fn(params: dict, batch: RayBatch, key: jax.Array, occupancy):
         res = renderer(params, batch.rays, key, occupancy)

@@ -127,9 +127,9 @@ def run_training(
             log.info("resumed from step %d", start_step)
 
     sampler = PixelSampler(train_ds, cfg.scene.scene_scale, cfg.scene.white_background)
-    step_dense = make_train_step(renderer_dense, optimizer)
+    step_dense = make_train_step(renderer_dense, optimizer, remat=cfg.train.remat)
     step_compact = (
-        make_train_step(renderer_compact, optimizer)
+        make_train_step(renderer_compact, optimizer, remat=cfg.train.remat)
         if use_grid and cfg.render.compact
         else step_dense
     )
