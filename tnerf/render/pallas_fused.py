@@ -55,13 +55,29 @@ LANES = 128
 RAY_COLS = 16  # ox oy oz dx dy dz t_enter dt theta phi (rest pad)
 
 
-def _encoding_matrices(cfg: FieldConfig) -> Tuple[np.ndarray, np.ndarray, int]:
-    """Static (A, C) with enc = concat([p5, sin(p5 @ A + C)], lanes).
+def _norm_affine(grid_cfg: GridConfig) -> Tuple[np.ndarray, np.ndarray]:
+    """Per-feature affine (s, b) with p5_normalized = s * p5_raw + b, where
+    p5_raw = [x, y, z, theta, phi]: positions map to [-1,1] over the grid
+    AABB, angles scale by 1/pi."""
+    lo = np.asarray(grid_cfg.aabb_min, np.float32)
+    hi = np.asarray(grid_cfg.aabb_max, np.float32)
+    ih = 2.0 / (hi - lo)
+    s = np.concatenate([ih, [1.0 / math.pi, 1.0 / math.pi]]).astype(np.float32)
+    b = np.concatenate([-lo * ih - 1.0, [0.0, 0.0]]).astype(np.float32)
+    return s, b
 
-    p5 = [xn, yn, zn, theta/pi, phi/pi] (all ~[-1, 1]).  Columns of A
-    encode (axis, frequency, sin|cos): sin(f x) and cos(f x) = sin(f x +
-    pi/2).  Frequencies are pi * 2^k (tcnn Frequency semantics, matching
-    tnerf.fields.encodings.frequency_encoding).
+
+def _encoding_matrices(
+    cfg: FieldConfig, s: np.ndarray, b: np.ndarray
+) -> Tuple[np.ndarray, np.ndarray, int]:
+    """Static (A, C) with enc = concat([p5_raw, sin(p5_raw @ A + C)]).
+
+    Columns of A encode (axis, frequency, sin|cos): sin(f x) and
+    cos(f x) = sin(f x + pi/2); frequencies pi * 2^k (tcnn Frequency
+    semantics, matching tnerf.fields.encodings.frequency_encoding).
+    The input-normalization affine (s, b) is FOLDED into A and C so the
+    kernel feeds raw coordinates: sin((s p + b) f + c) =
+    sin(p (s f) + (b f + c)) — zero runtime normalization ops.
     """
     L3, L2 = cfg.n_frequencies, cfg.n_frequencies_view
     cols = []
@@ -82,8 +98,8 @@ def _encoding_matrices(cfg: FieldConfig) -> Tuple[np.ndarray, np.ndarray, int]:
     A = np.zeros((8, LANES - 5), np.float32)  # 8 sublanes (5 used)
     C = np.zeros((8, LANES - 5), np.float32)  # row 0 used
     for j, (axis, f, phase) in enumerate(cols):
-        A[axis, j] = f
-        C[0, j] = phase
+        A[axis, j] = s[axis] * f
+        C[0, j] = b[axis] * f + phase
     return A, C, n_feat
 
 
@@ -110,11 +126,16 @@ def _feature_permutation(cfg: FieldConfig) -> np.ndarray:
     return np.asarray(perm, np.int64)
 
 
-def _pack_params(params: dict, cfg: FieldConfig, n_feat: int):
+def _pack_params(
+    params: dict, cfg: FieldConfig, n_feat: int,
+    s_aff: np.ndarray, b_aff: np.ndarray,
+):
     """Stack MLP weights into [NL, 128, 128] bf16 + [NL, 128] f32 biases,
     zero-padded, with layer-0 rows permuted to the kernel's feature order
-    (see _feature_permutation); the last layer's 4 used output lanes are
-    (r, g, b, sigma_raw)."""
+    (see _feature_permutation) AND the input-normalization affine folded
+    into the 5 identity-feature rows: the kernel feeds RAW [x,y,z,th,ph],
+    so W0'[i] = s_i * W0[i] and b0' = b0 + sum_i b_i W0[i] for i < 5.
+    The last layer's 4 used output lanes are (r, g, b, sigma_raw)."""
     ws, bs = params["trunk"]["w"], params["trunk"]["b"]
     nl = len(ws)
     perm = _feature_permutation(cfg)
@@ -131,6 +152,9 @@ def _pack_params(params: dict, cfg: FieldConfig, n_feat: int):
                     f"layer-0 in_dim {wi} != encoded width {len(perm)}"
                 )
             w = w[jnp.asarray(perm)]
+            ident = w[0:5]  # rows consuming the raw p5 identity features
+            b = b + jnp.asarray(b_aff) @ ident
+            w = w.at[0:5].set(jnp.asarray(s_aff)[:, None] * ident)
         W_layers.append(
             jnp.zeros((LANES, LANES), jnp.float32).at[: w.shape[0], :wo].set(w)
         )
@@ -155,9 +179,8 @@ def _fused_kernel(
     b_tile: int,
     sc: int,
     n_layers: int,
-    lo: Tuple[float, float, float],
-    inv_half: Tuple[float, float, float],
     term_eps: float,
+    hidden_bf16: bool,
 ):
     chunk = pl.program_id(1)
     R = b_tile * sc
@@ -165,6 +188,7 @@ def _fused_kernel(
     @pl.when(chunk == 0)
     def _init():
         out_ref[:] = jnp.zeros_like(out_ref)
+        out_ref[:, 5:6] = jnp.ones_like(out_ref[:, 5:6])  # T_final if all skipped
         T_run[:] = jnp.ones_like(T_run)
 
     # Skip the chunk when every ray is terminated (transmittance below
@@ -179,39 +203,45 @@ def _fused_kernel(
         rep = jnp.broadcast_to(
             block[:, None, :], (b_tile, sc, RAY_COLS)
         ).reshape(R, RAY_COLS)
+        # NOTE on VPU economics: a [R, 1] op occupies whole (8,128) tiles,
+        # costing the same as a full [R, 128] op — so the prologue batches
+        # coordinate math into [R, 3] ops and the hidden layers stay bf16
+        # end-to-end (halves elementwise traffic vs f32).
         s_in_chunk = (
             jax.lax.broadcasted_iota(jnp.int32, (R, 1), 0) % sc
         ).astype(jnp.float32)
         s_idx = s_in_chunk + chunk * sc
         t = rep[:, 6:7] + (s_idx + 0.5) * rep[:, 7:8]  # [R, 1]
-        # normalized positions (affine per axis; scalars are static)
-        p5 = jnp.concatenate(
-            [
-                (rep[:, 0:1] + t * rep[:, 3:4] - lo[0]) * inv_half[0] - 1.0,
-                (rep[:, 1:2] + t * rep[:, 4:5] - lo[1]) * inv_half[1] - 1.0,
-                (rep[:, 2:3] + t * rep[:, 5:6] - lo[2]) * inv_half[2] - 1.0,
-                rep[:, 8:9] * (1.0 / math.pi),
-                rep[:, 9:10] * (1.0 / math.pi),
-            ],
-            axis=1,
-        )  # [R, 5]
+        p = rep[:, 0:3] + t * rep[:, 3:6]              # [R, 3] one op
+        # RAW coordinates: the normalization affine is folded into A/C
+        # and the layer-0 identity rows at pack time (zero runtime ops)
+        p5 = jnp.concatenate([p, rep[:, 8:10]], axis=1)
         sin_feat = jnp.sin(
             jnp.dot(p5, A_ref[0:5, :], preferred_element_type=jnp.float32)
             + C_ref[0:1, :]
         )  # [R, 123]
-        h = jnp.concatenate([p5, sin_feat], axis=1)  # [R, 128]
-        for l in range(n_layers):
-            h = jnp.dot(
-                h.astype(jnp.bfloat16),
-                W_ref[l],
-                preferred_element_type=jnp.float32,
-            ) + Bias_ref[l : l + 1, :]  # [1,128] broadcast (2D for Mosaic)
-            if l < n_layers - 1:
-                h = jnp.maximum(h, 0.0)
-        # heads
-        rgb_r = jax.nn.sigmoid(h[:, 0:1])
-        rgb_g = jax.nn.sigmoid(h[:, 1:2])
-        rgb_b = jax.nn.sigmoid(h[:, 2:3])
+        h = jnp.concatenate([p5, sin_feat], axis=1).astype(jnp.bfloat16)
+        if hidden_bf16:
+            for l in range(n_layers - 1):
+                h = jnp.maximum(
+                    jnp.dot(h, W_ref[l], preferred_element_type=jnp.bfloat16)
+                    + Bias_ref[l : l + 1, :].astype(jnp.bfloat16),
+                    0.0,
+                )
+        else:
+            for l in range(n_layers - 1):
+                h = jnp.maximum(
+                    jnp.dot(h, W_ref[l], preferred_element_type=jnp.float32)
+                    + Bias_ref[l : l + 1, :],
+                    0.0,
+                ).astype(jnp.bfloat16)
+        h = (
+            jnp.dot(h, W_ref[n_layers - 1], preferred_element_type=jnp.float32)
+            + Bias_ref[n_layers - 1 : n_layers, :]
+        )
+        # heads: one [R,3] sigmoid + one [R,1] softplus
+        rgb3 = jax.nn.sigmoid(h[:, 0:3])
+        rgb_r, rgb_g, rgb_b = rgb3[:, 0:1], rgb3[:, 1:2], rgb3[:, 2:3]
         sigma = jax.nn.softplus(h[:, 3:4] - 1.0)
 
         # -> compositing layout [B_TILE, SC] (ray-major row fill)
@@ -250,6 +280,7 @@ def make_fused_renderer(
     b_tile: int = 128,
     sc: int = 32,
     term_eps: float = 1e-4,
+    hidden_bf16: bool = False,
     interpret: bool = False,
 ):
     """Build fused_render(params, rays_packed, mask) -> [B, 8] outputs.
@@ -258,24 +289,22 @@ def make_fused_renderer(
     mask: [B, S] f32 0/1 sample validity (occupancy x in-span), S % sc == 0.
     Returns [B, 8]: cols (r, g, b, acc, depth, T_final, 0, 0).
     """
-    A, C, n_feat = _encoding_matrices(field_cfg)
+    s_aff, b_aff = _norm_affine(grid_cfg)
+    A, C, n_feat = _encoding_matrices(field_cfg, s_aff, b_aff)
     A_j = jnp.asarray(A)
     C_j = jnp.asarray(C)
-    lo = tuple(float(v) for v in grid_cfg.aabb_min)
-    hi = tuple(float(v) for v in grid_cfg.aabb_max)
-    inv_half = tuple(2.0 / (h - l) for l, h in zip(lo, hi))
 
     def fused_render(params: dict, rays_packed: jnp.ndarray, mask: jnp.ndarray):
         B = rays_packed.shape[0]
         S = mask.shape[1]
         if B % b_tile or S % sc:
             raise ValueError(f"B={B} must divide {b_tile}, S={S} must divide {sc}")
-        W, Bias = _pack_params(params, field_cfg, n_feat)
+        W, Bias = _pack_params(params, field_cfg, n_feat, s_aff, b_aff)
         nl = W.shape[0]
         kernel = functools.partial(
             _fused_kernel,
-            b_tile=b_tile, sc=sc, n_layers=nl,
-            lo=lo, inv_half=inv_half, term_eps=term_eps,
+            b_tile=b_tile, sc=sc, n_layers=nl, term_eps=term_eps,
+            hidden_bf16=hidden_bf16,
         )
         grid = (B // b_tile, S // sc)
         out = pl.pallas_call(
