@@ -54,6 +54,19 @@ def main(argv=None) -> int:
     common(sp)
     sp.add_argument("--checkpoint", required=False)
 
+    sp = sub.add_parser(
+        "suite",
+        help="batch test-set evaluation over multiple scenes "
+        "(BASELINE config 4); expects per-scene checkpoints under "
+        "<out_dir>/<scene>/checkpoints",
+    )
+    common(sp)
+    sp.add_argument(
+        "--scenes",
+        default="chair,drums,ficus,hotdog,lego,materials,mic,ship",
+        help="comma-separated scene names",
+    )
+
     sp = sub.add_parser("config", help="print resolved config JSON")
     common(sp)
 
@@ -71,6 +84,9 @@ def main(argv=None) -> int:
         metrics = run_training(cfg)
         print(json.dumps(metrics, indent=2))
         return 0
+
+    if args.cmd == "suite":
+        return _run_suite(cfg, args.scenes.split(","))
 
     # render / eval need a restored state
     import os
@@ -137,6 +153,65 @@ def main(argv=None) -> int:
             )
     print(json.dumps(out, indent=2))
     return 0
+
+
+def _run_suite(cfg, scenes) -> int:
+    """Evaluate the test split of each scene from its checkpoint and print
+    a summary table (BASELINE config 4)."""
+    import os
+
+    from tnerf.data.dataset import load_data
+    from tnerf.eval import evaluate
+    from tnerf.grid.occupancy import init_occupancy
+    from tnerf.train import create_optimizer, init_train_state
+    from tnerf.train_loop import build_field, build_renderer
+    from tnerf.utils.checkpoint import restore_checkpoint
+
+    results = {}
+    for scene in scenes:
+        scene = scene.strip()
+        scfg = cfg.apply_overrides([
+            f"scene.name={scene}",
+            f"logging.out_dir={os.path.join(cfg.logging.out_dir, scene)}",
+        ])
+        try:
+            datasets = load_data(
+                scfg.scene.kind, scene, root=scfg.scene.root,
+                srgb_to_linear=scfg.scene.srgb_to_linear,
+                downscale=scfg.scene.downscale, splits=("test",),
+            )
+        except (FileNotFoundError, ValueError) as e:
+            print(f"{scene}: SKIP (no data: {e})", file=sys.stderr)
+            continue
+        field = build_field(scfg)
+        renderer = build_renderer(scfg, field, compact=False)
+        optimizer = create_optimizer(scfg.train)
+        state = init_train_state(field, optimizer, scfg.train.seed)
+        use_grid = scfg.render.pipeline.startswith("grid")
+        occ = init_occupancy(scfg.grid) if use_grid else None
+        template = (state, occ) if occ is not None else state
+        ckpt_dir = os.path.join(scfg.logging.out_dir, "checkpoints")
+        restored = restore_checkpoint(ckpt_dir, template)
+        if restored is None:
+            print(f"{scene}: SKIP (no checkpoint in {ckpt_dir})", file=sys.stderr)
+            continue
+        _, payload = restored
+        state, occ = payload if occ is not None else (payload, None)
+        bits = occ.bitfield if occ is not None else None
+        rend = lambda p, r, k=None, o=None: renderer(p, r, k, bits)
+        results[scene] = evaluate(
+            rend, state.params, datasets["test"], scfg.scene.scene_scale,
+            white_background=scfg.scene.white_background,
+            save_dir=os.path.join(scfg.logging.out_dir, "suite_renders"),
+            chunk_size=scfg.render.chunk_size,
+        )
+        print(f"{scene}: {results[scene]}", file=sys.stderr)
+    if results:
+        mean_psnr = sum(r["psnr_test"] for r in results.values()) / len(results)
+        print(json.dumps({"scenes": results, "mean_psnr_test": mean_psnr}, indent=2))
+        return 0
+    print("error: no scene produced results", file=sys.stderr)
+    return 1
 
 
 if __name__ == "__main__":

@@ -21,6 +21,34 @@ from tnerf.render.renderer import RendererFn, render_image
 from tnerf.train import psnr
 
 
+def ssim(pred: np.ndarray, gt: np.ndarray, window: int = 11, sigma: float = 1.5) -> float:
+    """Structural similarity (standard 11x11 gaussian window, L=1).
+
+    Pure numpy; matches the conventional NeRF-paper SSIM settings
+    (k1=0.01, k2=0.03) to within windowing edge effects.
+    """
+    a = np.asarray(pred, np.float64)
+    b = np.asarray(gt, np.float64)
+    r = window // 2
+    x = np.arange(window) - r
+    g = np.exp(-(x ** 2) / (2 * sigma ** 2))
+    g /= g.sum()
+
+    def blur(img):  # separable gaussian over H, W for each channel
+        out = np.apply_along_axis(lambda v: np.convolve(v, g, mode="same"), 0, img)
+        return np.apply_along_axis(lambda v: np.convolve(v, g, mode="same"), 1, out)
+
+    mu_a, mu_b = blur(a), blur(b)
+    sa = blur(a * a) - mu_a ** 2
+    sb = blur(b * b) - mu_b ** 2
+    sab = blur(a * b) - mu_a * mu_b
+    c1, c2 = 0.01 ** 2, 0.03 ** 2
+    s = ((2 * mu_a * mu_b + c1) * (2 * sab + c2)) / (
+        (mu_a ** 2 + mu_b ** 2 + c1) * (sa + sb + c2)
+    )
+    return float(s[r:-r, r:-r].mean())
+
+
 def render_dataset_view(
     renderer: RendererFn,
     params: dict,
@@ -55,10 +83,11 @@ def evaluate(
     n = len(dataset) if max_views is None else min(max_views, len(dataset))
     if save_dir:
         os.makedirs(save_dir, exist_ok=True)
-    psnrs = []
+    psnrs, ssims = [], []
     for i in range(n):
         pred = render_dataset_view(renderer, params, dataset, i, scene_scale, chunk_size)
         psnrs.append(psnr(pred, gt[i]))
+        ssims.append(ssim(pred, gt[i]))
         if save_dir:
             from tnerf.data.png_io import write_png
 
@@ -66,5 +95,6 @@ def evaluate(
     return {
         f"psnr_{dataset.split}": float(np.mean(psnrs)),
         f"psnr_{dataset.split}_min": float(np.min(psnrs)),
+        f"ssim_{dataset.split}": float(np.mean(ssims)),
         f"n_views_{dataset.split}": float(n),
     }

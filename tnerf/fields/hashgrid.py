@@ -48,7 +48,14 @@ def init_hashgrid(key: jax.Array, cfg: FieldConfig) -> dict:
 
 
 def apply_hashgrid(params: dict, x01: jnp.ndarray, cfg: FieldConfig) -> jnp.ndarray:
-    """x01: [..., 3] positions in [0, 1]^3 -> [..., L*F] features."""
+    """x01: [..., 3] positions in [0, 1]^3 -> [..., L*F] features.
+
+    The 8 cube corners are processed as a Python loop of gather+FMA
+    (one [..., L] index tensor per corner) instead of one vectorized
+    [..., L, 8, 3] tensor — at NeRF batch sizes (~1M samples) the
+    vectorized form materializes tens of GB and OOMs the compiler, while
+    the loop peaks at ~[..., L, F] working set and fuses cleanly.
+    """
     L, F = cfg.hash_levels, cfg.hash_features_per_level
     T = 1 << cfg.hash_log2_table_size
     res = level_resolutions(cfg)  # static numpy [L]
@@ -57,39 +64,34 @@ def apply_hashgrid(params: dict, x01: jnp.ndarray, cfg: FieldConfig) -> jnp.ndar
     # Scale to every level at once: [..., L, 3]
     pos = x01[..., None, :] * res_j[:, None]
     pos = jnp.clip(pos, 0.0, (res_j[:, None] - 1e-4))
-    i0 = jnp.floor(pos)
-    frac = pos - i0
-    i0 = i0.astype(jnp.uint32)
+    i0f = jnp.floor(pos)
+    frac = pos - i0f
+    i0 = i0f.astype(jnp.uint32)
 
-    # 8 corner offsets: [8, 3]
-    corners = jnp.asarray(
-        [[x, y, z] for x in (0, 1) for y in (0, 1) for z in (0, 1)], jnp.uint32
-    )
-    cidx = i0[..., None, :] + corners  # [..., L, 8, 3]
+    dense_fits = jnp.asarray((res + 1) ** 3 <= T)  # [L] (static values)
+    n1 = jnp.asarray(res + 1, jnp.uint32)  # [L]
+    level_off = jnp.arange(L, dtype=jnp.uint32) * jnp.uint32(T)
+    tables = params["tables"]
 
-    # Trilinear weights: prod over axes of (frac or 1-frac). [..., L, 8]
-    f = frac[..., None, :]  # [..., L, 1, 3]
-    w = jnp.where(corners.astype(bool), f, 1.0 - f).prod(axis=-1)
-
-    # Index per level: dense linear where the level fits, hash otherwise.
-    # (static per-level choice; res is numpy)
-    dense_fits = (res + 1) ** 3 <= T  # numpy [L] bool
-    n1 = jnp.asarray(res + 1, jnp.uint32)[:, None]  # [L, 1] broadcast over corners
-    x_, y_, z_ = cidx[..., 0], cidx[..., 1], cidx[..., 2]
-    linear = x_ + n1 * (y_ + n1 * z_)
-    hashed = (
-        x_ * jnp.uint32(_PRIMES[0])
-        ^ y_ * jnp.uint32(_PRIMES[1])
-        ^ z_ * jnp.uint32(_PRIMES[2])
-    )
-    idx = jnp.where(jnp.asarray(dense_fits)[:, None], linear, hashed) & jnp.uint32(T - 1)
-
-    # One flat gather across all levels: offset level l by l*T.
-    level_off = (jnp.arange(L, dtype=jnp.uint32) * jnp.uint32(T))[:, None]
-    flat_idx = (idx + level_off).astype(jnp.int32)  # [..., L, 8]
-    feats = params["tables"][flat_idx]  # [..., L, 8, F]
-
-    out = jnp.sum(w[..., None] * feats, axis=-2)  # [..., L, F]
+    out = jnp.zeros((*x01.shape[:-1], L, F), tables.dtype)
+    for c in range(8):
+        off = ((c >> 2) & 1, (c >> 1) & 1, c & 1)
+        x_ = i0[..., 0] + jnp.uint32(off[0])  # [..., L]
+        y_ = i0[..., 1] + jnp.uint32(off[1])
+        z_ = i0[..., 2] + jnp.uint32(off[2])
+        linear = x_ + n1 * (y_ + n1 * z_)
+        hashed = (
+            x_ * jnp.uint32(_PRIMES[0])
+            ^ y_ * jnp.uint32(_PRIMES[1])
+            ^ z_ * jnp.uint32(_PRIMES[2])
+        )
+        idx = (jnp.where(dense_fits, linear, hashed) & jnp.uint32(T - 1)) + level_off
+        w = (
+            (frac[..., 0] if off[0] else 1.0 - frac[..., 0])
+            * (frac[..., 1] if off[1] else 1.0 - frac[..., 1])
+            * (frac[..., 2] if off[2] else 1.0 - frac[..., 2])
+        )  # [..., L]
+        out = out + w[..., None] * tables[idx.astype(jnp.int32)]
     return out.reshape(*x01.shape[:-1], L * F)
 
 

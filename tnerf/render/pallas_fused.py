@@ -212,10 +212,20 @@ def _fused_kernel(
         ).astype(jnp.float32)
         s_idx = s_in_chunk + chunk * sc
         t = rep[:, 6:7] + (s_idx + 0.5) * rep[:, 7:8]  # [R, 1]
-        p = rep[:, 0:3] + t * rep[:, 3:6]              # [R, 3] one op
         # RAW coordinates: the normalization affine is folded into A/C
-        # and the layer-0 identity rows at pack time (zero runtime ops)
-        p5 = jnp.concatenate([p, rep[:, 8:10]], axis=1)
+        # and the layer-0 identity rows at pack time (zero runtime ops).
+        # Per-axis [R,1] computes — the batched [R,3] form
+        # `rep[:,0:3] + t*rep[:,3:6]` (misaligned lane slices) hangs the
+        # Mosaic compiler on this stack.
+        p5 = jnp.concatenate(
+            [
+                rep[:, 0:1] + t * rep[:, 3:4],
+                rep[:, 1:2] + t * rep[:, 4:5],
+                rep[:, 2:3] + t * rep[:, 5:6],
+                rep[:, 8:10],
+            ],
+            axis=1,
+        )
         sin_feat = jnp.sin(
             jnp.dot(p5, A_ref[0:5, :], preferred_element_type=jnp.float32)
             + C_ref[0:1, :]
