@@ -157,6 +157,61 @@ def bench_render(width=800, height=800, res=64, samples=128, iters=6) -> dict:
     }
 
 
+def bench_fused_render(width=800, height=800, res=64, samples=128, iters=6) -> dict:
+    """Fused Pallas kernel render throughput (march+encode+MLP+composite
+    in one kernel, early termination + empty-tile skipping) with the
+    realistic analytic-scene occupancy grid."""
+    import jax
+    import jax.numpy as jnp
+
+    from tnerf.config import Config
+    from tnerf.data.procedural import analytic_field
+    from tnerf.fields.nerf_field import NeRFField
+    from tnerf.grid.occupancy import cell_centers
+    from tnerf.grid.traversal import occupancy_lookup, ray_aabb
+    from tnerf.render.pallas_fused import make_fused_renderer, pack_rays
+    from tnerf.sampling import sample_positions
+
+    cfg = Config().apply_overrides([f"grid.resolution={res}"])
+    field = NeRFField(cfg.field_, cfg.grid)
+    params = jax.device_put(field.init(jax.random.PRNGKey(0)))
+    _, sigma = analytic_field(cell_centers(cfg.grid).reshape(-1, 3))
+    occ3 = (sigma > 0.5).reshape(res, res, res)
+
+    (o, d, v), = _camera_ray_variants(width, height, n_variants=1)
+    n = width * height
+    chunk = 32768
+    S = samples
+    fused = make_fused_renderer(cfg.field_, cfg.grid, b_tile=128, sc=32)
+
+    @jax.jit
+    def render_chunk(carry, o, d, v):
+        o = o + carry * 1e-4
+        te, tx = ray_aabb(o, d, cfg.grid.aabb_min, cfg.grid.aabb_max)
+        te = jnp.maximum(te, 0.05)
+        tx = jnp.maximum(tx, te)
+        dt = (tx - te) / S
+        t = te[:, None] + (jnp.arange(S, dtype=jnp.float32) + 0.5) * dt[:, None]
+        pts = sample_positions(o, d, t)
+        mask = ((tx > te)[:, None] & occupancy_lookup(pts, occ3, cfg.grid))
+        out = fused(params, pack_rays(o, d, v, te, dt), mask.astype(jnp.float32))
+        s = out[:, 3].sum()
+        return s - jnp.floor(s), s
+
+    def frame(carry, o, d, v):
+        out = None
+        for i in range(0, n - chunk + 1, chunk):
+            carry, out = render_chunk(carry, o[i:i + chunk], d[i:i + chunk], v[i:i + chunk])
+        return carry, out
+
+    dt = _chained_timeit(frame, (o, d, v), iters=iters, warmup=2)
+    n_eff = (n // chunk) * chunk
+    return {
+        "fused_mrays_per_sec": n_eff / dt / 1e6,
+        "fused_fps_800x800": (1.0 / dt) if (width, height) == (800, 800) else None,
+    }
+
+
 def main():
     import jax
 
@@ -164,6 +219,7 @@ def main():
     march8 = bench_ray_march(res=8)
     march128 = bench_ray_march(res=128, iters=10)
     render = bench_render()
+    fused = bench_fused_render()
     value = round(march8["mrays_per_sec"], 2)
     line = {
         "metric": "ray_march_Mrays_per_sec_800x800_8^3grid",
@@ -174,6 +230,8 @@ def main():
             "march_128grid_mrays_per_sec": round(march128["mrays_per_sec"], 2),
             "render_mrays_per_sec": round(render["render_mrays_per_sec"], 3),
             "fps_800x800": round(render["fps_800x800"], 3) if render["fps_800x800"] else None,
+            "fused_render_mrays_per_sec": round(fused["fused_mrays_per_sec"], 3),
+            "fused_fps_800x800": round(fused["fused_fps_800x800"], 3) if fused["fused_fps_800x800"] else None,
             "render_occupancy_frac": round(render["occupancy_frac"], 4),
             "render_samples_per_ray": render["samples_per_ray"],
             "march_seconds_per_launch": round(march8["seconds_per_launch"], 6),

@@ -79,3 +79,18 @@ def test_checkpoint_roundtrip(tmp_path):
     # mismatched template errors clearly
     with pytest.raises(ValueError):
         restore_checkpoint(str(tmp_path), {"a": jnp.zeros(5)})
+
+
+def test_ssim_metric_sanity():
+    from tnerf.eval import ssim
+
+    rng = np.random.default_rng(0)
+    img = rng.uniform(0, 1, (48, 48, 3)).astype(np.float32)
+    assert abs(ssim(img, img) - 1.0) < 1e-6
+    noisy = np.clip(img + rng.normal(0, 0.2, img.shape), 0, 1).astype(np.float32)
+    s = ssim(noisy, img)
+    assert 0.0 < s < 0.9
+    # smooth image pair more similar than noise pair
+    a = np.tile(np.linspace(0, 1, 48)[:, None, None], (1, 48, 3)).astype(np.float32)
+    b = np.clip(a + 0.02, 0, 1)
+    assert ssim(a, b) > s
