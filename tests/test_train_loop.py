@@ -94,3 +94,16 @@ def test_ssim_metric_sanity():
     a = np.tile(np.linspace(0, 1, 48)[:, None, None], (1, 48, 3)).astype(np.float32)
     b = np.clip(a + 0.02, 0, 1)
     assert ssim(a, b) > s
+
+
+def test_run_training_intervals_pipeline(tmp_path, scene):
+    """The reference-parity pipeline (grid_intervals + 32/interval) must
+    train end-to-end too."""
+    cfg = _cfg(str(tmp_path / "ivrun"), ov=[]).apply_overrides([
+        "render.pipeline=grid_intervals",
+        "sampler.samples_per_interval=4",
+        "grid.resolution=4",
+        "train.steps=25", "train.checkpoint_every=0", "train.log_every=10",
+    ])
+    metrics = run_training(cfg, datasets=scene)
+    assert np.isfinite(metrics["psnr_test"])
