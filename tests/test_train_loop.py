@@ -107,3 +107,23 @@ def test_run_training_intervals_pipeline(tmp_path, scene):
     ])
     metrics = run_training(cfg, datasets=scene)
     assert np.isfinite(metrics["psnr_test"])
+
+
+def test_metrics_writer(tmp_path):
+    from tnerf.utils.metrics import MetricsWriter, step_timer
+
+    path = str(tmp_path / "m.jsonl")
+    w = MetricsWriter(path)
+    w.write(0, loss=0.5, tag="a")
+    w.write(10, loss=np.float32(0.25))
+    w.close()
+    lines = [json.loads(l) for l in open(path)]
+    assert lines[0]["step"] == 0 and lines[0]["loss"] == 0.5 and lines[0]["tag"] == "a"
+    assert lines[1]["loss"] == 0.25
+    # disabled writer is a no-op
+    w2 = MetricsWriter(None)
+    w2.write(0, loss=1.0)
+    w2.close()
+    with step_timer() as t:
+        sum(range(1000))
+    assert t.seconds >= 0
