@@ -145,8 +145,11 @@ class RenderConfig:
     pipeline: str = "grid_march"
     # Compact occupied samples across the batch before the MLP
     # (grid_march only) — the static-shape replacement for the
-    # reference's thrust-scan batch compaction.
-    compact: bool = True
+    # reference's thrust-scan batch compaction.  Default OFF: measured on
+    # v5e, the cumsum-scatter/gather costs 2-3x more than the MLP FLOPs
+    # it saves (dense masked training: 244k rays/s; compacted: 89-114k at
+    # 13-20% occupancy) — the GPU intuition inverts on TPU.
+    compact: bool = False
     # Compaction buffer capacity as a fraction of batch*samples;
     # overflowing samples are dropped.
     compact_fraction: float = 0.25
