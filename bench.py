@@ -65,30 +65,35 @@ def _camera_ray_variants(width: int, height: int, n_variants: int = 4):
     return out
 
 
-def bench_ray_march(width=800, height=800, res=8, iters=30) -> dict:
+def bench_ray_march(width=800, height=800, res=8, iters=12) -> dict:
     """Traversal throughput: rays -> per-cell interval lists (the
-    reference's OptiX ray-march stage, §3.3)."""
+    reference's OptiX ray-march stage, §3.3).
+
+    CONSERVATIVE timing: every launch uses a DIFFERENT camera's rays and
+    blocks before the next (per-launch time therefore includes transport
+    latency — queued/chained timings on this stack have repeatedly proven
+    un-trustably fast for sub-millisecond launches)."""
+    import time as _time
+
     import jax
-    import jax.numpy as jnp
 
     from tnerf.config import GridConfig
     from tnerf.grid.traversal import traverse_grid
 
     grid = GridConfig(resolution=res)
-    (o, d, _v), = _camera_ray_variants(width, height, n_variants=1)
+    variants = _camera_ray_variants(width, height, n_variants=iters)
 
     @jax.jit
-    def march(carry, o, d):
-        # carry (an O(1) value derived from the previous launch's output)
-        # perturbs origins by ~1e-4 scene units — geometrically negligible
-        # but REPRESENTABLE in fp32 (a 1e-7 shift on o~2.5 underflows and
-        # re-enables transport-level memoization of identical launches)
-        o = o + carry * 1e-4
+    def march(o, d):
         iv = traverse_grid(o, d, grid)
-        s = iv.t_starts.sum()
-        return s - jnp.floor(s), s
+        return iv.t_starts.sum(), iv.mask.sum()
 
-    dt = _chained_timeit(march, (o, d), iters=iters)
+    for o, d, _ in variants[:2]:  # compile + warm
+        jax.block_until_ready(march(o, d))
+    t0 = _time.perf_counter()
+    for o, d, _ in variants:
+        jax.block_until_ready(march(o, d))
+    dt = (_time.perf_counter() - t0) / len(variants)
     n_rays = width * height
     return {
         "mrays_per_sec": n_rays / dt / 1e6,
