@@ -143,3 +143,58 @@ def test_march_samples_and_lookup():
     assert bool(np.asarray(inside).all())
     outside = occupancy_lookup(jnp.asarray([[9.0, 0.0, 0.0]]), st.bitfield, grid)
     assert not bool(np.asarray(outside)[0])
+
+
+def test_tightened_range_concentrates_on_occupied_span():
+    from tnerf.grid.traversal import tightened_range
+
+    grid = GridConfig(resolution=16)
+    # occupancy: only the slab x in [cell 8, cell 9] is occupied
+    occ = jnp.zeros((16, 16, 16), bool).at[8:10].set(True)
+    o = jnp.asarray([[-3.0, 0.01, 0.01], [-3.0, 5.0, 0.0]])  # 2nd misses box
+    d = jnp.asarray([[1.0, 0.0, 0.0], [1.0, 0.0, 0.0]])
+    te, tx = ray_aabb(o, d, grid.aabb_min, grid.aabb_max)
+    te = jnp.maximum(te, 0.0)
+    tx = jnp.maximum(tx, te)
+    t0, t1 = tightened_range(o, d, te, tx, occ, grid, probes=64)
+    # occupied span: x in [0, 0.25] -> t in [3.0, 3.25]; padded ~one cell
+    assert 2.7 < float(t0[0]) < 3.01
+    assert 3.24 < float(t1[0]) < 3.6
+    # miss ray: empty range
+    assert float(t1[1]) <= float(t0[1]) + 1e-6
+
+
+def test_tightened_march_renders_same_as_full_range():
+    """Quadrature over the tightened range must match full-range sampling
+    (denser samples, same geometry) for a field supported on occupancy."""
+    import jax
+
+    from tnerf.cameras import Rays, viewdirs_to_thetaphi
+    from tnerf.config import Config
+    from tnerf.fields.nerf_field import NeRFField
+    from tnerf.render.grid_renderer import make_grid_renderer
+
+    cfg = Config().apply_overrides([
+        "field_.hidden_width=32", "field_.hidden_layers=2", "field_.n_frequencies=4",
+        "sampler.samples_per_ray=256", "grid.resolution=8",
+    ])
+    field = NeRFField(cfg.field_, cfg.grid)
+    params = field.init(jax.random.PRNGKey(0))
+    occ = jnp.zeros((8, 8, 8), bool).at[2:6, 2:6, 2:6].set(True)
+    rng = np.random.default_rng(3)
+    oo = rng.uniform(-1, 1, (64, 3))
+    oo = oo / np.linalg.norm(oo, axis=-1, keepdims=True) * 2.5
+    dd = -oo / np.linalg.norm(oo, axis=-1, keepdims=True)
+    rays = Rays(jnp.asarray(oo, jnp.float32), jnp.asarray(dd, jnp.float32),
+                viewdirs_to_thetaphi(jnp.asarray(dd, jnp.float32)))
+    r_tight = make_grid_renderer(field, cfg.grid,
+                                 cfg.sampler, cfg.render, strategy="march",
+                                 compact=False)(params, rays, None, occ)
+    cfg2 = cfg.apply_overrides(["sampler.tighten=false"])
+    r_full = make_grid_renderer(field, cfg2.grid,
+                                cfg2.sampler, cfg2.render, strategy="march",
+                                compact=False)(params, rays, None, occ)
+    np.testing.assert_allclose(np.asarray(r_tight.rgb), np.asarray(r_full.rgb),
+                               atol=0.02)
+    np.testing.assert_allclose(np.asarray(r_tight.acc), np.asarray(r_full.acc),
+                               atol=0.02)

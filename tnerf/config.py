@@ -100,6 +100,10 @@ class SamplerConfig:
     samples_per_ray: int = 192
     near: float = 0.05
     far: float = 4.0
+    # Occupancy-aware per-ray range tightening (grid_march): probe the
+    # bitfield and concentrate the sample budget on the occupied t-span.
+    tighten: bool = True
+    tighten_probes: int = 64
 
 
 @dataclass(frozen=True)

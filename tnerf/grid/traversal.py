@@ -173,6 +173,45 @@ def march_samples_t(
     return t, deltas
 
 
+def tightened_range(
+    origins: jnp.ndarray,
+    directions: jnp.ndarray,
+    t_enter: jnp.ndarray,
+    t_exit: jnp.ndarray,
+    occupancy: jnp.ndarray,
+    grid: GridConfig,
+    probes: int = 64,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Shrink each ray's [t_enter, t_exit] to the span of OCCUPIED cells.
+
+    Probes `probes` points along the slab span against the occupancy
+    bitfield and returns the [first, last] occupied t padded by one probe
+    step + one cell diagonal (so no occupied cell between probes is
+    missed).  Rays hitting nothing collapse to an empty range (t0 == t1),
+    which downstream sampling masks out entirely.
+
+    This concentrates the fixed per-ray sample budget on the object
+    instead of the whole scene box — the sample-efficiency half of what
+    the reference's per-cell interval lists buy, without ragged shapes.
+    """
+    span = jnp.maximum(t_exit - t_enter, 0.0)
+    frac = (jnp.arange(probes, dtype=jnp.float32) + 0.5) / probes
+    t = t_enter[..., None] + span[..., None] * frac  # [..., P]
+    pts = origins[..., None, :] + directions[..., None, :] * t[..., None]
+    occ = occupancy_lookup(pts, occupancy, grid)  # [..., P]
+    inf = jnp.float32(jnp.inf)
+    t_first = jnp.min(jnp.where(occ, t, inf), axis=-1)
+    t_last = jnp.max(jnp.where(occ, t, -inf), axis=-1)
+    lo = jnp.asarray(grid.aabb_min, jnp.float32)
+    hi = jnp.asarray(grid.aabb_max, jnp.float32)
+    cell_diag = jnp.linalg.norm((hi - lo) / grid.resolution)
+    pad = span / probes + cell_diag
+    hit = t_last >= t_first  # any occupied probe
+    t0 = jnp.where(hit, jnp.maximum(t_first - pad, t_enter), t_enter)
+    t1 = jnp.where(hit, jnp.minimum(t_last + pad, t_exit), t_enter)
+    return t0, t1
+
+
 def occupancy_lookup(
     positions: jnp.ndarray,
     occupancy: jnp.ndarray,

@@ -30,6 +30,7 @@ from tnerf.grid.traversal import (
     march_samples_t,
     occupancy_lookup,
     ray_aabb,
+    tightened_range,
     traverse_grid,
 )
 from tnerf.render.composite import RenderResult, composite
@@ -126,6 +127,11 @@ def make_grid_renderer(
             )
             t_enter = jnp.maximum(t_enter, sampler_cfg.near)
             t_exit = jnp.maximum(t_exit, t_enter)
+            if occ3 is not None and sampler_cfg.tighten:
+                t_enter, t_exit = tightened_range(
+                    rays.origins, rays.directions, t_enter, t_exit,
+                    occ3, grid_cfg, probes=sampler_cfg.tighten_probes,
+                )
             S = sampler_cfg.samples_per_ray
             jitter = (
                 jax.random.uniform(key, (*t_enter.shape, S), jnp.float32)
