@@ -237,7 +237,7 @@ def main():
 
     device = jax.devices()[0].device_kind
     march8 = bench_ray_march(res=8)
-    march128 = bench_ray_march(res=128, iters=10)
+    march128 = bench_ray_march(res=128, inner=(2, 8))
     render = bench_render()
     fused = bench_fused_render()
     value = round(march8["mrays_per_sec"], 2)
