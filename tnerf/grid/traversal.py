@@ -126,23 +126,43 @@ def traverse_grid(
     next_plane = lo + (ijk0 + (step_sign > 0)).astype(jnp.float32) * cell
     t_next0 = (next_plane - o) * inv_d                           # [B, 3]
 
-    def body(carry, _):
-        t_cur, t_next, ijk = carry
-        t_step = jnp.min(t_next, axis=-1)                        # [B]
-        axis = jnp.argmin(t_next, axis=-1)                       # [B]
-        t1 = jnp.minimum(t_step, t_exit)
-        inb = jnp.all((ijk >= 0) & (ijk < res), axis=-1)
-        valid = (t1 > t_cur + 1e-7) & hit_box & inb
-        flat = (ijk[:, 0] * res + ijk[:, 1]) * res + ijk[:, 2]
-        out = (t_cur, t1, jnp.where(valid, flat, -1), valid)
-        onehot = jax.nn.one_hot(axis, 3, dtype=jnp.int32)        # [B, 3]
-        ijk_new = ijk + onehot * step_sign
-        t_next_new = t_next + onehot.astype(jnp.float32) * dt_axis
-        return (jnp.maximum(t_cur, t_step), t_next_new, ijk_new), out
+    # Carry unpacked into per-axis [B] arrays: [B, 3]-shaped ops pad 3
+    # lanes to 128 on TPU (8% utilization), full-width [B] ops don't.
+    sx, sy, sz = step_sign[:, 0], step_sign[:, 1], step_sign[:, 2]
+    dtx, dty, dtz = dt_axis[:, 0], dt_axis[:, 1], dt_axis[:, 2]
 
-    (_, _, _), ys = jax.lax.scan(
-        body, (t_enter, t_next0, ijk0), None, length=steps
+    def body(carry, _):
+        t_cur, txn, tyn, tzn, ix, iy, iz = carry
+        t_step = jnp.minimum(txn, jnp.minimum(tyn, tzn))
+        hx = (txn <= tyn) & (txn <= tzn)           # ties: x > y > z priority
+        hy = (~hx) & (tyn <= tzn)
+        hz = (~hx) & (~hy)
+        t1 = jnp.minimum(t_step, t_exit)
+        inb = (
+            (ix >= 0) & (ix < res)
+            & (iy >= 0) & (iy < res)
+            & (iz >= 0) & (iz < res)
+        )
+        valid = (t1 > t_cur + 1e-7) & hit_box & inb
+        flat = (ix * res + iy) * res + iz
+        out = (t_cur, t1, jnp.where(valid, flat, -1), valid)
+        carry_new = (
+            jnp.maximum(t_cur, t_step),
+            jnp.where(hx, txn + dtx, txn),
+            jnp.where(hy, tyn + dty, tyn),
+            jnp.where(hz, tzn + dtz, tzn),
+            jnp.where(hx, ix + sx, ix),
+            jnp.where(hy, iy + sy, iy),
+            jnp.where(hz, iz + sz, iz),
+        )
+        return carry_new, out
+
+    init = (
+        t_enter,
+        t_next0[:, 0], t_next0[:, 1], t_next0[:, 2],
+        ijk0[:, 0], ijk0[:, 1], ijk0[:, 2],
     )
+    _, ys = jax.lax.scan(body, init, None, length=steps)
     t0s, t1s, cells_, valid = ys  # each [steps, B(...)]
     move = lambda a: jnp.moveaxis(a, 0, -1)
     t_starts = move(t0s)
