@@ -10,12 +10,13 @@ Also reported (extra keys): 128^3-grid march throughput and full-pipeline
 render throughput (traversal + field + composite) with frames/sec at
 800x800.
 
-Timing methodology: the transport layer both adds ~1ms RTT per
-synchronous call AND pipelines/caches queued identical calls, so naive
-timings are wrong in both directions.  Each measurement therefore CHAINS
-launches — iteration i+1's input is perturbed by iteration i's scalar
-output — forcing every launch to really execute on device, while a single
-final block keeps per-call RTT out of the measurement.
+Timing methodology: every external timing scheme through this transport
+(queued, chained-across-launches, per-call synced) reads falsely fast for
+short launches, and value fetches can add multi-second flat overheads.
+All measurements therefore run the workload N times INSIDE one jit via
+lax.scan with a serially-dependent carry (forcing real sequential device
+execution) and report the SLOPE between two different N — which cancels
+every fixed overhead.
 """
 
 from __future__ import annotations
@@ -26,21 +27,35 @@ import time
 import numpy as np
 
 
-def _chained_timeit(step, seed_args, iters: int = 30, warmup: int = 3):
-    """step(carry, *args) -> (carry, out); carry chains launches so none
-    can be deduplicated or elided. Returns seconds per launch."""
+def _diff_timeit(scalar_fn, o, inner=(2, 10), reps=2):
+    """Differential in-program timing: scalar_fn(o_perturbed) -> scalar is
+    run `inner[i]` times inside one jit (lax.scan, serially-dependent
+    carry); per-iteration time is the slope between the two walls.
+    Returns seconds per iteration."""
     import jax
     import jax.numpy as jnp
 
-    carry = jnp.zeros((), jnp.float32)
-    for _ in range(warmup):
-        carry, out = step(carry, *seed_args)
-    jax.block_until_ready(carry)
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        carry, out = step(carry, *seed_args)
-    jax.block_until_ready(carry)
-    return (time.perf_counter() - t0) / iters
+    def make(n):
+        @jax.jit
+        def many(o):
+            def body(carry, _):
+                s = scalar_fn(o + carry * 1e-4)
+                f = s * 1e-3
+                return f - jnp.floor(f), s
+            carry, ss = jax.lax.scan(body, jnp.zeros(()), None, length=n)
+            return ss.sum()
+        return many
+
+    def wall(fn):
+        float(fn(o))  # compile + warm (+ value fetch)
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            float(fn(o))
+        return (time.perf_counter() - t0) / reps
+
+    w1 = wall(make(inner[0]))
+    w2 = wall(make(inner[1]))
+    return max((w2 - w1) / (inner[1] - inner[0]), 1e-9)
 
 
 def _camera_ray_variants(width: int, height: int, n_variants: int = 4):
@@ -118,7 +133,7 @@ def bench_ray_march(width=800, height=800, res=8, inner=(4, 36)) -> dict:
     }
 
 
-def bench_render(width=800, height=800, res=64, samples=128, iters=6) -> dict:
+def bench_render(width=800, height=800, res=64, samples=128) -> dict:
     """Full-pipeline render throughput (march + field + composite) with a
     realistic occupancy grid derived from the analytic procedural field."""
     import jax
@@ -146,30 +161,22 @@ def bench_render(width=800, height=800, res=64, samples=128, iters=6) -> dict:
     (o, d, v), = _camera_ray_variants(width, height, n_variants=1)
     chunk = 32768
     n = width * height
+    mid = max(0, n // 2 - chunk // 2)  # center chunk: representative mix
+    o, d, v = o[mid:mid + chunk], d[mid:mid + chunk], v[mid:mid + chunk]
     renderer = make_grid_renderer(
         field, cfg.grid, cfg.sampler, cfg.render,
         strategy="march", compact=False,
     )
 
-    @jax.jit
-    def render_chunk(carry, params, o, d, v, occ):
-        rays = Rays(origins=o + carry * 1e-4, directions=d, viewdirs_tp=v)
-        rgb = renderer(params, rays, None, occ).rgb
-        s = rgb.sum()
-        return s - jnp.floor(s), s
+    def chunk_scalar(o2):
+        rays = Rays(origins=o2, directions=d, viewdirs_tp=v)
+        return renderer(params, rays, None, occ).rgb.sum()
 
-    def frame(carry, o, d, v):
-        out = None
-        for i in range(0, n - chunk + 1, chunk):
-            carry, out = render_chunk(
-                carry, params, o[i:i + chunk], d[i:i + chunk], v[i:i + chunk], occ
-            )
-        return carry, out
-
-    dt = _chained_timeit(frame, (o, d, v), iters=iters, warmup=2)
-    n_eff = (n // chunk) * chunk
+    dt_chunk = _diff_timeit(chunk_scalar, o)
+    n_chunks = -(-n // chunk)
+    dt = dt_chunk * n_chunks  # per 800x800 frame
     return {
-        "render_mrays_per_sec": n_eff / dt / 1e6,
+        "render_mrays_per_sec": chunk / dt_chunk / 1e6,
         "fps_800x800": (1.0 / dt) if (width, height) == (800, 800) else None,
         "occupancy_frac": occ_frac,
         "samples_per_ray": samples,
@@ -177,7 +184,7 @@ def bench_render(width=800, height=800, res=64, samples=128, iters=6) -> dict:
     }
 
 
-def bench_fused_render(width=800, height=800, res=64, samples=128, iters=6) -> dict:
+def bench_fused_render(width=800, height=800, res=64, samples=128) -> dict:
     """Fused Pallas kernel render throughput (march+encode+MLP+composite
     in one kernel, early termination + empty-tile skipping) with the
     realistic analytic-scene occupancy grid."""
@@ -204,30 +211,25 @@ def bench_fused_render(width=800, height=800, res=64, samples=128, iters=6) -> d
     S = samples
     fused = make_fused_renderer(cfg.field_, cfg.grid, b_tile=128, sc=32)
 
-    @jax.jit
-    def render_chunk(carry, o, d, v):
-        o = o + carry * 1e-4
-        te, tx = ray_aabb(o, d, cfg.grid.aabb_min, cfg.grid.aabb_max)
+    mid = max(0, n // 2 - chunk // 2)  # center chunk: representative mix
+    o, d, v = o[mid:mid + chunk], d[mid:mid + chunk], v[mid:mid + chunk]
+
+    def chunk_scalar(o2):
+        te, tx = ray_aabb(o2, d, cfg.grid.aabb_min, cfg.grid.aabb_max)
         te = jnp.maximum(te, 0.05)
         tx = jnp.maximum(tx, te)
         dt = (tx - te) / S
         t = te[:, None] + (jnp.arange(S, dtype=jnp.float32) + 0.5) * dt[:, None]
-        pts = sample_positions(o, d, t)
+        pts = sample_positions(o2, d, t)
         mask = ((tx > te)[:, None] & occupancy_lookup(pts, occ3, cfg.grid))
-        out = fused(params, pack_rays(o, d, v, te, dt), mask.astype(jnp.float32))
-        s = out[:, 3].sum()
-        return s - jnp.floor(s), s
+        out = fused(params, pack_rays(o2, d, v, te, dt), mask.astype(jnp.float32))
+        return out[:, 3].sum()
 
-    def frame(carry, o, d, v):
-        out = None
-        for i in range(0, n - chunk + 1, chunk):
-            carry, out = render_chunk(carry, o[i:i + chunk], d[i:i + chunk], v[i:i + chunk])
-        return carry, out
-
-    dt = _chained_timeit(frame, (o, d, v), iters=iters, warmup=2)
-    n_eff = (n // chunk) * chunk
+    dt_chunk = _diff_timeit(chunk_scalar, o)
+    n_chunks = -(-n // chunk)
+    dt = dt_chunk * n_chunks
     return {
-        "fused_mrays_per_sec": n_eff / dt / 1e6,
+        "fused_mrays_per_sec": chunk / dt_chunk / 1e6,
         "fused_fps_800x800": (1.0 / dt) if (width, height) == (800, 800) else None,
     }
 
