@@ -75,3 +75,48 @@ def test_t_final_gradient_path(data):
     T_final = np.exp(-np.sum(np.asarray(sigma * deltas * mask), axis=1))
     expect = -np.asarray(deltas) * np.asarray(mask) * T_final[:, None]
     np.testing.assert_allclose(gn, expect, atol=1e-6)
+
+
+def test_renderer_with_pallas_compositor_matches_and_trains():
+    """render.pallas_compositor=true must match the jnp compositor and
+    produce identical gradients through a training-style loss."""
+    import jax
+
+    from tnerf.cameras import Rays, viewdirs_to_thetaphi
+    from tnerf.config import Config
+    from tnerf.fields.nerf_field import NeRFField
+    from tnerf.grid.occupancy import init_occupancy
+    from tnerf.render.grid_renderer import make_grid_renderer
+
+    cfg = Config().apply_overrides([
+        "field_.hidden_width=32", "field_.hidden_layers=2", "field_.n_frequencies=4",
+        "sampler.samples_per_ray=128", "grid.resolution=8",
+    ])
+    cfg_p = cfg.apply_overrides(["render.pallas_compositor=true"])
+    field = NeRFField(cfg.field_, cfg.grid)
+    params = field.init(jax.random.PRNGKey(0))
+    rng = np.random.default_rng(5)
+    oo = rng.uniform(-1, 1, (32, 3))
+    oo = oo / np.linalg.norm(oo, axis=-1, keepdims=True) * 2.5
+    dd = -oo / np.linalg.norm(oo, axis=-1, keepdims=True)
+    rays = Rays(jnp.asarray(oo, jnp.float32), jnp.asarray(dd, jnp.float32),
+                viewdirs_to_thetaphi(jnp.asarray(dd, jnp.float32)))
+    occ = init_occupancy(cfg.grid).bitfield
+    r_jnp = make_grid_renderer(field, cfg.grid, cfg.sampler, cfg.render,
+                               strategy="march", compact=False)
+    r_pal = make_grid_renderer(field, cfg_p.grid, cfg_p.sampler, cfg_p.render,
+                               strategy="march", compact=False)
+    out_j = r_jnp(params, rays, None, occ)
+    out_p = r_pal(params, rays, None, occ)
+    np.testing.assert_allclose(np.asarray(out_p.rgb), np.asarray(out_j.rgb), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out_p.acc), np.asarray(out_j.acc), atol=1e-5)
+
+    gt = jax.random.uniform(jax.random.PRNGKey(1), (32, 3))
+
+    def loss(p, rend):
+        return jnp.mean((rend(p, rays, None, occ).rgb - gt) ** 2)
+
+    g_j = jax.grad(lambda p: loss(p, r_jnp))(params)
+    g_p = jax.grad(lambda p: loss(p, r_pal))(params)
+    for a, b in zip(jax.tree.leaves(g_j), jax.tree.leaves(g_p)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)

@@ -157,6 +157,10 @@ class RenderConfig:
     # Compaction buffer capacity as a fraction of batch*samples;
     # overflowing samples are dropped.
     compact_fraction: float = 0.25
+    # Composite with the Pallas transmittance-scan kernel (exact custom
+    # VJP) instead of the jnp cumsum compositor. Numerically equivalent;
+    # runs interpreted on CPU.
+    pallas_compositor: bool = False
     # Transmittance below this is treated as terminated (early ray
     # termination, expressed as masking on TPU).
     transmittance_threshold: float = 1e-4
