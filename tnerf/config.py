@@ -188,6 +188,10 @@ class TrainConfig:
     lr_final_fraction: float = 1.0
     weight_decay: float = 0.0
     seed: int = 1337
+    # Ray batching: "random" = iid with replacement; "epoch" = device-side
+    # permutation of all pixels sliced per step (the reference's epoch
+    # shuffle, main.cu:615, minus its D11 ragged-batch overrun).
+    shuffle: str = "random"
     eval_every: int = 500
     checkpoint_every: int = 1000
     checkpoint_dir: str = "./checkpoints"

@@ -87,11 +87,37 @@ class PixelSampler:
 
     @partial(jax.jit, static_argnames=("self", "batch_size"))
     def sample(self, key: jax.Array, batch_size: int) -> RayBatch:
+        """IID pixel draw with replacement (standard NeRF training)."""
         k_img, k_x, k_y = jax.random.split(key, 3)
         n = self.images.shape[0]
         img = jax.random.randint(k_img, (batch_size,), 0, n)
         x = jax.random.randint(k_x, (batch_size,), 0, self.width)
         y = jax.random.randint(k_y, (batch_size,), 0, self.height)
+        return self._gather(img, x, y)
+
+    @partial(jax.jit, static_argnames=("self", "batch_size"))
+    def sample_epoch(
+        self, epoch_key: jax.Array, step_in_epoch: jnp.ndarray, batch_size: int
+    ) -> RayBatch:
+        """Epoch-shuffled batching without replacement: a device-side
+        permutation of ALL pixels, sliced per step — the reference's
+        `std::random_shuffle` over its ray-payload vector (main.cu:615)
+        without the host round-trip, and without its ragged-final-batch
+        overrun (D11: batches wrap around the permutation instead)."""
+        n_img = self.images.shape[0]
+        total = n_img * self.height * self.width
+        perm = jax.random.permutation(epoch_key, total)
+        start = (step_in_epoch * batch_size) % total
+        idx = jax.lax.dynamic_slice_in_dim(
+            jnp.concatenate([perm, perm[:batch_size]]), start, batch_size
+        )
+        img = idx // (self.height * self.width)
+        rem = idx % (self.height * self.width)
+        y = rem // self.width
+        x = rem % self.width
+        return self._gather(img, x, y)
+
+    def _gather(self, img, x, y) -> RayBatch:
         gt = self.images[img, y, x]
         poses = self.poses[img]
         pix = jnp.stack([x.astype(jnp.float32), y.astype(jnp.float32)], axis=-1)

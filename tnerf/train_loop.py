@@ -152,10 +152,20 @@ def run_training(
     rays_per_step = cfg.train.batch_size
     final_metrics: Dict[str, float] = {}
     with maybe_profile(cfg.logging.profile, os.path.join(out_dir, "profile")):
+        n_pixels = len(train_ds) * train_ds.height * train_ds.width
+        steps_per_epoch = max(1, n_pixels // rays_per_step)
         for step in range(start_step, cfg.train.steps):
             key, k_batch, k_render, k_occ = jax.random.split(key, 4)
             with step_timer() as t:
-                batch = sampler.sample(k_batch, rays_per_step)
+                if cfg.train.shuffle == "epoch":
+                    epoch = step // steps_per_epoch
+                    batch = sampler.sample_epoch(
+                        jax.random.fold_in(jax.random.PRNGKey(cfg.train.seed), epoch),
+                        jnp.asarray(step % steps_per_epoch),
+                        rays_per_step,
+                    )
+                else:
+                    batch = sampler.sample(k_batch, rays_per_step)
                 bits = occ.bitfield if occ is not None else None
                 state, aux = train_step(state, batch, k_render, bits)
                 if (
