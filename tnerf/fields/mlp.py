@@ -11,8 +11,6 @@ stored fp32, matmuls run in bf16 with fp32 accumulation
 
 from __future__ import annotations
 
-from typing import Sequence
-
 import jax
 import jax.numpy as jnp
 

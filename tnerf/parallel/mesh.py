@@ -16,13 +16,13 @@ analog, samples-per-ray, is bounded and tiled in VMEM instead (SURVEY §5).
 
 from __future__ import annotations
 
-from typing import Optional
+
 
 import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from tnerf.train import RayBatch, TrainState
+from tnerf.train import RayBatch
 
 
 def make_mesh(n_devices: int = -1, axis_name: str = "data") -> Mesh:

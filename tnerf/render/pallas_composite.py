@@ -28,7 +28,7 @@ tiled by B_TILE).
 from __future__ import annotations
 
 import functools
-from typing import Optional
+
 
 import jax
 import jax.numpy as jnp

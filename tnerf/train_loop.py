@@ -29,7 +29,6 @@ from tnerf.render.grid_renderer import make_grid_renderer
 from tnerf.render.renderer import make_uniform_renderer
 from tnerf.train import (
     PixelSampler,
-    TrainState,
     create_optimizer,
     init_train_state,
     make_train_step,
