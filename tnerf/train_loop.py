@@ -65,7 +65,8 @@ def build_renderer(cfg: Config, field: NeRFField, compact: Optional[bool] = None
         from tnerf.render.pallas_fused import make_fused_pipeline_renderer
 
         return make_fused_pipeline_renderer(
-            cfg.field_, cfg.grid, cfg.sampler, cfg.render
+            cfg.field_, cfg.grid, cfg.sampler, cfg.render,
+            interpret=jax.devices()[0].platform != "tpu",
         )
     raise ValueError(f"unknown render pipeline {p!r}")
 
