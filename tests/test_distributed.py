@@ -79,3 +79,23 @@ def test_dp_multiple_steps_stay_in_sync(setup):
     np.testing.assert_allclose(
         float(aux["loss"]), float(aux_dp["loss"]), rtol=1e-4
     )
+
+
+def test_dp_render_sharded_matches_single(setup):
+    """Sharded full-image rendering (eval-time DP) must match the
+    unsharded renderer."""
+    from tnerf.parallel.mesh import dp_render_sharded, make_mesh, replicate
+
+    cfg, renderer, optimizer, state, sampler = setup
+    mesh = make_mesh()
+    key = jax.random.PRNGKey(2)
+    batch = sampler.sample(key, 512)  # 512 rays: divisible by 8 devices
+    want = renderer(state.params, batch.rays, None, None)
+    dp = dp_render_sharded(renderer, mesh)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    rays_s = jax.device_put(batch.rays, NamedSharding(mesh, P("data")))
+    got = dp(replicate(state.params, mesh), rays_s, None, None)
+    # separate compilations fuse differently: bf16-matmul-level tolerance
+    np.testing.assert_allclose(np.asarray(got.rgb), np.asarray(want.rgb), atol=1e-3)
+    np.testing.assert_allclose(np.asarray(got.acc), np.asarray(want.acc), atol=1e-3)
