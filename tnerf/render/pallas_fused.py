@@ -141,6 +141,8 @@ def _pack_params(
     perm = _feature_permutation(cfg)
     W_layers, B_layers = [], []
     for l, (w, b) in enumerate(zip(ws, bs)):
+        w = jnp.asarray(w)  # checkpoints restore as numpy; .at needs jnp
+        b = jnp.asarray(b)
         wi, wo = w.shape
         if wi > LANES or wo > LANES:
             raise ValueError(
