@@ -157,6 +157,30 @@ def test_epoch_sampler_covers_all_pixels_once():
     assert len(np.unique(flat)) == total  # every pixel exactly once
 
 
+def test_run_training_data_parallel(tmp_path, scene):
+    """run_training itself on the 8-device CPU mesh: ParallelConfig consumed
+    end-to-end (sharded batches, replicated params, DP eval rendering)."""
+    import jax
+
+    assert len(jax.devices()) >= 8
+    cfg = _cfg(str(tmp_path / "dp_run")).apply_overrides([
+        "parallel.data_parallel=8",
+        "train.steps=20", "train.eval_every=10", "train.checkpoint_every=20",
+    ])
+    m = run_training(cfg, datasets=scene)
+    assert np.isfinite(m["psnr_test"])
+    found = latest_checkpoint(str(tmp_path / "dp_run" / "checkpoints"))
+    assert found is not None and found[0] == 20
+
+
+def test_run_training_dp_rejects_indivisible_batch(tmp_path, scene):
+    cfg = _cfg(str(tmp_path / "dp_bad")).apply_overrides([
+        "parallel.data_parallel=8", "train.batch_size=250",
+    ])
+    with pytest.raises(ValueError, match="not divisible"):
+        run_training(cfg, datasets=scene)
+
+
 def test_epoch_training_mode_runs(tmp_path, scene):
     cfg = _cfg(str(tmp_path / "epoch_run")).apply_overrides([
         "train.shuffle=epoch", "train.steps=12", "train.checkpoint_every=0",

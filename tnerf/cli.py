@@ -123,15 +123,24 @@ def main(argv=None) -> int:
         srgb_to_linear=cfg.scene.srgb_to_linear, downscale=cfg.scene.downscale,
     )
 
+    # Multi-device eval rendering: shard rays across a data-parallel mesh
+    # when more than one device is visible (same layout as training DP).
+    mesh = None
+    n_dp = cfg.parallel.data_parallel
+    n_dp = len(jax.devices()) if n_dp == -1 else n_dp
+    if n_dp > 1:
+        from tnerf.parallel.mesh import make_mesh
+
+        mesh = make_mesh(n_dp, cfg.parallel.axis_name)
+
     if args.cmd == "render":
         from tnerf.data.png_io import write_png
         from tnerf.eval import render_dataset_view
 
         ds = datasets[args.split]
-        rend = lambda p, r, k=None, o=None: renderer(p, r, k, bits)
         img = render_dataset_view(
-            rend, state.params, ds, args.pose_index, cfg.scene.scene_scale,
-            chunk_size=cfg.render.chunk_size,
+            renderer, state.params, ds, args.pose_index, cfg.scene.scene_scale,
+            chunk_size=cfg.render.chunk_size, occupancy=bits, mesh=mesh,
         )
         write_png(args.out, img)
         print(f"wrote {args.out}")
@@ -140,15 +149,14 @@ def main(argv=None) -> int:
     # eval
     from tnerf.eval import evaluate
 
-    rend = lambda p, r, k=None, o=None: renderer(p, r, k, bits)
     out = {}
     for split in ("val", "test"):
         if split in datasets:
             out.update(
                 evaluate(
-                    rend, state.params, datasets[split], cfg.scene.scene_scale,
+                    renderer, state.params, datasets[split], cfg.scene.scene_scale,
                     white_background=cfg.scene.white_background,
-                    chunk_size=cfg.render.chunk_size,
+                    chunk_size=cfg.render.chunk_size, occupancy=bits, mesh=mesh,
                 )
             )
     print(json.dumps(out, indent=2))
@@ -198,12 +206,11 @@ def _run_suite(cfg, scenes) -> int:
         _, payload = restored
         state, occ = payload if occ is not None else (payload, None)
         bits = occ.bitfield if occ is not None else None
-        rend = lambda p, r, k=None, o=None: renderer(p, r, k, bits)
         results[scene] = evaluate(
-            rend, state.params, datasets["test"], scfg.scene.scene_scale,
+            renderer, state.params, datasets["test"], scfg.scene.scene_scale,
             white_background=scfg.scene.white_background,
             save_dir=os.path.join(scfg.logging.out_dir, "suite_renders"),
-            chunk_size=scfg.render.chunk_size,
+            chunk_size=scfg.render.chunk_size, occupancy=bits,
         )
         print(f"{scene}: {results[scene]}", file=sys.stderr)
     if results:

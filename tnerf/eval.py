@@ -56,6 +56,8 @@ def render_dataset_view(
     index: int,
     scene_scale: float,
     chunk_size: int = 65536,
+    occupancy=None,
+    mesh=None,
 ) -> np.ndarray:
     rays = camera_rays(
         jax.numpy.asarray(dataset.poses[index]),
@@ -64,7 +66,10 @@ def render_dataset_view(
         dataset.focal,
         scene_scale,
     )
-    res = render_image(renderer, params, rays, chunk_size=chunk_size)
+    res = render_image(
+        renderer, params, rays, chunk_size=chunk_size,
+        occupancy=occupancy, mesh=mesh,
+    )
     return np.asarray(jax.device_get(res.rgb))
 
 
@@ -77,6 +82,8 @@ def evaluate(
     max_views: Optional[int] = None,
     save_dir: Optional[str] = None,
     chunk_size: int = 65536,
+    occupancy=None,
+    mesh=None,
 ) -> Dict[str, float]:
     """Mean PSNR over (up to max_views of) a split; optionally save PNGs."""
     gt = dataset.composited(white_background)
@@ -85,7 +92,10 @@ def evaluate(
         os.makedirs(save_dir, exist_ok=True)
     psnrs, ssims = [], []
     for i in range(n):
-        pred = render_dataset_view(renderer, params, dataset, i, scene_scale, chunk_size)
+        pred = render_dataset_view(
+            renderer, params, dataset, i, scene_scale, chunk_size,
+            occupancy=occupancy, mesh=mesh,
+        )
         psnrs.append(psnr(pred, gt[i]))
         ssims.append(ssim(pred, gt[i]))
         if save_dir:

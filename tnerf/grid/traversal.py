@@ -234,8 +234,11 @@ def tightened_range(
     Probes `probes` points along the slab span against the occupancy
     bitfield and returns the [first, last] occupied t padded by one probe
     step + one cell diagonal (so no occupied cell between probes is
-    missed).  Rays hitting nothing collapse to an empty range (t0 == t1),
-    which downstream sampling masks out entirely.
+    missed).  Rays where NO probe hits keep the untightened
+    [t_enter, t_exit]: an occupied sliver thinner than the probe spacing
+    could lie entirely between probes, and collapsing the range would
+    silently drop it; the fallback costs nothing (the per-ray sample
+    count is fixed and unoccupied samples are masked downstream).
 
     This concentrates the fixed per-ray sample budget on the object
     instead of the whole scene box — the sample-efficiency half of what
@@ -255,7 +258,7 @@ def tightened_range(
     pad = span / probes + cell_diag
     hit = t_last >= t_first  # any occupied probe
     t0 = jnp.where(hit, jnp.maximum(t_first - pad, t_enter), t_enter)
-    t1 = jnp.where(hit, jnp.minimum(t_last + pad, t_exit), t_enter)
+    t1 = jnp.where(hit, jnp.minimum(t_last + pad, t_exit), t_exit)
     return t0, t1
 
 

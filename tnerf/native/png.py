@@ -16,6 +16,10 @@ import numpy as np
 _LIB = None
 _TRIED = False
 
+# Reject absurd header dimensions before allocating (a corrupt/malicious
+# IHDR could otherwise trigger a multi-GB np.empty before any validation).
+MAX_DIM = 32768
+
 
 def _lib():
     global _LIB, _TRIED
@@ -24,7 +28,16 @@ def _lib():
     _TRIED = True
     so = os.path.join(os.path.dirname(__file__), "libtnerf_native.so")
     if not os.path.exists(so):
-        return None
+        # Build on first use (the .so is deliberately not checked in);
+        # failure is fine — callers fall back to PIL.
+        try:
+            from tnerf.native.build import build
+
+            build(verbose=False)
+        except Exception:
+            return None
+        if not os.path.exists(so):
+            return None
     try:
         lib = ctypes.CDLL(so)
         lib.tnerf_png_info.argtypes = [
@@ -69,6 +82,8 @@ def decode(path: str) -> Optional[np.ndarray]:
     h = ctypes.c_uint32()
     if lib.tnerf_png_info(path.encode(), ctypes.byref(w), ctypes.byref(h)) != 0:
         return None
+    if not (0 < w.value <= MAX_DIM and 0 < h.value <= MAX_DIM):
+        return None
     out = np.empty((h.value, w.value, 4), np.uint8)
     rc = lib.tnerf_png_decode(
         path.encode(),
@@ -89,6 +104,8 @@ def decode_batch(
     w = ctypes.c_uint32()
     h = ctypes.c_uint32()
     if lib.tnerf_png_info(paths[0].encode(), ctypes.byref(w), ctypes.byref(h)) != 0:
+        return None
+    if not (0 < w.value <= MAX_DIM and 0 < h.value <= MAX_DIM):
         return None
     n = len(paths)
     out = np.empty((n, h.value, w.value, 4), np.uint8)

@@ -95,7 +95,6 @@ class PixelSampler:
         y = jax.random.randint(k_y, (batch_size,), 0, self.height)
         return self._gather(img, x, y)
 
-    @partial(jax.jit, static_argnames=("self", "batch_size"))
     def sample_epoch(
         self, epoch_key: jax.Array, step_in_epoch: jnp.ndarray, batch_size: int
     ) -> RayBatch:
@@ -103,14 +102,32 @@ class PixelSampler:
         permutation of ALL pixels, sliced per step — the reference's
         `std::random_shuffle` over its ray-payload vector (main.cu:615)
         without the host round-trip, and without its ragged-final-batch
-        overrun (D11: batches wrap around the permutation instead)."""
-        n_img = self.images.shape[0]
-        total = n_img * self.height * self.width
-        perm = jax.random.permutation(epoch_key, total)
+        overrun (D11: batches wrap around the permutation instead).
+
+        The O(N log N) permutation is computed ONCE per epoch (cached on
+        the epoch key) — the per-step work is a B-element modular gather,
+        not a re-shuffle of all N pixels."""
+        perm = self._epoch_perm(epoch_key)
+        return self._slice_perm(perm, step_in_epoch, batch_size)
+
+    def _epoch_perm(self, epoch_key: jax.Array) -> jax.Array:
+        kb = np.asarray(jax.random.key_data(epoch_key)).tobytes()
+        if getattr(self, "_perm_cache_key", None) != kb:
+            n_img = self.images.shape[0]
+            total = n_img * self.height * self.width
+            self._perm_cache = jax.jit(
+                jax.random.permutation, static_argnums=1
+            )(epoch_key, total)
+            self._perm_cache_key = kb
+        return self._perm_cache
+
+    @partial(jax.jit, static_argnames=("self", "batch_size"))
+    def _slice_perm(
+        self, perm: jax.Array, step_in_epoch: jnp.ndarray, batch_size: int
+    ) -> RayBatch:
+        total = perm.shape[0]
         start = (step_in_epoch * batch_size) % total
-        idx = jax.lax.dynamic_slice_in_dim(
-            jnp.concatenate([perm, perm[:batch_size]]), start, batch_size
-        )
+        idx = perm[(start + jnp.arange(batch_size)) % total]
         img = idx // (self.height * self.width)
         rem = idx % (self.height * self.width)
         y = rem // self.width

@@ -25,6 +25,12 @@ from tnerf.grid.occupancy import (
     occupancy_fraction,
     update_occupancy,
 )
+from tnerf.parallel.mesh import (
+    make_dp_train_step,
+    make_mesh,
+    replicate,
+    shard_batch,
+)
 from tnerf.render.grid_renderer import make_grid_renderer
 from tnerf.render.renderer import make_uniform_renderer
 from tnerf.train import (
@@ -47,6 +53,13 @@ def build_renderer(cfg: Config, field: NeRFField, compact: Optional[bool] = None
     (training uses a dense variant while the occupancy grid is still
     dense, switching to the compacted variant once it has pruned —
     see run_training)."""
+    if cfg.scene.white_background != cfg.render.white_background:
+        raise ValueError(
+            "scene.white_background and render.white_background disagree "
+            f"({cfg.scene.white_background} vs {cfg.render.white_background}): "
+            "GT pixels would be composited over a different background than "
+            "the renderer adds — set both to the same value"
+        )
     p = cfg.render.pipeline
     if p == "uniform":
         return make_uniform_renderer(field, cfg.sampler, cfg.render)
@@ -126,6 +139,22 @@ def run_training(
                 state = payload
             log.info("resumed from step %d", start_step)
 
+    # --- data-parallel mesh (SURVEY §2.4: shard rays, replicate params,
+    # XLA all-reduces grads over ICI from the sharding constraints) -------
+    n_avail = len(jax.devices())
+    n_dp = cfg.parallel.data_parallel
+    n_dp = n_avail if n_dp == -1 else n_dp
+    mesh = None
+    if n_dp > 1:
+        if cfg.train.batch_size % n_dp != 0:
+            raise ValueError(
+                f"train.batch_size={cfg.train.batch_size} not divisible by "
+                f"parallel.data_parallel={n_dp}"
+            )
+        mesh = make_mesh(n_dp, cfg.parallel.axis_name)
+        log.info("data-parallel over %d devices (axis=%s)", n_dp,
+                 cfg.parallel.axis_name)
+
     sampler = PixelSampler(train_ds, cfg.scene.scene_scale, cfg.scene.white_background)
     step_dense = make_train_step(renderer_dense, optimizer, remat=cfg.train.remat)
     step_compact = (
@@ -133,6 +162,13 @@ def run_training(
         if use_grid and cfg.render.compact
         else step_dense
     )
+    if mesh is not None:
+        dp = lambda s: make_dp_train_step(
+            s, mesh, cfg.parallel.axis_name, with_occupancy=use_grid
+        )
+        wrapped_dense = dp(step_dense)
+        step_compact = wrapped_dense if step_compact is step_dense else dp(step_compact)
+        step_dense = wrapped_dense
     train_step = step_dense
     # switch to the compacted step once occupied cells fit the capacity
     # with ~40% headroom (sample hit-rate tracks cell occupancy loosely)
@@ -149,6 +185,13 @@ def run_training(
             )
 
     key = jax.random.PRNGKey(cfg.train.seed + 1)
+    if mesh is not None:
+        # Params/opt-state/occupancy/keys replicated across the mesh; the
+        # only sharded axis is rays (per-step shard_batch below).
+        state = replicate(state, mesh)
+        key = replicate(key, mesh)
+        if occ is not None:
+            occ = replicate(occ, mesh)
     rays_per_step = cfg.train.batch_size
     final_metrics: Dict[str, float] = {}
     with maybe_profile(cfg.logging.profile, os.path.join(out_dir, "profile")):
@@ -166,8 +209,11 @@ def run_training(
                     )
                 else:
                     batch = sampler.sample(k_batch, rays_per_step)
+                if mesh is not None:
+                    batch = shard_batch(batch, mesh, cfg.parallel.axis_name)
                 bits = occ.bitfield if occ is not None else None
-                state, aux = train_step(state, batch, k_render, bits)
+                step_args = (state, batch, k_render) + ((bits,) if use_grid else ())
+                state, aux = train_step(*step_args)
                 if (
                     use_grid
                     and step >= cfg.grid.warmup_steps
@@ -203,7 +249,10 @@ def run_training(
                 log.warning("non-finite loss at step %d (update was skipped)", step)
 
             if cfg.train.eval_every and (step + 1) % cfg.train.eval_every == 0:
-                final_metrics.update(_eval(cfg, renderer, state, occ, datasets, step, log, metrics))
+                final_metrics.update(
+                    _eval(cfg, renderer, state, occ, datasets, step, log, metrics,
+                          mesh=mesh)
+                )
 
             if cfg.train.checkpoint_every and (step + 1) % cfg.train.checkpoint_every == 0:
                 payload = (state, occ) if occ is not None else state
@@ -213,16 +262,16 @@ def run_training(
     save_checkpoint(ckpt_dir, cfg.train.steps, payload)
     final_metrics.update(
         _eval(cfg, renderer, state, occ, datasets, cfg.train.steps, log, metrics,
-              save_images=True)
+              save_images=True, mesh=mesh)
     )
     metrics.close()
     return final_metrics
 
 
-def _eval(cfg, renderer, state, occ, datasets, step, log, metrics, save_images=False):
+def _eval(cfg, renderer, state, occ, datasets, step, log, metrics,
+          save_images=False, mesh=None):
     out: Dict[str, float] = {}
     bits = occ.bitfield if occ is not None else None
-    rend = lambda p, r, k=None, o=None: renderer(p, r, k, bits)
     for split in ("val", "test"):
         if split not in datasets or len(datasets[split]) == 0:
             continue
@@ -230,10 +279,11 @@ def _eval(cfg, renderer, state, occ, datasets, step, log, metrics, save_images=F
             os.path.join(cfg.logging.out_dir, f"renders_{step}") if save_images else None
         )
         m = evaluate(
-            rend, state.params, datasets[split], cfg.scene.scene_scale,
+            renderer, state.params, datasets[split], cfg.scene.scene_scale,
             white_background=cfg.scene.white_background,
             max_views=None if save_images else 2,
             save_dir=save_dir, chunk_size=cfg.render.chunk_size,
+            occupancy=bits, mesh=mesh,
         )
         out.update(m)
         log.info("eval step %d: %s", step, m)

@@ -1,10 +1,10 @@
 """Checkpoint / resume (SURVEY §5: the reference has none — params live
 only in a flat GPU buffer, main.cu:328-342, and die with the process).
 
-Saves params + optimizer state + occupancy grid + step counter via
-orbax-checkpoint when available, falling back to a self-contained
-numpy-npz writer (same API) so checkpointing never depends on optional
-packages.
+Saves params + optimizer state + occupancy grid + step counter with a
+self-contained numpy-npz writer (step_<N>.npz + treedef.json) — no
+dependency on optional checkpoint packages; any pytree round-trips
+against a structural template.
 """
 
 from __future__ import annotations
