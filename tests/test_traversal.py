@@ -196,3 +196,70 @@ def test_tightened_march_renders_same_as_full_range():
                                atol=0.02)
     np.testing.assert_allclose(np.asarray(r_tight.acc), np.asarray(r_full.acc),
                                atol=0.02)
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+@pytest.mark.parametrize("res,factor", [(16, 4), (32, 8)])
+def test_twolevel_matches_flat_traversal(seed, res, factor):
+    """traverse_grid_twolevel must emit exactly the occupied-cell interval
+    set of the flat occupancy-masked walk (same cells, same t's, same
+    order), only skipping coarse-empty space faster."""
+    from tnerf.grid.traversal import traverse_grid_twolevel
+
+    grid = GridConfig(resolution=res)
+    rng = np.random.default_rng(seed)
+    n_rays = 48
+    o = rng.uniform(-3, 3, (n_rays, 3))
+    o = o / np.linalg.norm(o, axis=-1, keepdims=True) * 2.5
+    target = rng.uniform(-1.2, 1.2, (n_rays, 3))
+    d = target - o
+    d = (d / np.linalg.norm(d, axis=-1, keepdims=True)).astype(np.float32)
+    o = o.astype(np.float32)
+
+    occ = rng.uniform(0, 1, (res, res, res)) < 0.08
+
+    flat = traverse_grid(
+        jnp.asarray(o), jnp.asarray(d), grid, occupancy=jnp.asarray(occ),
+        max_hits=3 * res,
+    )
+    two = traverse_grid_twolevel(
+        jnp.asarray(o), jnp.asarray(d), grid, jnp.asarray(occ),
+        coarse_factor=factor, max_hits=3 * res,
+    )
+    for r in range(n_rays):
+        fm = np.asarray(flat.mask[r])
+        tm = np.asarray(two.mask[r])
+        f_cells = np.asarray(flat.cells[r])[fm]
+        t_cells = np.asarray(two.cells[r])[tm]
+        np.testing.assert_array_equal(f_cells, t_cells)
+        np.testing.assert_allclose(
+            np.asarray(flat.t_starts[r])[fm], np.asarray(two.t_starts[r])[tm],
+            atol=3e-4,
+        )
+        np.testing.assert_allclose(
+            np.asarray(flat.t_ends[r])[fm], np.asarray(two.t_ends[r])[tm],
+            atol=3e-4,
+        )
+
+
+def test_twolevel_skips_in_fewer_steps():
+    """With a single occupied corner, the two-level walk must cover the
+    grid within a small step budget (coarse jumps), where the flat walk
+    would need 3*res steps."""
+    from tnerf.grid.traversal import traverse_grid_twolevel
+
+    res = 64
+    grid = GridConfig(resolution=res)
+    occ = np.zeros((res, res, res), bool)
+    occ[-8:, -8:, -8:] = True  # one occupied coarse cell at the far corner
+    # diagonal ray from the near corner
+    o = jnp.asarray([[-2.0, -2.0, -2.0]], jnp.float32)
+    d = jnp.asarray([[1.0, 1.0, 1.0]], jnp.float32) / np.sqrt(3.0)
+    two = traverse_grid_twolevel(
+        o, d, grid, jnp.asarray(occ), coarse_factor=8,
+        max_hits=64, steps=40,  # << 3*64=192 the flat walk would need
+    )
+    cells = np.asarray(two.cells[0])[np.asarray(two.mask[0])]
+    assert len(cells) >= 8  # walked the occupied corner's diagonal cells
+    flat_ids = np.asarray(np.nonzero(occ.reshape(-1))[0])
+    assert np.all(np.isin(cells, flat_ids))

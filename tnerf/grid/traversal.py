@@ -220,6 +220,152 @@ def march_samples_t(
     return t, deltas
 
 
+def make_coarse_occupancy(occupancy: jnp.ndarray, factor: int) -> jnp.ndarray:
+    """Max-pool a [res]^3 bitfield by `factor` per axis: a coarse cell is
+    occupied iff ANY of its factor^3 fine cells is."""
+    res = occupancy.shape[0]
+    if res % factor:
+        raise ValueError(f"resolution {res} not divisible by factor {factor}")
+    c = res // factor
+    return occupancy.reshape(c, factor, c, factor, c, factor).any(axis=(1, 3, 5))
+
+
+def traverse_grid_twolevel(
+    origins: jnp.ndarray,
+    directions: jnp.ndarray,
+    grid: GridConfig,
+    occupancy: jnp.ndarray,
+    coarse_factor: int = 8,
+    max_hits: Optional[int] = None,
+    steps: Optional[int] = None,
+) -> Intervals:
+    """Hierarchical DDA: fine Amanatides-Woo walk that JUMPS across
+    coarse-empty regions.
+
+    The scale problem with the flat walk: at res=128 a ray crosses up to
+    3*128 = 384 cells, and the lock-step scan pays every one of them even
+    though real NGP-style grids are ~90% empty.  Here a max-pooled
+    (res/coarse_factor)^3 bitfield is consulted each step: inside an
+    occupied coarse cell the walk advances one FINE cell (emitting its
+    interval); inside an empty coarse cell it advances straight to the
+    coarse cell's exit plane in ONE step.  Steps needed per ray drop from
+    3*res to (#coarse cells crossed + #fine cells inside occupied coarse
+    cells) — typically ~3-6x fewer at ~10% occupancy.  This is the
+    RT-core BVH's empty-space-skipping role at scale
+    (reference rtx/src/rtxFunctions.cpp:293-351) done TPU-style: a
+    branchless lane-parallel scan, occupancy consulted via one [B] gather
+    per step.
+
+    Carries only (t, ix, iy, iz); per-axis crossing t's are recomputed
+    from the indices each step (cheaper than carrying them: scan-carry
+    HBM round-trips dominate at 640K rays).  Emits intervals for fine
+    cells whose COARSE cell is occupied; the fine-grained occupancy mask
+    is applied to the emitted list exactly like the flat path.
+    """
+    res = grid.resolution
+    cres = res // coarse_factor
+    if res % coarse_factor:
+        raise ValueError(f"resolution {res} not divisible by coarse factor {coarse_factor}")
+    occ_coarse = make_coarse_occupancy(occupancy.reshape(res, res, res), coarse_factor)
+    H = max_hits if max_hits is not None else grid.effective_max_hits
+    n_steps = steps if steps is not None else min(H, 3 * res)
+
+    lo = jnp.asarray(grid.aabb_min, jnp.float32)
+    hi = jnp.asarray(grid.aabb_max, jnp.float32)
+    cell = (hi - lo) / res
+
+    batch_shape = origins.shape[:-1]
+    o = origins.reshape(-1, 3)
+    d = directions.reshape(-1, 3)
+
+    t_enter, t_exit = ray_aabb(o, d, lo, hi)
+    t_enter = jnp.maximum(t_enter, 0.0)
+    hit_box = t_exit > t_enter
+
+    d_safe = jnp.where(jnp.abs(d) < 1e-12, 1e-12, d)
+    inv_d = 1.0 / d_safe
+    step_sign = jnp.where(d_safe > 0, 1, -1).astype(jnp.int32)
+    pos_step = (step_sign > 0).astype(jnp.int32)
+
+    eps = 1e-6
+    p0 = o + d * (t_enter + eps)[..., None]
+    ijk0 = jnp.clip(jnp.floor((p0 - lo) / cell).astype(jnp.int32), 0, res - 1)
+
+    sx, sy, sz = step_sign[:, 0], step_sign[:, 1], step_sign[:, 2]
+    px, py, pz = pos_step[:, 0], pos_step[:, 1], pos_step[:, 2]
+    ivx, ivy, ivz = inv_d[:, 0], inv_d[:, 1], inv_d[:, 2]
+    dx, dy, dz = d_safe[:, 0], d_safe[:, 1], d_safe[:, 2]
+    ox, oy, oz = o[:, 0], o[:, 1], o[:, 2]
+    hx_, hy_, hz_ = cell[0], cell[1], cell[2]
+    lox, loy, loz = lo[0], lo[1], lo[2]
+    chx, chy, chz = hx_ * coarse_factor, hy_ * coarse_factor, hz_ * coarse_factor
+    occ_c_flat = occ_coarse.reshape(-1)
+
+    def body(carry, _):
+        t_cur, ix, iy, iz = carry
+        fix, fiy, fiz = ix.astype(jnp.float32), iy.astype(jnp.float32), iz.astype(jnp.float32)
+        txn = (lox + (fix + px) * hx_ - ox) * ivx
+        tyn = (loy + (fiy + py) * hy_ - oy) * ivy
+        tzn = (loz + (fiz + pz) * hz_ - oz) * ivz
+        t_fine = jnp.minimum(txn, jnp.minimum(tyn, tzn))
+
+        inb = (ix >= 0) & (ix < res) & (iy >= 0) & (iy < res) & (iz >= 0) & (iz < res)
+        cx, cy, cz = ix // coarse_factor, iy // coarse_factor, iz // coarse_factor
+        cflat = (cx * cres + cy) * cres + cz
+        c_occ = occ_c_flat[jnp.clip(cflat, 0, cres ** 3 - 1)] & inb
+        ctx = (lox + (cx + px).astype(jnp.float32) * chx - ox) * ivx
+        cty = (loy + (cy + py).astype(jnp.float32) * chy - oy) * ivy
+        ctz = (loz + (cz + pz).astype(jnp.float32) * chz - oz) * ivz
+        t_coarse = jnp.minimum(ctx, jnp.minimum(cty, ctz))
+        t_step = jnp.where(c_occ, t_fine, jnp.maximum(t_coarse, t_cur + eps))
+
+        valid = (jnp.minimum(t_step, t_exit) > t_cur + 1e-7) & hit_box & c_occ
+        flat = jnp.where(valid, (ix * res + iy) * res + iz, -1)
+        out = (t_cur, jnp.minimum(t_step, t_exit), flat, valid)
+
+        fx = c_occ & (txn <= tyn) & (txn <= tzn)
+        fy = c_occ & (~fx) & (tyn <= tzn)
+        fz = c_occ & (~fx) & (~fy)
+        # empty coarse cell: jump to its exit and re-derive indices there
+        tj = t_step + eps
+        jx = jnp.clip(jnp.floor((ox + dx * tj - lox) / hx_).astype(jnp.int32), -1, res)
+        jy = jnp.clip(jnp.floor((oy + dy * tj - loy) / hy_).astype(jnp.int32), -1, res)
+        jz = jnp.clip(jnp.floor((oz + dz * tj - loz) / hz_).astype(jnp.int32), -1, res)
+        nix = jnp.where(c_occ, jnp.where(fx, ix + sx, ix), jx)
+        niy = jnp.where(c_occ, jnp.where(fy, iy + sy, iy), jy)
+        niz = jnp.where(c_occ, jnp.where(fz, iz + sz, iz), jz)
+        return (jnp.maximum(t_cur, t_step), nix, niy, niz), out
+
+    init = (t_enter, ijk0[:, 0], ijk0[:, 1], ijk0[:, 2])
+    _, ys = jax.lax.scan(body, init, None, length=n_steps)
+    t0s, t1s, cells_, valid = ys
+    move = lambda a: jnp.moveaxis(a, 0, -1)
+    t_starts, t_ends, cells_, mask = move(t0s), move(t1s), move(cells_), move(valid)
+
+    occ = occupancy.reshape(-1).astype(bool)
+    mask = mask & occ[jnp.clip(cells_, 0, res ** 3 - 1)] & (cells_ >= 0)
+    cells_ = jnp.where(mask, cells_, -1)
+
+    if n_steps < H:
+        pad = H - n_steps
+        padf = lambda a, v: jnp.pad(a, ((0, 0), (0, pad)), constant_values=v)
+        t_starts, t_ends = padf(t_starts, 0.0), padf(t_ends, 0.0)
+        cells_, mask = padf(cells_, -1), padf(mask, False)
+    elif n_steps > H:
+        t_starts, t_ends = t_starts[:, :H], t_ends[:, :H]
+        cells_, mask = cells_[:, :H], mask[:, :H]
+
+    reshape = lambda a: a.reshape(*batch_shape, -1)
+    return Intervals(
+        t_starts=reshape(t_starts),
+        t_ends=reshape(t_ends),
+        cells=reshape(cells_),
+        mask=reshape(mask),
+        t_enter=t_enter.reshape(batch_shape),
+        t_exit=t_exit.reshape(batch_shape),
+    )
+
+
 def tightened_range(
     origins: jnp.ndarray,
     directions: jnp.ndarray,
