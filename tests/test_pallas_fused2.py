@@ -1,0 +1,161 @@
+"""Fused kernel v2 (pallas_fused2): forward parity, custom-VJP gradient
+parity against jax.grad of the jnp mirror, pipeline parity against the
+production XLA renderer, and training THROUGH the fused kernel — the
+tcnn-fused-backward capability (reference main.cu:781).  All in Pallas
+interpret mode on CPU (SURVEY §4 kernel-parity strategy)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from tnerf.config import Config
+from tnerf.render.pallas_fused2 import (
+    fused_reference_v2,
+    make_fused_pipeline_renderer_v2,
+    make_fused_trainable,
+)
+
+
+@pytest.fixture(scope="module")
+def workload():
+    rng = np.random.default_rng(0)
+    NL, B, NK = 4, 64, 2
+    S = NK * 128
+    W = jnp.asarray(rng.normal(0, 0.3, (NL, 128, 128)).astype(np.float32))
+    Bias = jnp.asarray(rng.normal(0, 0.1, (NL, 128)).astype(np.float32))
+    gamma = jnp.asarray(rng.normal(0, 1.0, (B, 128)).astype(np.float32))
+    beta = jnp.asarray(rng.normal(0, 0.02, (B, 128)).astype(np.float32))
+    te = jnp.asarray(rng.uniform(1.5, 2.5, (B, 1)).astype(np.float32))
+    dt = jnp.asarray(rng.uniform(0.01, 0.02, (B, 1)).astype(np.float32))
+    rays8 = jnp.concatenate([te, dt, jnp.zeros((B, 6))], axis=1)
+    mask = (rng.uniform(0, 1, (B, S)) < 0.7).astype(np.float32)
+    mask[:4] = 0.0  # fully-masked rays must contribute nothing
+    return NL, NK, W, Bias, gamma, beta, rays8, jnp.asarray(mask)
+
+
+def test_forward_matches_reference(workload):
+    NL, NK, W, Bias, gamma, beta, rays8, mask = workload
+    fused = make_fused_trainable(NL, NK, b_tile=32, b_tile_bwd=16,
+                                 term_eps=0.0, interpret=True)
+    out_k = np.asarray(fused(W, Bias, gamma, beta, rays8, mask))
+    out_r = np.asarray(fused_reference_v2(W, Bias, gamma, beta, rays8, mask))
+    np.testing.assert_allclose(out_k[:, :6], out_r[:, :6], atol=5e-3)
+    # fully-masked rays: no color, full transmittance
+    np.testing.assert_allclose(out_k[:4, 3], 0.0, atol=1e-6)   # acc
+    np.testing.assert_allclose(out_k[:4, 5], 1.0, atol=1e-6)   # T_final
+
+
+def test_custom_vjp_matches_autodiff_of_reference(workload):
+    """The backward kernel IS the derivative: dL/dW and dL/db from the
+    custom VJP must match jax.grad of the jnp mirror (which shares the
+    bf16 matmul precision choices) to mixed-precision tolerance."""
+    NL, NK, W, Bias, gamma, beta, rays8, mask = workload
+    fused = make_fused_trainable(NL, NK, b_tile=32, b_tile_bwd=16,
+                                 term_eps=0.0, interpret=True)
+    rng = np.random.default_rng(1)
+    cot = jnp.asarray(rng.normal(0, 1.0, (gamma.shape[0], 6)).astype(np.float32))
+
+    def loss_k(W, Bias):
+        return jnp.sum(fused(W, Bias, gamma, beta, rays8, mask)[:, :6] * cot)
+
+    def loss_r(W, Bias):
+        return jnp.sum(fused_reference_v2(W, Bias, gamma, beta, rays8, mask)[:, :6] * cot)
+
+    gk = jax.grad(loss_k, argnums=(0, 1))(W, Bias)
+    gr = jax.grad(loss_r, argnums=(0, 1))(W, Bias)
+    for name, a, b in [("dW", gk[0], gr[0]), ("dB", gk[1], gr[1])]:
+        a, b = np.asarray(a), np.asarray(b)
+        scale = max(float(np.abs(b).max()), 1e-9)
+        rel = float(np.abs(a - b).max()) / scale
+        assert rel < 3e-2, (name, rel)
+
+
+def _small_cfg():
+    return Config().apply_overrides([
+        "sampler.samples_per_ray=128", "sampler.near=2.0", "sampler.far=5.5",
+        "field_.hidden_width=32", "field_.hidden_layers=2",
+        "field_.n_frequencies=4",
+        "grid.resolution=8", "scene.scene_scale=1.0",
+    ])
+
+
+def _rays(B, seed=3):
+    from tnerf.cameras import Rays, viewdirs_to_thetaphi
+
+    rng = np.random.default_rng(seed)
+    o = rng.uniform(-1, 1, (B, 3))
+    o = o / np.linalg.norm(o, axis=-1, keepdims=True) * 3.0
+    d = -o / np.linalg.norm(o, axis=-1, keepdims=True)
+    d = jnp.asarray(d, jnp.float32)
+    return Rays(origins=jnp.asarray(o, jnp.float32), directions=d,
+                viewdirs_tp=viewdirs_to_thetaphi(d))
+
+
+def test_pipeline_matches_xla_march_renderer():
+    """Full renderer protocol: v2 fused pipeline vs the production XLA
+    march renderer on the SAME field params (exercises pack_params_f32,
+    encode_gamma_beta, occupancy masking)."""
+    from tnerf.fields.nerf_field import NeRFField
+    from tnerf.render.grid_renderer import make_grid_renderer
+
+    cfg = _small_cfg()
+    field = NeRFField(cfg.field_, cfg.grid)
+    params = field.init(jax.random.PRNGKey(0))
+    rend2 = make_fused_pipeline_renderer_v2(
+        cfg.field_, cfg.grid, cfg.sampler, cfg.render, interpret=True)
+    rendx = make_grid_renderer(field, cfg.grid, cfg.sampler, cfg.render,
+                               strategy="march", compact=False)
+    rays = _rays(64)
+    occ = jnp.ones((8, 8, 8), bool)
+    r2 = rend2(params, rays, None, occ)
+    rx = rendx(params, rays, None, occ)
+    np.testing.assert_allclose(np.asarray(r2.rgb), np.asarray(rx.rgb), atol=2e-2)
+    np.testing.assert_allclose(np.asarray(r2.acc), np.asarray(rx.acc), atol=2e-2)
+
+
+def test_training_through_fused_kernel_reduces_loss():
+    """The capability the reference gets from tcnn's fused backward
+    (main.cu:781): optimize field params THROUGH the fused kernel."""
+    import optax
+
+    from tnerf.fields.nerf_field import NeRFField
+
+    cfg = _small_cfg()
+    field = NeRFField(cfg.field_, cfg.grid)
+    params = field.init(jax.random.PRNGKey(0))
+    rend2 = make_fused_pipeline_renderer_v2(
+        cfg.field_, cfg.grid, cfg.sampler, cfg.render, interpret=True)
+    rays = _rays(64)
+    occ = jnp.ones((8, 8, 8), bool)
+    rng = np.random.default_rng(5)
+    gt = jnp.asarray(rng.uniform(0, 1, (64, 3)).astype(np.float32))
+    opt = optax.adam(3e-3)
+    ost = opt.init(params)
+
+    def loss_fn(p):
+        return jnp.mean((rend2(p, rays, None, occ).rgb - gt) ** 2)
+
+    losses = []
+    for _ in range(8):
+        l, g = jax.value_and_grad(loss_fn)(params)
+        up, ost = opt.update(g, ost)
+        params = optax.apply_updates(params, up)
+        losses.append(float(l))
+    assert losses[-1] < losses[0] * 0.8, losses
+    assert all(np.isfinite(losses)), losses
+
+
+def test_grad_zero_for_fully_masked_batch(workload):
+    NL, NK, W, Bias, gamma, beta, rays8, _ = workload
+    fused = make_fused_trainable(NL, NK, b_tile=32, b_tile_bwd=16,
+                                 term_eps=0.0, interpret=True)
+    mask0 = jnp.zeros((gamma.shape[0], NK * 128), jnp.float32)
+
+    def loss(W, Bias):
+        return jnp.sum(fused(W, Bias, gamma, beta, rays8, mask0)[:, :5])
+
+    gW, gB = jax.grad(loss, argnums=(0, 1))(W, Bias)
+    assert float(jnp.abs(gW).max()) == 0.0
+    assert float(jnp.abs(gB).max()) == 0.0

@@ -1,0 +1,601 @@
+"""Fused Pallas render kernel v2: march + encode + MLP + composite,
+forward AND backward (trainable via jax.custom_vjp).
+
+This supersedes the v1 kernel (pallas_fused.py) with two structural
+changes, both driven by the measured v5e cost model (docs/KERNEL_NOTES.md):
+
+1. LANE-SATURATED SAMPLE CHUNKS: SC = 128 samples per chunk, so every
+   per-sample SCALAR quantity (t, tau, transmittance, weights, head
+   activations) lives in [B_TILE, 128] layout — one value per lane —
+   instead of v1's [R, 1] rows where each scalar op burned a full
+   (8,128) tile per 8 samples.  The [R, 128] row world is entered only
+   for the genuinely 128-feature-wide work: the encoding and the MLP
+   matmuls.  The encoding itself is restructured so the kernel needs NO
+   per-sample coordinate prologue: every encoded feature is
+   sin(gamma[ray,f] + (s+0.5) * beta[ray,f]) (identity features drop the
+   sin), with gamma/beta [B, 128] computed OUTSIDE the kernel by two
+   tiny XLA matmuls (positions are affine in t and t is affine in s, so
+   the frequency/affine algebra folds per-ray — see encode_gamma_beta).
+
+2. A CUSTOM-VJP BACKWARD KERNEL (the tcnn-parity capability: the
+   reference trains through tiny-cuda-nn's fused MLP backward,
+   /root/reference/main.cu:781).  The backward kernel re-runs the chunk
+   forward (remat — activations never touch HBM), applies the exact
+   compositing VJP in [B_TILE, SC] layout (suffix sums as one strict-
+   lower-triangular MXU matmul), bridges per-sample gradients back to
+   MLP rows with a broadcast+one-hot-select (the [B,SC] -> [R,1]
+   reshape Mosaic lacks), and accumulates dW/db into a revisited
+   [NL,128,128] output block across the whole grid.  Per-chunk
+   transmittance checkpoints [B, S/SC] are saved by the forward so the
+   backward can iterate chunks in reverse with an exact T_0 per chunk
+   and a running dL/dT carry.
+
+Probed Mosaic constraints obeyed throughout (docs/KERNEL_NOTES.md): no
+sublane reductions (bias grads are ones[8,R] @ g MXU dots), no
+[B,SC]->[R,1] reshapes (one-hot bridge), no M=1 matmuls, lane dims 128
+or full-array, weights VMEM-resident.
+
+Citations: replaces reference pipeline main.cu:506-787
+(optixLaunch -> launchSampler -> tcnn fwd -> volrender fwd/bwd -> tcnn
+bwd) as one forward + one backward kernel.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from tnerf.config import FieldConfig, GridConfig
+from tnerf.render.pallas_fused import (
+    LANES,
+    _encoding_matrices,
+    _feature_permutation,
+    _norm_affine,
+)
+
+SC = 128  # samples per chunk == lane width: per-sample scalars 1 lane each
+
+
+# --------------------------------------------------------------------------
+# Parameter packing (f32 master -> kernel layout), differentiable.
+# --------------------------------------------------------------------------
+
+def pack_params_f32(params: dict, cfg: FieldConfig, s_aff, b_aff):
+    """[NL,128,128] f32 weights + [NL,128] f32 biases in kernel feature
+    order with the input-normalization affine folded into layer 0 (same
+    folding as v1 _pack_params but kept f32 so gradients flow back to the
+    field's pytree through this function)."""
+    ws, bs = params["trunk"]["w"], params["trunk"]["b"]
+    perm = _feature_permutation(cfg)
+    W_layers, B_layers = [], []
+    for l, (w, b) in enumerate(zip(ws, bs)):
+        w = jnp.asarray(w)
+        b = jnp.asarray(b)
+        wi, wo = w.shape
+        if wi > LANES or wo > LANES:
+            raise ValueError(f"fused kernel supports layer dims <= {LANES}; got {w.shape}")
+        if l == 0:
+            if wi != len(perm):
+                raise ValueError(f"layer-0 in_dim {wi} != encoded width {len(perm)}")
+            w = w[jnp.asarray(perm)]
+            ident = w[0:5]
+            b = b + jnp.asarray(b_aff) @ ident
+            w = w.at[0:5].set(jnp.asarray(s_aff)[:, None] * ident)
+        W_layers.append(jnp.zeros((LANES, LANES), jnp.float32).at[: w.shape[0], :wo].set(w))
+        B_layers.append(jnp.zeros((LANES,), jnp.float32).at[:wo].set(b))
+    return jnp.stack(W_layers), jnp.stack(B_layers)
+
+
+# --------------------------------------------------------------------------
+# Ray-side encoding algebra (XLA): gamma/beta per ray.
+# --------------------------------------------------------------------------
+
+def encode_gamma_beta(origins, directions, viewdirs_tp, t_enter, dt, A, C):
+    """Fold the sample parameterization into per-ray affine coefficients.
+
+    Sample s of a ray sits at t = t_enter + (s+0.5)*dt, position
+    p = o + t*d.  Every encoded feature (identity or sin) is affine in
+    (s+0.5) per ray:  feat_f(s) = act_f(gamma[f] + (s+0.5)*beta[f]) with
+    gamma = enc(o + t_enter*d),  beta = enc_linear(dt*d), where enc is
+    the [5 -> 128] frequency map (A, C from _encoding_matrices, already
+    carrying the input-normalization affine).  act_f = sin for frequency
+    lanes, identity for the first 5 lanes (applied in-kernel).
+    """
+    e = origins + t_enter[:, None] * directions            # [B, 3]
+    f = dt[:, None] * directions
+    g5 = jnp.concatenate([e, viewdirs_tp], axis=1)          # [B, 5]
+    b5 = jnp.concatenate([f, jnp.zeros_like(viewdirs_tp)], axis=1)
+    A5 = jnp.asarray(A[0:5, :])
+    C0 = jnp.asarray(C[0:1, :])
+    hi = jax.lax.Precision.HIGHEST
+    gamma = jnp.concatenate(
+        [g5, jnp.dot(g5, A5, precision=hi) + C0], axis=1
+    ).astype(jnp.float32)
+    beta = jnp.concatenate([b5, jnp.dot(b5, A5, precision=hi)], axis=1).astype(jnp.float32)
+    return gamma, beta
+
+
+def pack_rays8(t_enter, dt):
+    """[B, 8] per-ray scalars for in-kernel t reconstruction."""
+    B = t_enter.shape[0]
+    return jnp.concatenate(
+        [t_enter[:, None], dt[:, None], jnp.zeros((B, 6), jnp.float32)], axis=1
+    ).astype(jnp.float32)
+
+
+# --------------------------------------------------------------------------
+# Shared in-kernel pieces
+# --------------------------------------------------------------------------
+
+def _encode_chunk(gamma, beta, chunk, b_tile):
+    """[B,128] gamma/beta -> encoded rows E [R,128] bf16 for sample chunk
+    `chunk` (R = b_tile*SC, row r = (ray r//SC, sample r%SC))."""
+    R = b_tile * SC
+    gk = gamma + (chunk * SC).astype(jnp.float32) * beta          # [B,128]
+    gk_rep = jnp.broadcast_to(gk[:, None, :], (b_tile, SC, LANES)).reshape(R, LANES)
+    b_rep = jnp.broadcast_to(beta[:, None, :], (b_tile, SC, LANES)).reshape(R, LANES)
+    s_wave = (
+        jax.lax.broadcasted_iota(jnp.int32, (R, 1), 0) % SC
+    ).astype(jnp.float32) + 0.5
+    I = gk_rep + s_wave * b_rep
+    lane = jax.lax.broadcasted_iota(jnp.int32, (R, LANES), 1)
+    E = jnp.where(lane < 5, I, jnp.sin(I))
+    return E.astype(jnp.bfloat16)
+
+
+def _mlp_forward(E, W_ref, Bias_ref, n_layers, acts=None):
+    """bf16 MXU MLP; optionally records layer inputs into `acts` scratch."""
+    h = E
+    if acts is not None:
+        acts[0] = h
+    for l in range(n_layers - 1):
+        h = jnp.maximum(
+            jnp.dot(h, W_ref[l], preferred_element_type=jnp.float32)
+            + Bias_ref[l : l + 1, :],
+            0.0,
+        ).astype(jnp.bfloat16)
+        if acts is not None:
+            acts[l + 1] = h
+    hL = (
+        jnp.dot(h, W_ref[n_layers - 1], preferred_element_type=jnp.float32)
+        + Bias_ref[n_layers - 1 : n_layers, :]
+    )
+    return hL  # [R,128] f32; lanes 0..3 = (r,g,b,sigma_raw) pre-activations
+
+
+def _chunk_scalars(hL, rays8, mask, chunk, b_tile):
+    """Bridge raw head lanes to [B,SC] and apply activations + quadrature
+    precursors there (scalar math on lanes, not rows)."""
+    to2d = lambda col: col.reshape(b_tile, SC)
+    r2 = to2d(hL[:, 0:1])
+    g2 = to2d(hL[:, 1:2])
+    b2 = to2d(hL[:, 2:3])
+    s2 = to2d(hL[:, 3:4])
+    rgb_r = jax.nn.sigmoid(r2)
+    rgb_g = jax.nn.sigmoid(g2)
+    rgb_b = jax.nn.sigmoid(b2)
+    sig = jax.nn.softplus(s2 - 1.0)
+    te = rays8[:, 0:1]
+    dt = rays8[:, 1:2]
+    s_idx = (
+        jax.lax.broadcasted_iota(jnp.int32, (b_tile, SC), 1).astype(jnp.float32)
+        + (chunk * SC).astype(jnp.float32)
+        + 0.5
+    )
+    t2 = te + s_idx * dt
+    tau = sig * dt * mask
+    return rgb_r, rgb_g, rgb_b, sig, tau, t2
+
+
+def _tri(strict_upper: bool):
+    i = jax.lax.broadcasted_iota(jnp.int32, (SC, SC), 0)
+    j = jax.lax.broadcasted_iota(jnp.int32, (SC, SC), 1)
+    return ((i < j) if strict_upper else (i > j)).astype(jnp.float32)
+
+
+def _excl_cumsum(tau):
+    """Exclusive per-ray cumsum over the sample lanes: one exact
+    triangular MXU matmul (HIGHEST precision)."""
+    return jax.lax.dot_general(
+        tau, _tri(True), (((1,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32,
+    )
+
+
+def _suffix_sum(G):
+    """suffix[b,s] = sum_{j>s} G[b,j]: strict-lower triangular matmul."""
+    return jax.lax.dot_general(
+        G, _tri(False), (((1,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32,
+    )
+
+
+# --------------------------------------------------------------------------
+# Forward kernel
+# --------------------------------------------------------------------------
+
+def _fwd_kernel(
+    gamma_ref, beta_ref, rays8_ref, mask_ref, W_ref, Bias_ref,
+    out_ref, tchk_ref,
+    T_run,
+    *, b_tile, n_layers, n_chunks, term_eps,
+):
+    chunk = pl.program_id(1)
+
+    @pl.when(chunk == 0)
+    def _init():
+        out_ref[:] = jnp.zeros_like(out_ref)
+        out_ref[:, 5:6] = jnp.ones_like(out_ref[:, 5:6])
+        T_run[:] = jnp.ones_like(T_run)
+
+    T0 = T_run[:, 0:1]
+    for j in range(n_chunks):  # static unroll: dynamic-lane stores unsupported
+        @pl.when(chunk == j)
+        def _save():
+            tchk_ref[:, j : j + 1] = T0
+
+    alive = (jnp.max(T0) > term_eps) & (jnp.max(mask_ref[:]) > 0.0)
+
+    @pl.when(alive)
+    def _work():
+        E = _encode_chunk(gamma_ref[:], beta_ref[:], chunk, b_tile)
+        hL = _mlp_forward(E, W_ref, Bias_ref, n_layers)
+        rgb_r, rgb_g, rgb_b, sig, tau, t2 = _chunk_scalars(
+            hL, rays8_ref[:], mask_ref[:], chunk, b_tile
+        )
+        excl = _excl_cumsum(tau)
+        w = T0 * jnp.exp(-excl) * (1.0 - jnp.exp(-tau))
+        lanesum = lambda x: jnp.sum(x, axis=1, keepdims=True)
+        out_ref[:, 0:1] += lanesum(w * rgb_r)
+        out_ref[:, 1:2] += lanesum(w * rgb_g)
+        out_ref[:, 2:3] += lanesum(w * rgb_b)
+        out_ref[:, 3:4] += lanesum(w)
+        out_ref[:, 4:5] += lanesum(w * t2)
+        T_new = T0 * jnp.exp(-lanesum(tau))
+        T_run[:, 0:1] = T_new
+        out_ref[:, 5:6] = T_new
+
+
+# --------------------------------------------------------------------------
+# Backward kernel
+# --------------------------------------------------------------------------
+
+def _bwd_kernel(
+    gamma_ref, beta_ref, rays8_ref, mask_ref, W_ref, Wt_ref, Bias_ref,
+    tchk_ref, gout_ref,
+    dW_ref, dB8_ref,
+    acts, gT_run,
+    *, b_tile, n_layers, n_chunks, term_eps,
+):
+    rb = pl.program_id(0)
+    kk = pl.program_id(1)
+    chunk = n_chunks - 1 - kk
+    R = b_tile * SC
+
+    @pl.when((rb == 0) & (kk == 0))
+    def _zero():
+        dW_ref[:] = jnp.zeros_like(dW_ref)
+        dB8_ref[:] = jnp.zeros_like(dB8_ref)
+
+    @pl.when(kk == 0)
+    def _init_gt():
+        gT_run[:] = jnp.zeros_like(gT_run)
+        gT_run[:, 0:1] = gout_ref[:, 5:6]
+
+    T0 = jnp.zeros((b_tile, 1), jnp.float32)
+    for j in range(n_chunks):
+        T0 = T0 + jnp.where(chunk == j, tchk_ref[:, j : j + 1], 0.0)
+
+    alive = (jnp.max(T0) > term_eps) & (jnp.max(mask_ref[:]) > 0.0)
+
+    @pl.when(alive)
+    def _work():
+        # ---- recompute forward (remat), recording layer inputs --------
+        E = _encode_chunk(gamma_ref[:], beta_ref[:], chunk, b_tile)
+        hL = _mlp_forward(E, W_ref, Bias_ref, n_layers, acts=acts)
+        mask = mask_ref[:]
+        rgb_r, rgb_g, rgb_b, sig, tau, t2 = _chunk_scalars(
+            hL, rays8_ref[:], mask, chunk, b_tile
+        )
+        excl = _excl_cumsum(tau)
+        E_ = jnp.exp(-excl)
+        emt = jnp.exp(-tau)          # = 1 - F
+        F_ = 1.0 - emt
+        w = T0 * E_ * F_
+        lanesum = lambda x: jnp.sum(x, axis=1, keepdims=True)
+        Texp = jnp.exp(-lanesum(tau))
+
+        # ---- compositing VJP in [B,SC] --------------------------------
+        g_r = gout_ref[:, 0:1]
+        g_g = gout_ref[:, 1:2]
+        g_b = gout_ref[:, 2:3]
+        g_acc = gout_ref[:, 3:4]
+        g_dep = gout_ref[:, 4:5]
+        gT = gT_run[:, 0:1]
+
+        dw = g_r * rgb_r + g_g * rgb_g + g_b * rgb_b + g_acc + g_dep * t2
+        G = dw * w
+        dtau = -_suffix_sum(G) + dw * (T0 * E_ * emt) - gT * (T0 * Texp)
+        dsig = dtau * rays8_ref[:, 1:2] * mask
+        # d softplus(x-1)/dx = sigmoid(x-1) = 1 - exp(-softplus(x-1))
+        dsraw = dsig * (1.0 - jnp.exp(-sig))
+        drpre = (w * g_r) * rgb_r * (1.0 - rgb_r)
+        dgpre = (w * g_g) * rgb_g * (1.0 - rgb_g)
+        dbpre = (w * g_b) * rgb_b * (1.0 - rgb_b)
+
+        # running dL/dT toward earlier chunks
+        gT_run[:, 0:1] = lanesum(dw * E_ * F_) + gT * Texp
+
+        # ---- bridge [B,SC] -> [R,1] (one-hot select; no such reshape) --
+        rowmod = jax.lax.broadcasted_iota(jnp.int32, (R, SC), 0) % SC
+        lane = jax.lax.broadcasted_iota(jnp.int32, (R, SC), 1)
+        onehot = (rowmod == lane).astype(jnp.float32)
+
+        def bridge(X2):
+            rep = jnp.broadcast_to(X2[:, None, :], (b_tile, SC, SC)).reshape(R, SC)
+            return jnp.sum(rep * onehot, axis=1, keepdims=True)  # [R,1]
+
+        ghL = jnp.concatenate(
+            [
+                bridge(drpre), bridge(dgpre), bridge(dbpre), bridge(dsraw),
+                jnp.zeros((R, LANES - 4), jnp.float32),
+            ],
+            axis=1,
+        )
+
+        # ---- MLP backward ----------------------------------------------
+        ones8 = jnp.ones((8, R), jnp.bfloat16)
+        g = ghL
+        for l in range(n_layers - 1, -1, -1):
+            gb = g.astype(jnp.bfloat16)
+            a_in = acts[l]                     # [R,128] bf16
+            dW_ref[l] += jax.lax.dot_general(
+                a_in.T, gb, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            dB8_ref[l] += jax.lax.dot_general(
+                ones8, gb, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            if l > 0:
+                g = jnp.dot(gb, Wt_ref[l], preferred_element_type=jnp.float32)
+                # relu' mask; compare in f32 — v5e Mosaic rejects bf16 cmpf
+                g = g * (acts[l].astype(jnp.float32) > 0.0).astype(jnp.float32)
+
+
+# --------------------------------------------------------------------------
+# pallas_call builders + custom_vjp
+# --------------------------------------------------------------------------
+
+def _full(spec_shape):
+    return pl.BlockSpec(spec_shape, lambda rb, k: tuple(0 for _ in spec_shape),
+                        memory_space=pltpu.VMEM)
+
+
+def make_fused_trainable(
+    n_layers: int,
+    n_chunks: int,
+    b_tile: int = 32,
+    b_tile_bwd: int = 16,
+    term_eps: float = 1e-4,
+    interpret: bool = False,
+):
+    """Build fused(W_f32, Bias, gamma, beta, rays8, mask) -> out [B,8]
+    with a custom VJP onto (W, Bias).
+
+    Shapes: W [NL,128,128] f32, Bias [NL,128] f32, gamma/beta [B,128],
+    rays8 [B,8], mask [B, n_chunks*128] f32 in {0,1}.  B must divide
+    b_tile (and b_tile_bwd).
+    """
+    NL = n_layers
+    NK = n_chunks
+    S = NK * SC
+
+    def fwd_call(Wb, Bias, gamma, beta, rays8, mask):
+        B = gamma.shape[0]
+        kernel = functools.partial(
+            _fwd_kernel, b_tile=b_tile, n_layers=NL, n_chunks=NK,
+            term_eps=term_eps,
+        )
+        return pl.pallas_call(
+            kernel,
+            grid=(B // b_tile, NK),
+            in_specs=[
+                pl.BlockSpec((b_tile, LANES), lambda rb, k: (rb, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((b_tile, LANES), lambda rb, k: (rb, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((b_tile, 8), lambda rb, k: (rb, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((b_tile, SC), lambda rb, k: (rb, k), memory_space=pltpu.VMEM),
+                pl.BlockSpec((NL, LANES, LANES), lambda rb, k: (0, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((NL, LANES), lambda rb, k: (0, 0), memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((b_tile, 8), lambda rb, k: (rb, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((b_tile, NK), lambda rb, k: (rb, 0), memory_space=pltpu.VMEM),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((B, 8), jnp.float32),
+                jax.ShapeDtypeStruct((B, NK), jnp.float32),
+            ],
+            scratch_shapes=[pltpu.VMEM((b_tile, 8), jnp.float32)],
+            interpret=interpret,
+        )(gamma, beta, rays8, mask, Wb, Bias)
+
+    def bwd_call(Wb, Wt, Bias, gamma, beta, rays8, mask, tchk, gout):
+        B = gamma.shape[0]
+        bt = b_tile_bwd
+        kernel = functools.partial(
+            _bwd_kernel, b_tile=bt, n_layers=NL, n_chunks=NK,
+            term_eps=term_eps,
+        )
+        return pl.pallas_call(
+            kernel,
+            grid=(B // bt, NK),
+            in_specs=[
+                pl.BlockSpec((bt, LANES), lambda rb, k: (rb, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((bt, LANES), lambda rb, k: (rb, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((bt, 8), lambda rb, k: (rb, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((bt, SC), lambda rb, k: (rb, NK - 1 - k), memory_space=pltpu.VMEM),
+                pl.BlockSpec((NL, LANES, LANES), lambda rb, k: (0, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((NL, LANES, LANES), lambda rb, k: (0, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((NL, LANES), lambda rb, k: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((bt, NK), lambda rb, k: (rb, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((bt, 8), lambda rb, k: (rb, 0), memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((NL, LANES, LANES), lambda rb, k: (0, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((NL, 8, LANES), lambda rb, k: (0, 0, 0), memory_space=pltpu.VMEM),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((NL, LANES, LANES), jnp.float32),
+                jax.ShapeDtypeStruct((NL, 8, LANES), jnp.float32),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((NL, bt * SC, LANES), jnp.bfloat16),
+                pltpu.VMEM((bt, 8), jnp.float32),
+            ],
+            interpret=interpret,
+        )(gamma, beta, rays8, mask, Wb, Wt, Bias, tchk, gout)
+
+    @jax.custom_vjp
+    def fused(W, Bias, gamma, beta, rays8, mask):
+        out, _ = fwd_call(W.astype(jnp.bfloat16), Bias, gamma, beta, rays8, mask)
+        return out
+
+    def fused_fwd(W, Bias, gamma, beta, rays8, mask):
+        Wb = W.astype(jnp.bfloat16)
+        out, tchk = fwd_call(Wb, Bias, gamma, beta, rays8, mask)
+        return out, (Wb, Bias, gamma, beta, rays8, mask, tchk)
+
+    def fused_bwd(res, gout):
+        Wb, Bias, gamma, beta, rays8, mask, tchk = res
+        Wt = jnp.transpose(Wb, (0, 2, 1))
+        dW, dB8 = bwd_call(Wb, Wt, Bias, gamma, beta, rays8, mask, tchk, gout)
+        return (
+            dW,
+            dB8[:, 0, :],
+            jnp.zeros_like(gamma),
+            jnp.zeros_like(beta),
+            jnp.zeros_like(rays8),
+            jnp.zeros_like(mask),
+        )
+
+    fused.defvjp(fused_fwd, fused_bwd)
+    return fused
+
+
+# --------------------------------------------------------------------------
+# jnp reference (for parity/grad tests): same math & precision choices.
+# --------------------------------------------------------------------------
+
+def fused_reference_v2(W, Bias, gamma, beta, rays8, mask):
+    """Pure-jnp mirror of the v2 forward on the SAME inputs: bf16 MXU
+    matmuls, f32 heads/quadrature, exact exclusive cumsum, no chunk
+    skipping.  Differentiable — jax.grad of this is the grad oracle."""
+    B = gamma.shape[0]
+    S = mask.shape[1]
+    NL = W.shape[0]
+    s = jnp.arange(S, dtype=jnp.float32) + 0.5
+    I = gamma[:, None, :] + s[None, :, None] * beta[:, None, :]   # [B,S,128]
+    lane = jnp.arange(LANES)
+    E = jnp.where(lane[None, None, :] < 5, I, jnp.sin(I))
+    h = E.reshape(B * S, LANES).astype(jnp.bfloat16)
+    Wb = W.astype(jnp.bfloat16)
+    for l in range(NL - 1):
+        h = jnp.maximum(
+            jnp.dot(h, Wb[l], preferred_element_type=jnp.float32) + Bias[l][None, :],
+            0.0,
+        ).astype(jnp.bfloat16)
+    hL = jnp.dot(h, Wb[NL - 1], preferred_element_type=jnp.float32) + Bias[NL - 1][None, :]
+    hL = hL.reshape(B, S, LANES)
+    rgb = jax.nn.sigmoid(hL[..., 0:3])
+    sig = jax.nn.softplus(hL[..., 3] - 1.0)
+    te, dt = rays8[:, 0:1], rays8[:, 1:2]
+    t = te + s[None, :] * dt
+    tau = sig * dt * mask
+    excl = jnp.cumsum(tau, axis=1) - tau
+    w = jnp.exp(-excl) * (1.0 - jnp.exp(-tau))
+    rgb_out = jnp.sum(w[..., None] * rgb, axis=1)
+    acc = jnp.sum(w, axis=1)
+    depth = jnp.sum(w * t, axis=1)
+    T_final = jnp.exp(-jnp.sum(tau, axis=1))
+    return jnp.concatenate(
+        [rgb_out, acc[:, None], depth[:, None], T_final[:, None],
+         jnp.zeros((B, 2), jnp.float32)],
+        axis=1,
+    )
+
+
+# --------------------------------------------------------------------------
+# Renderer adapter (standard protocol, trainable)
+# --------------------------------------------------------------------------
+
+def make_fused_pipeline_renderer_v2(
+    field_cfg: FieldConfig,
+    grid_cfg: GridConfig,
+    sampler_cfg,
+    render_cfg,
+    b_tile: int = 32,
+    b_tile_bwd: int = 16,
+    interpret: bool = False,
+):
+    """render(params, rays, key=None, occupancy=None) -> RenderResult via
+    the v2 fused kernel — forward AND backward (training-capable: the
+    custom VJP reaches the field params through the differentiable
+    pack_params_f32).  Occupancy masks computed in XLA as in v1."""
+    from tnerf.cameras import Rays  # local import to avoid cycles
+    from tnerf.grid.traversal import occupancy_lookup, ray_aabb
+    from tnerf.render.composite import RenderResult
+    from tnerf.sampling import sample_positions
+
+    s_aff, b_aff = _norm_affine(grid_cfg)
+    A, C, _ = _encoding_matrices(field_cfg, s_aff, b_aff)
+    S = sampler_cfg.samples_per_ray
+    n_chunks = -(-S // SC)
+    S_pad = n_chunks * SC
+    nl = field_cfg.hidden_layers + 1
+    fused = make_fused_trainable(
+        nl, n_chunks, b_tile=b_tile, b_tile_bwd=b_tile_bwd,
+        term_eps=render_cfg.transmittance_threshold, interpret=interpret,
+    )
+
+    def render(params, rays: Rays, key=None, occupancy=None) -> RenderResult:
+        B = rays.origins.shape[0]
+        pad = (-B) % max(b_tile, b_tile_bwd)
+        o = jnp.pad(rays.origins, ((0, pad), (0, 0)))
+        d = jnp.pad(rays.directions, ((0, pad), (0, 0)), constant_values=1.0)
+        tp = jnp.pad(rays.viewdirs_tp, ((0, pad), (0, 0)))
+        te, tx = ray_aabb(o, d, grid_cfg.aabb_min, grid_cfg.aabb_max)
+        te = jnp.maximum(te, sampler_cfg.near)
+        tx = jnp.maximum(tx, te)
+        dt = (tx - te) / S_pad
+        mask = (tx > te)[:, None] & jnp.ones((o.shape[0], S_pad), bool)
+        if occupancy is not None:
+            r = grid_cfg.resolution
+            s_idx = jnp.arange(S_pad, dtype=jnp.float32) + 0.5
+            t = te[:, None] + s_idx * dt[:, None]
+            pts = sample_positions(o, d, t)
+            mask = mask & occupancy_lookup(pts, occupancy.reshape(r, r, r), grid_cfg)
+
+        W, Bias = pack_params_f32(params, field_cfg, s_aff, b_aff)
+        gamma, beta = encode_gamma_beta(o, d, tp, te, dt, A, C)
+        out = fused(W, Bias, gamma, beta, pack_rays8(te, dt),
+                    mask.astype(jnp.float32))
+        rgb = out[:B, 0:3]
+        acc = out[:B, 3]
+        depth = out[:B, 4]
+        if render_cfg.white_background:
+            rgb = rgb + (1.0 - acc)[:, None]
+        empty = jnp.zeros((B, 0), jnp.float32)
+        return RenderResult(rgb=rgb, acc=acc, depth=depth,
+                            weights=empty, transmittance=empty)
+
+    return render

@@ -75,9 +75,11 @@ def build_renderer(cfg: Config, field: NeRFField, compact: Optional[bool] = None
             field, cfg.grid, cfg.sampler, cfg.render, strategy="intervals",
         )
     if p == "fused":
-        from tnerf.render.pallas_fused import make_fused_pipeline_renderer
+        # v2: trainable (custom-VJP backward kernel) — 2.9x the unfused
+        # XLA train step on v5e (docs/KERNEL_NOTES.md round-2 addendum)
+        from tnerf.render.pallas_fused2 import make_fused_pipeline_renderer_v2
 
-        return make_fused_pipeline_renderer(
+        return make_fused_pipeline_renderer_v2(
             cfg.field_, cfg.grid, cfg.sampler, cfg.render,
             interpret=jax.devices()[0].platform != "tpu",
         )
