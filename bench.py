@@ -184,46 +184,141 @@ def bench_render(width=800, height=800, res=64, samples=128) -> dict:
     }
 
 
-def bench_fused_render(width=800, height=800, res=64, samples=128) -> dict:
-    """Fused Pallas kernel render throughput (march+encode+MLP+composite
-    in one kernel, early termination + empty-tile skipping) with the
-    realistic analytic-scene occupancy grid."""
+def bench_march_pallas(width=800, height=800, res=128, inner=(2, 10)) -> dict:
+    """Pallas DDA kernel march at 128^3 (the production traversal at NGP
+    scale): rays on lanes, whole walk in registers — see
+    tnerf/grid/pallas_dda.py.  Emits the full per-step interval stream
+    (steps-major kernel layout)."""
+    import time as _time
+
     import jax
     import jax.numpy as jnp
 
+    from tnerf.config import GridConfig
+    from tnerf.grid.pallas_dda import march_pallas_raw
+
+    grid = GridConfig(resolution=res)
+    (o, d, _v), = _camera_ray_variants(width, height, n_variants=1)
+
+    def make(n):
+        @jax.jit
+        def march_many(o, d):
+            def body(carry, _):
+                t0s, cells, te, tx = march_pallas_raw(o + carry * 1e-4, d, grid)
+                s = t0s.sum()
+                f = s * 1e-7
+                return f - jnp.floor(f), s
+            carry, ss = jax.lax.scan(body, jnp.zeros(()), None, length=n)
+            return carry, ss.sum()
+        return march_many
+
+    def wall(fn, reps=2):
+        float(fn(o, d)[1])
+        t0 = _time.perf_counter()
+        for _ in range(reps):
+            float(fn(o, d)[1])
+        return (_time.perf_counter() - t0) / reps
+
+    w1 = wall(make(inner[0]))
+    w2 = wall(make(inner[1]))
+    dt = max((w2 - w1) / (inner[1] - inner[0]), 1e-9)
+    n_rays = width * height
+    return {"mrays_per_sec": n_rays / dt / 1e6, "seconds_per_launch": dt}
+
+
+def bench_fused_train(res=64, samples=128, batch=32768) -> dict:
+    """Train-step throughput THROUGH the fused kernel (custom-VJP
+    backward, pallas_fused2) vs the unfused XLA path — the tcnn-fused
+    training capability (reference main.cu:781)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import optax
+
+    from tnerf.cameras import Rays
     from tnerf.config import Config
     from tnerf.data.procedural import analytic_field
     from tnerf.fields.nerf_field import NeRFField
     from tnerf.grid.occupancy import cell_centers
-    from tnerf.grid.traversal import occupancy_lookup, ray_aabb
-    from tnerf.render.pallas_fused import make_fused_renderer, pack_rays
-    from tnerf.sampling import sample_positions
+    from tnerf.render.grid_renderer import make_grid_renderer
+    from tnerf.render.pallas_fused2 import make_fused_pipeline_renderer_v2
 
-    cfg = Config().apply_overrides([f"grid.resolution={res}"])
+    cfg = Config().apply_overrides([
+        f"grid.resolution={res}", f"sampler.samples_per_ray={samples}",
+        "sampler.near=2.0", "sampler.far=5.5", "scene.scene_scale=1.0",
+    ])
     field = NeRFField(cfg.field_, cfg.grid)
     params = jax.device_put(field.init(jax.random.PRNGKey(0)))
     _, sigma = analytic_field(cell_centers(cfg.grid).reshape(-1, 3))
-    occ3 = (sigma > 0.5).reshape(res, res, res)
+    occ = jnp.asarray((sigma > 0.5).reshape(res, res, res))
+
+    (o, d, v), = _camera_ray_variants(800, 800, n_variants=1)
+    n = 800 * 800
+    mid = max(0, n // 2 - batch // 2)
+    o, d, v = o[mid:mid + batch], d[mid:mid + batch], v[mid:mid + batch]
+    gt = jnp.asarray(np.random.default_rng(0).uniform(0, 1, (batch, 3)).astype(np.float32))
+    opt = optax.adam(1e-3)
+    ost = jax.device_put(opt.init(params))
+
+    rend_f = make_fused_pipeline_renderer_v2(cfg.field_, cfg.grid, cfg.sampler, cfg.render)
+    rend_x = make_grid_renderer(field, cfg.grid, cfg.sampler, cfg.render,
+                                strategy="march", compact=False)
+
+    def mk(rend):
+        def f(o2):
+            rays = Rays(origins=o2, directions=d, viewdirs_tp=v)
+
+            def loss_fn(p):
+                return jnp.mean((rend(p, rays, None, occ).rgb - gt) ** 2)
+
+            l, g = jax.value_and_grad(loss_fn)(params)
+            up, _ = opt.update(g, ost)
+            return l + sum(jnp.sum(jnp.abs(u)) for u in jax.tree.leaves(up)) * 1e-12
+        return f
+
+    t_f = _diff_timeit(mk(rend_f), o, inner=(2, 6))
+    t_x = _diff_timeit(mk(rend_x), o, inner=(2, 6))
+    return {
+        "fused_train_krays_per_sec": batch / t_f / 1e3,
+        "xla_train_krays_per_sec": batch / t_x / 1e3,
+        "fused_train_speedup": t_x / t_f,
+    }
+
+
+def bench_fused_render(width=800, height=800, res=64, samples=128) -> dict:
+    """Fused Pallas kernel (v2, pallas_fused2) render throughput with the
+    realistic analytic-scene occupancy grid."""
+    import jax
+    import jax.numpy as jnp
+
+    from tnerf.cameras import Rays
+    from tnerf.config import Config
+    from tnerf.data.procedural import analytic_field
+    from tnerf.grid.occupancy import cell_centers
+    from tnerf.render.pallas_fused2 import make_fused_pipeline_renderer_v2
+
+    cfg = Config().apply_overrides([
+        f"grid.resolution={res}", f"sampler.samples_per_ray={samples}",
+        "sampler.near=2.0", "sampler.far=5.5",
+    ])
+    _, sigma = analytic_field(cell_centers(cfg.grid).reshape(-1, 3))
+    occ3 = jnp.asarray((sigma > 0.5).reshape(res, res, res))
+    from tnerf.fields.nerf_field import NeRFField
+
+    field = NeRFField(cfg.field_, cfg.grid)
+    params = jax.device_put(field.init(jax.random.PRNGKey(0)))
 
     (o, d, v), = _camera_ray_variants(width, height, n_variants=1)
     n = width * height
     chunk = 32768
-    S = samples
-    fused = make_fused_renderer(cfg.field_, cfg.grid, b_tile=128, sc=32)
+    rend = make_fused_pipeline_renderer_v2(cfg.field_, cfg.grid, cfg.sampler, cfg.render)
 
     mid = max(0, n // 2 - chunk // 2)  # center chunk: representative mix
     o, d, v = o[mid:mid + chunk], d[mid:mid + chunk], v[mid:mid + chunk]
 
     def chunk_scalar(o2):
-        te, tx = ray_aabb(o2, d, cfg.grid.aabb_min, cfg.grid.aabb_max)
-        te = jnp.maximum(te, 0.05)
-        tx = jnp.maximum(tx, te)
-        dt = (tx - te) / S
-        t = te[:, None] + (jnp.arange(S, dtype=jnp.float32) + 0.5) * dt[:, None]
-        pts = sample_positions(o2, d, t)
-        mask = ((tx > te)[:, None] & occupancy_lookup(pts, occ3, cfg.grid))
-        out = fused(params, pack_rays(o2, d, v, te, dt), mask.astype(jnp.float32))
-        return out[:, 3].sum()
+        rays = Rays(origins=o2, directions=d, viewdirs_tp=v)
+        return rend(params, rays, None, occ3).rgb.sum()
 
     dt_chunk = _diff_timeit(chunk_scalar, o)
     n_chunks = -(-n // chunk)
@@ -239,9 +334,11 @@ def main():
 
     device = jax.devices()[0].device_kind
     march8 = bench_ray_march(res=8)
-    march128 = bench_ray_march(res=128, inner=(2, 8))
+    march128 = bench_march_pallas(res=128)          # Pallas DDA kernel
+    march128_scan = bench_ray_march(res=128, inner=(2, 8))  # lax.scan walk
     render = bench_render()
     fused = bench_fused_render()
+    train = bench_fused_train()
     value = round(march8["mrays_per_sec"], 2)
     line = {
         "metric": "ray_march_Mrays_per_sec_800x800_8^3grid",
@@ -250,10 +347,14 @@ def main():
         "vs_baseline": round(value / 100.0, 3),  # north star: 100 Mrays/s
         "extra": {
             "march_128grid_mrays_per_sec": round(march128["mrays_per_sec"], 2),
+            "march_128grid_scan_mrays_per_sec": round(march128_scan["mrays_per_sec"], 2),
             "render_mrays_per_sec": round(render["render_mrays_per_sec"], 3),
             "fps_800x800": round(render["fps_800x800"], 3) if render["fps_800x800"] else None,
             "fused_render_mrays_per_sec": round(fused["fused_mrays_per_sec"], 3),
             "fused_fps_800x800": round(fused["fused_fps_800x800"], 3) if fused["fused_fps_800x800"] else None,
+            "fused_train_krays_per_sec": round(train["fused_train_krays_per_sec"], 1),
+            "xla_train_krays_per_sec": round(train["xla_train_krays_per_sec"], 1),
+            "fused_train_speedup": round(train["fused_train_speedup"], 2),
             "render_occupancy_frac": round(render["occupancy_frac"], 4),
             "render_samples_per_ray": render["samples_per_ray"],
             "march_seconds_per_launch": round(march8["seconds_per_launch"], 6),

@@ -82,3 +82,40 @@ def test_config_roundtrip_and_overrides():
     assert cfg3.scene.name == "ship"
     with pytest.raises(KeyError):
         cfg.apply_overrides(["train.nonexistent=1"])
+
+
+def test_hard_procedural_scene_properties():
+    """The quality-hardening scene: thin rods (~1 fine cell), darker
+    non-white background, high-frequency texture (VERDICT r1 item 7)."""
+    import jax.numpy as jnp
+
+    from tnerf.data.procedural import analytic_field_hard, generate_procedural_scene
+
+    ds = generate_procedural_scene("hard", width=48, height=48,
+                                   n_train=1, n_val=0, n_test=1, n_samples=768)
+    img = ds["train"].images[0]
+    # black background: border pixels dark
+    assert img[0, :, :].max() < 0.05 and img[-1, :, :].max() < 0.05
+    assert img.max() > 0.4  # content present
+
+    # a thin rod registers density at its center but not 3 radii away
+    center = (0.45, -0.35, -0.05)  # first rod, axis z, r=0.015
+    _, sig_on = analytic_field_hard(jnp.asarray([center], jnp.float32))
+    _, sig_off = analytic_field_hard(jnp.asarray([[0.45 + 0.06, -0.35, -0.05]], jnp.float32))
+    assert float(sig_on[0]) > 50.0
+    assert float(sig_off[0]) < 1.0
+
+    # high-frequency texture: neighboring GT samples differ substantially
+    x = jnp.stack([jnp.linspace(-0.5, 0.5, 64), jnp.zeros(64), jnp.full((64,), 0.05)], axis=-1)
+    rgb, _ = analytic_field_hard(x)
+    diffs = jnp.abs(jnp.diff(rgb[:, 0]))
+    assert float(diffs.max()) > 0.05
+
+
+def test_unknown_procedural_scene_errors():
+    import pytest
+
+    from tnerf.data.procedural import generate_procedural_scene
+
+    with pytest.raises(ValueError, match="unknown procedural scene"):
+        generate_procedural_scene("nope", n_train=1)

@@ -56,6 +56,64 @@ _PRIMS = (
 )
 
 
+def _cylinder_sdf(x, center, axis: int, radius, half_len):
+    """Capped cylinder along coordinate `axis`."""
+    c = jnp.asarray(center)
+    d = x - c
+    perp = [i for i in range(3) if i != axis]
+    radial = jnp.sqrt(d[..., perp[0]] ** 2 + d[..., perp[1]] ** 2) - radius
+    axial = jnp.abs(d[..., axis]) - half_len
+    return jnp.maximum(radial, axial)
+
+
+# Hard scene (quality-gate hardening): thin rods ~<= 1 cell of a 128^3 grid
+# (cell = 2/128 ~ 0.0156; rod radius 0.015), a sphere and ground slab with
+# high-frequency sin-product texture, rendered over a BLACK background.
+# The easy `prims` scene has none of these failure modes (no thin
+# structure, no high-frequency content, white background).
+_HARD_RODS = (
+    ((0.45, -0.35, -0.05), 2, 0.015, 0.42),
+    ((-0.5, 0.1, 0.15), 0, 0.015, 0.45),
+    ((0.05, 0.5, 0.3), 1, 0.015, 0.4),
+    ((-0.15, -0.5, 0.05), 2, 0.022, 0.5),
+    ((0.3, 0.25, 0.42), 0, 0.022, 0.5),
+)
+_HARD_PRIMS = (
+    (partial(_sphere_sdf, center=(0.0, 0.0, 0.05), radius=0.3), (0.85, 0.3, 0.25)),
+    (partial(_box_sdf, center=(0.0, 0.0, -0.5), half=(0.6, 0.6, 0.06)), (0.35, 0.5, 0.9)),
+)
+_ROD_COLORS = (
+    (0.95, 0.8, 0.2), (0.2, 0.9, 0.5), (0.9, 0.3, 0.8),
+    (0.25, 0.7, 0.95), (0.95, 0.45, 0.15),
+)
+
+
+def analytic_field_hard(x: jnp.ndarray, sharpness: float = 220.0,
+                        density_scale: float = 160.0):
+    """Hard analytic field: thin rods + high-frequency texture.
+
+    Same contract as analytic_field.  Colors carry a sin-product checker
+    (frequency ~22 rad/unit: ~25 periods across the box — well into the
+    upper frequency bands of the L=10 encoding / fine hash levels)."""
+    sdfs = [sdf(x) for sdf, _ in _HARD_PRIMS]
+    colors = [c for _, c in _HARD_PRIMS]
+    for (center, axis, radius, half), col in zip(_HARD_RODS, _ROD_COLORS):
+        sdfs.append(_cylinder_sdf(x, center, axis, radius, half))
+        colors.append(col)
+    sdfs = jnp.stack(sdfs, axis=-1)                                   # [..., P]
+    colors_a = jnp.asarray(colors, dtype=jnp.float32)                 # [P, 3]
+    occ = jax.nn.sigmoid(-sharpness * sdfs)
+    union = 1.0 - jnp.prod(1.0 - occ, axis=-1)
+    sigma = density_scale * union
+    wts = jax.nn.softmax(-sharpness * sdfs, axis=-1)
+    rgb = jnp.sum(wts[..., :, None] * colors_a, axis=-2)
+    f = 22.0
+    checker = 0.55 + 0.45 * jnp.sin(f * x[..., 0]) * jnp.sin(f * x[..., 1] + 1.3) \
+        * jnp.sin(f * x[..., 2] + 2.1)
+    rgb = jnp.clip(rgb * checker[..., None], 0.0, 1.0)
+    return rgb, sigma
+
+
 def analytic_field(x: jnp.ndarray, sharpness: float = 60.0, density_scale: float = 45.0):
     """Analytic ground-truth radiance field.
 
@@ -72,6 +130,9 @@ def analytic_field(x: jnp.ndarray, sharpness: float = 60.0, density_scale: float
     # explicit fp32 blend (einsum would run at bf16 matmul precision)
     rgb = jnp.sum(wts[..., :, None] * colors, axis=-2)
     return rgb, sigma
+
+
+FIELDS = {"prims": analytic_field, "hard": analytic_field_hard}
 
 
 # --------------------------------------------------------------------------
@@ -105,7 +166,7 @@ def sphere_poses(n: int, radius: float = 3.5, seed: int = 0,
     return np.stack(poses)
 
 
-@partial(jax.jit, static_argnames=("width", "height", "n_samples", "white_background"))
+@partial(jax.jit, static_argnames=("width", "height", "n_samples", "white_background", "field_name"))
 def _render_gt_image(
     pose: jnp.ndarray,
     width: int,
@@ -115,13 +176,14 @@ def _render_gt_image(
     far: float,
     n_samples: int,
     white_background: bool,
+    field_name: str = "prims",
 ) -> jnp.ndarray:
     rays = camera_rays(pose, width, height, focal_px)
     t = jnp.linspace(near, far, n_samples + 1, dtype=jnp.float32)
     t_mid = 0.5 * (t[:-1] + t[1:])
     deltas = jnp.broadcast_to(t[1:] - t[:-1], (height, width, n_samples))
     pts = rays.origins[..., None, :] + rays.directions[..., None, :] * t_mid[..., :, None]
-    rgb, sigma = analytic_field(pts.reshape(-1, 3))
+    rgb, sigma = FIELDS[field_name](pts.reshape(-1, 3))
     rgb = rgb.reshape(height, width, n_samples, 3)
     sigma = sigma.reshape(height, width, n_samples)
     res = composite(rgb, sigma, deltas, t_mid=jnp.broadcast_to(t_mid, sigma.shape),
@@ -142,7 +204,19 @@ def generate_procedural_scene(
     white_background: bool = True,
     radius: float = 3.5,
 ) -> Dict[str, ImageDataset]:
-    """Generate a full {train, val, test} dataset from the analytic field."""
+    """Generate a full {train, val, test} dataset from the analytic field.
+
+    name selects the field: "prims" (easy: 4 soft primitives, white
+    background) or "hard" (thin rods + high-frequency texture, black
+    background — the quality-hardening gate).  The hard scene forces
+    white_background=False and a denser GT quadrature (rods are ~1 fine
+    cell wide; the GT march must not skip over them).
+    """
+    if name not in FIELDS:
+        raise ValueError(f"unknown procedural scene {name!r}; have {sorted(FIELDS)}")
+    if name == "hard":
+        white_background = False
+        n_samples = max(n_samples, 768)
     focal = focal_from_angle(width, CAMERA_ANGLE_X)
     out: Dict[str, ImageDataset] = {}
     counts = {"train": n_train, "val": n_val, "test": n_test}
@@ -155,7 +229,7 @@ def generate_procedural_scene(
         for i in range(n):
             img = _render_gt_image(
                 jnp.asarray(poses[i]), width, height, focal,
-                near, far, n_samples, white_background,
+                near, far, n_samples, white_background, field_name=name,
             )
             imgs.append(np.asarray(jax.device_get(img), dtype=np.float32))
         out[split] = ImageDataset(
