@@ -32,11 +32,21 @@ import jax.numpy as jnp
 
 
 class RenderResult(NamedTuple):
+    """Renderer output contract.
+
+    `weights`/`transmittance` carry PER-SAMPLE arrays ([..., S]) from the
+    XLA compositors; the FUSED Pallas pipeline composites on-chip and
+    never materializes per-sample arrays to HBM (that traffic is the
+    point of fusing), so it returns S=0-width arrays there.  Consumers
+    needing per-sample weights (e.g. importance resampling) must check
+    `weights.shape[-1] > 0` or use an unfused pipeline.
+    """
+
     rgb: jnp.ndarray          # [..., 3] composited color
     acc: jnp.ndarray          # [...] accumulated opacity (sum of weights)
     depth: jnp.ndarray        # [...] expected termination t
-    weights: jnp.ndarray      # [..., S] per-sample compositing weights
-    transmittance: jnp.ndarray  # [..., S] exclusive transmittance T_i
+    weights: jnp.ndarray      # [..., S] per-sample weights (S=0 from fused)
+    transmittance: jnp.ndarray  # [..., S] exclusive T_i (S=0 from fused)
 
 
 def render_weights(
