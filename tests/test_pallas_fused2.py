@@ -32,14 +32,15 @@ def workload():
     rays8 = jnp.concatenate([te, dt, jnp.zeros((B, 6))], axis=1)
     mask = (rng.uniform(0, 1, (B, S)) < 0.7).astype(np.float32)
     mask[:4] = 0.0  # fully-masked rays must contribute nothing
-    return NL, NK, W, Bias, gamma, beta, rays8, jnp.asarray(mask)
+    words = jnp.zeros((8, 128), jnp.int32)  # unused: coarse=None
+    return NL, NK, W, Bias, gamma, beta, rays8, jnp.asarray(mask), words
 
 
 def test_forward_matches_reference(workload):
-    NL, NK, W, Bias, gamma, beta, rays8, mask = workload
+    NL, NK, W, Bias, gamma, beta, rays8, mask, words = workload
     fused = make_fused_trainable(NL, NK, b_tile=32, b_tile_bwd=16,
                                  term_eps=0.0, interpret=True)
-    out_k = np.asarray(fused(W, Bias, gamma, beta, rays8, mask))
+    out_k = np.asarray(fused(W, Bias, gamma, beta, rays8, mask, words))
     out_r = np.asarray(fused_reference_v2(W, Bias, gamma, beta, rays8, mask))
     np.testing.assert_allclose(out_k[:, :6], out_r[:, :6], atol=5e-3)
     # fully-masked rays: no color, full transmittance
@@ -51,14 +52,14 @@ def test_custom_vjp_matches_autodiff_of_reference(workload):
     """The backward kernel IS the derivative: dL/dW and dL/db from the
     custom VJP must match jax.grad of the jnp mirror (which shares the
     bf16 matmul precision choices) to mixed-precision tolerance."""
-    NL, NK, W, Bias, gamma, beta, rays8, mask = workload
+    NL, NK, W, Bias, gamma, beta, rays8, mask, words = workload
     fused = make_fused_trainable(NL, NK, b_tile=32, b_tile_bwd=16,
                                  term_eps=0.0, interpret=True)
     rng = np.random.default_rng(1)
     cot = jnp.asarray(rng.normal(0, 1.0, (gamma.shape[0], 6)).astype(np.float32))
 
     def loss_k(W, Bias):
-        return jnp.sum(fused(W, Bias, gamma, beta, rays8, mask)[:, :6] * cot)
+        return jnp.sum(fused(W, Bias, gamma, beta, rays8, mask, words)[:, :6] * cot)
 
     def loss_r(W, Bias):
         return jnp.sum(fused_reference_v2(W, Bias, gamma, beta, rays8, mask)[:, :6] * cot)
@@ -148,14 +149,42 @@ def test_training_through_fused_kernel_reduces_loss():
 
 
 def test_grad_zero_for_fully_masked_batch(workload):
-    NL, NK, W, Bias, gamma, beta, rays8, _ = workload
+    NL, NK, W, Bias, gamma, beta, rays8, _, words = workload
     fused = make_fused_trainable(NL, NK, b_tile=32, b_tile_bwd=16,
                                  term_eps=0.0, interpret=True)
     mask0 = jnp.zeros((gamma.shape[0], NK * 128), jnp.float32)
 
     def loss(W, Bias):
-        return jnp.sum(fused(W, Bias, gamma, beta, rays8, mask0)[:, :5])
+        return jnp.sum(fused(W, Bias, gamma, beta, rays8, mask0, words)[:, :5])
 
     gW, gB = jax.grad(loss, argnums=(0, 1))(W, Bias)
     assert float(jnp.abs(gW).max()) == 0.0
     assert float(jnp.abs(gB).max()) == 0.0
+
+
+def test_coarse_kernel_mask_matches_xla_coarse_occupancy():
+    """occupancy_mode=coarse_kernel computes the occupancy test INSIDE
+    the kernel from a 128-word bitfield.  With the XLA renderer given the
+    SAME coarsened occupancy (max-pooled then re-expanded to fine), the
+    outputs must agree."""
+    from tnerf.fields.nerf_field import NeRFField
+    from tnerf.render.grid_renderer import make_grid_renderer
+
+    cfg = _small_cfg().apply_overrides(["grid.resolution=32"])
+    field = NeRFField(cfg.field_, cfg.grid)
+    params = field.init(jax.random.PRNGKey(0))
+    rend2 = make_fused_pipeline_renderer_v2(
+        cfg.field_, cfg.grid, cfg.sampler, cfg.render, interpret=True,
+        occupancy_mode="coarse_kernel")
+    rendx = make_grid_renderer(field, cfg.grid, cfg.sampler, cfg.render,
+                               strategy="march", compact=False)
+    rng = np.random.default_rng(7)
+    occ = rng.uniform(0, 1, (32, 32, 32)) < 0.15
+    # expand the 16^3 max-pool back to 32^3 for the XLA fine-mask path
+    occ_c = occ.reshape(16, 2, 16, 2, 16, 2).any(axis=(1, 3, 5))
+    occ_exp = np.repeat(np.repeat(np.repeat(occ_c, 2, 0), 2, 1), 2, 2)
+    rays = _rays(64, seed=9)
+    r2 = rend2(params, rays, None, jnp.asarray(occ))
+    rx = rendx(params, rays, None, jnp.asarray(occ_exp))
+    np.testing.assert_allclose(np.asarray(r2.rgb), np.asarray(rx.rgb), atol=2e-2)
+    np.testing.assert_allclose(np.asarray(r2.acc), np.asarray(rx.acc), atol=2e-2)

@@ -122,11 +122,17 @@ def encode_gamma_beta(origins, directions, viewdirs_tp, t_enter, dt, A, C):
     return gamma, beta
 
 
-def pack_rays8(t_enter, dt):
-    """[B, 8] per-ray scalars for in-kernel t reconstruction."""
+def pack_rays8(t_enter, dt, origins=None, directions=None):
+    """[B, 8] per-ray scalars: (te, dt, ox, oy, oz, dx, dy, dz).
+    Origins/directions feed the in-kernel coarse occupancy test; zero
+    when unused."""
     B = t_enter.shape[0]
+    if origins is None:
+        tail = jnp.zeros((B, 6), jnp.float32)
+    else:
+        tail = jnp.concatenate([origins, directions], axis=1)
     return jnp.concatenate(
-        [t_enter[:, None], dt[:, None], jnp.zeros((B, 6), jnp.float32)], axis=1
+        [t_enter[:, None], dt[:, None], tail], axis=1
     ).astype(jnp.float32)
 
 
@@ -194,6 +200,41 @@ def _chunk_scalars(hL, rays8, mask, chunk, b_tile):
     return rgb_r, rgb_g, rgb_b, sig, tau, t2
 
 
+def _coarse_mask(rays8, words, mask, chunk, b_tile, coarse):
+    """Refine the in-span mask with an IN-KERNEL coarse occupancy test.
+
+    XLA's per-sample occupancy gather costs ~8 ns/index (~34 ms for a
+    32K x 128 chunk — KERNEL_NOTES round-2 addendum); here the coarse
+    bitfield is <=4096 bits packed into 128 i32 words = one lane row, and
+    the test is pure [B, SC] lane arithmetic + one same-shape
+    take_along_axis — the only gather Mosaic (and the VPU) actually has.
+    coarse = (res_c, lo, inv_cell) static tuple, or None to pass through.
+    """
+    if coarse is None:
+        return mask
+    res_c, lo, inv_ch = coarse
+    i32 = jnp.int32
+    te = rays8[:, 0:1]
+    dtc = rays8[:, 1:2]
+    s_idx = (
+        jax.lax.broadcasted_iota(i32, (b_tile, SC), 1).astype(jnp.float32)
+        + (chunk * SC).astype(jnp.float32)
+        + 0.5
+    )
+    t2 = te + s_idx * dtc
+    x = rays8[:, 2:3] + t2 * rays8[:, 5:6]
+    y = rays8[:, 3:4] + t2 * rays8[:, 6:7]
+    z = rays8[:, 4:5] + t2 * rays8[:, 7:8]
+    ci = jnp.clip(jnp.floor((x - lo[0]) * inv_ch[0]).astype(i32), 0, res_c - 1)
+    cj = jnp.clip(jnp.floor((y - lo[1]) * inv_ch[1]).astype(i32), 0, res_c - 1)
+    ck = jnp.clip(jnp.floor((z - lo[2]) * inv_ch[2]).astype(i32), 0, res_c - 1)
+    cflat = (ci * res_c + cj) * res_c + ck
+    wrow = jnp.broadcast_to(words[0:1, :], (b_tile, LANES))
+    w = jnp.take_along_axis(wrow, cflat >> 5, axis=1)
+    bit = ((w >> (cflat & 31)) & 1).astype(jnp.float32)
+    return mask * bit
+
+
 def _tri(strict_upper: bool):
     i = jax.lax.broadcasted_iota(jnp.int32, (SC, SC), 0)
     j = jax.lax.broadcasted_iota(jnp.int32, (SC, SC), 1)
@@ -224,10 +265,10 @@ def _suffix_sum(G):
 # --------------------------------------------------------------------------
 
 def _fwd_kernel(
-    gamma_ref, beta_ref, rays8_ref, mask_ref, W_ref, Bias_ref,
+    gamma_ref, beta_ref, rays8_ref, mask_ref, words_ref, W_ref, Bias_ref,
     out_ref, tchk_ref,
     T_run,
-    *, b_tile, n_layers, n_chunks, term_eps,
+    *, b_tile, n_layers, n_chunks, term_eps, coarse,
 ):
     chunk = pl.program_id(1)
 
@@ -243,14 +284,15 @@ def _fwd_kernel(
         def _save():
             tchk_ref[:, j : j + 1] = T0
 
-    alive = (jnp.max(T0) > term_eps) & (jnp.max(mask_ref[:]) > 0.0)
+    mask = _coarse_mask(rays8_ref[:], words_ref[:], mask_ref[:], chunk, b_tile, coarse)
+    alive = (jnp.max(T0) > term_eps) & (jnp.max(mask) > 0.0)
 
     @pl.when(alive)
     def _work():
         E = _encode_chunk(gamma_ref[:], beta_ref[:], chunk, b_tile)
         hL = _mlp_forward(E, W_ref, Bias_ref, n_layers)
         rgb_r, rgb_g, rgb_b, sig, tau, t2 = _chunk_scalars(
-            hL, rays8_ref[:], mask_ref[:], chunk, b_tile
+            hL, rays8_ref[:], mask, chunk, b_tile
         )
         excl = _excl_cumsum(tau)
         w = T0 * jnp.exp(-excl) * (1.0 - jnp.exp(-tau))
@@ -270,11 +312,11 @@ def _fwd_kernel(
 # --------------------------------------------------------------------------
 
 def _bwd_kernel(
-    gamma_ref, beta_ref, rays8_ref, mask_ref, W_ref, Wt_ref, Bias_ref,
+    gamma_ref, beta_ref, rays8_ref, mask_ref, words_ref, W_ref, Wt_ref, Bias_ref,
     tchk_ref, gout_ref,
     dW_ref, dB8_ref,
     acts, gT_run,
-    *, b_tile, n_layers, n_chunks, term_eps,
+    *, b_tile, n_layers, n_chunks, term_eps, coarse,
 ):
     rb = pl.program_id(0)
     kk = pl.program_id(1)
@@ -295,14 +337,15 @@ def _bwd_kernel(
     for j in range(n_chunks):
         T0 = T0 + jnp.where(chunk == j, tchk_ref[:, j : j + 1], 0.0)
 
-    alive = (jnp.max(T0) > term_eps) & (jnp.max(mask_ref[:]) > 0.0)
+    maskc = _coarse_mask(rays8_ref[:], words_ref[:], mask_ref[:], chunk, b_tile, coarse)
+    alive = (jnp.max(T0) > term_eps) & (jnp.max(maskc) > 0.0)
 
     @pl.when(alive)
     def _work():
         # ---- recompute forward (remat), recording layer inputs --------
         E = _encode_chunk(gamma_ref[:], beta_ref[:], chunk, b_tile)
         hL = _mlp_forward(E, W_ref, Bias_ref, n_layers, acts=acts)
-        mask = mask_ref[:]
+        mask = maskc
         rgb_r, rgb_g, rgb_b, sig, tau, t2 = _chunk_scalars(
             hL, rays8_ref[:], mask, chunk, b_tile
         )
@@ -388,23 +431,25 @@ def make_fused_trainable(
     b_tile_bwd: int = 16,
     term_eps: float = 1e-4,
     interpret: bool = False,
+    coarse=None,
 ):
-    """Build fused(W_f32, Bias, gamma, beta, rays8, mask) -> out [B,8]
-    with a custom VJP onto (W, Bias).
+    """Build fused(W_f32, Bias, gamma, beta, rays8, mask, words) -> out
+    [B,8] with a custom VJP onto (W, Bias).
 
     Shapes: W [NL,128,128] f32, Bias [NL,128] f32, gamma/beta [B,128],
-    rays8 [B,8], mask [B, n_chunks*128] f32 in {0,1}.  B must divide
-    b_tile (and b_tile_bwd).
+    rays8 [B,8], mask [B, n_chunks*128] f32 in {0,1}, words [8,128] i32
+    (coarse occupancy bits; all-zeros + coarse=None disables the
+    in-kernel occupancy test).  B must divide b_tile (and b_tile_bwd).
     """
     NL = n_layers
     NK = n_chunks
     S = NK * SC
 
-    def fwd_call(Wb, Bias, gamma, beta, rays8, mask):
+    def fwd_call(Wb, Bias, gamma, beta, rays8, mask, words):
         B = gamma.shape[0]
         kernel = functools.partial(
             _fwd_kernel, b_tile=b_tile, n_layers=NL, n_chunks=NK,
-            term_eps=term_eps,
+            term_eps=term_eps, coarse=coarse,
         )
         return pl.pallas_call(
             kernel,
@@ -414,6 +459,7 @@ def make_fused_trainable(
                 pl.BlockSpec((b_tile, LANES), lambda rb, k: (rb, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec((b_tile, 8), lambda rb, k: (rb, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec((b_tile, SC), lambda rb, k: (rb, k), memory_space=pltpu.VMEM),
+                pl.BlockSpec((8, LANES), lambda rb, k: (0, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec((NL, LANES, LANES), lambda rb, k: (0, 0, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec((NL, LANES), lambda rb, k: (0, 0), memory_space=pltpu.VMEM),
             ],
@@ -427,14 +473,14 @@ def make_fused_trainable(
             ],
             scratch_shapes=[pltpu.VMEM((b_tile, 8), jnp.float32)],
             interpret=interpret,
-        )(gamma, beta, rays8, mask, Wb, Bias)
+        )(gamma, beta, rays8, mask, words, Wb, Bias)
 
-    def bwd_call(Wb, Wt, Bias, gamma, beta, rays8, mask, tchk, gout):
+    def bwd_call(Wb, Wt, Bias, gamma, beta, rays8, mask, words, tchk, gout):
         B = gamma.shape[0]
         bt = b_tile_bwd
         kernel = functools.partial(
             _bwd_kernel, b_tile=bt, n_layers=NL, n_chunks=NK,
-            term_eps=term_eps,
+            term_eps=term_eps, coarse=coarse,
         )
         return pl.pallas_call(
             kernel,
@@ -444,6 +490,7 @@ def make_fused_trainable(
                 pl.BlockSpec((bt, LANES), lambda rb, k: (rb, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec((bt, 8), lambda rb, k: (rb, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec((bt, SC), lambda rb, k: (rb, NK - 1 - k), memory_space=pltpu.VMEM),
+                pl.BlockSpec((8, LANES), lambda rb, k: (0, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec((NL, LANES, LANES), lambda rb, k: (0, 0, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec((NL, LANES, LANES), lambda rb, k: (0, 0, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec((NL, LANES), lambda rb, k: (0, 0), memory_space=pltpu.VMEM),
@@ -463,22 +510,22 @@ def make_fused_trainable(
                 pltpu.VMEM((bt, 8), jnp.float32),
             ],
             interpret=interpret,
-        )(gamma, beta, rays8, mask, Wb, Wt, Bias, tchk, gout)
+        )(gamma, beta, rays8, mask, words, Wb, Wt, Bias, tchk, gout)
 
     @jax.custom_vjp
-    def fused(W, Bias, gamma, beta, rays8, mask):
-        out, _ = fwd_call(W.astype(jnp.bfloat16), Bias, gamma, beta, rays8, mask)
+    def fused(W, Bias, gamma, beta, rays8, mask, words):
+        out, _ = fwd_call(W.astype(jnp.bfloat16), Bias, gamma, beta, rays8, mask, words)
         return out
 
-    def fused_fwd(W, Bias, gamma, beta, rays8, mask):
+    def fused_fwd(W, Bias, gamma, beta, rays8, mask, words):
         Wb = W.astype(jnp.bfloat16)
-        out, tchk = fwd_call(Wb, Bias, gamma, beta, rays8, mask)
-        return out, (Wb, Bias, gamma, beta, rays8, mask, tchk)
+        out, tchk = fwd_call(Wb, Bias, gamma, beta, rays8, mask, words)
+        return out, (Wb, Bias, gamma, beta, rays8, mask, words, tchk)
 
     def fused_bwd(res, gout):
-        Wb, Bias, gamma, beta, rays8, mask, tchk = res
+        Wb, Bias, gamma, beta, rays8, mask, words, tchk = res
         Wt = jnp.transpose(Wb, (0, 2, 1))
-        dW, dB8 = bwd_call(Wb, Wt, Bias, gamma, beta, rays8, mask, tchk, gout)
+        dW, dB8 = bwd_call(Wb, Wt, Bias, gamma, beta, rays8, mask, words, tchk, gout)
         return (
             dW,
             dB8[:, 0, :],
@@ -486,6 +533,7 @@ def make_fused_trainable(
             jnp.zeros_like(beta),
             jnp.zeros_like(rays8),
             jnp.zeros_like(mask),
+            np.zeros(words.shape, dtype=jax.dtypes.float0),  # int primal
         )
 
     fused.defvjp(fused_fwd, fused_bwd)
@@ -538,6 +586,20 @@ def fused_reference_v2(W, Bias, gamma, beta, rays8, mask):
 # Renderer adapter (standard protocol, trainable)
 # --------------------------------------------------------------------------
 
+def pack_occupancy_words(occupancy: jnp.ndarray, res: int, res_c: int) -> jnp.ndarray:
+    """Max-pool a [res]^3 occupancy to res_c^3 (<= 4096 cells) and pack
+    into [8, 128] i32 bit-words for the in-kernel coarse test."""
+    f = res // res_c
+    occ_c = occupancy.reshape(res_c, f, res_c, f, res_c, f).any(axis=(1, 3, 5))
+    bits = jnp.zeros((4096,), jnp.int32).at[: res_c ** 3].set(
+        occ_c.reshape(-1).astype(jnp.int32)
+    )
+    words = (bits.reshape(128, 32) << jnp.arange(32, dtype=jnp.int32)).sum(
+        axis=1, dtype=jnp.int32
+    )
+    return jnp.broadcast_to(words[None, :], (8, LANES))
+
+
 def make_fused_pipeline_renderer_v2(
     field_cfg: FieldConfig,
     grid_cfg: GridConfig,
@@ -546,11 +608,21 @@ def make_fused_pipeline_renderer_v2(
     b_tile: int = 32,
     b_tile_bwd: int = 16,
     interpret: bool = False,
+    occupancy_mode: str = "coarse_kernel",
 ):
     """render(params, rays, key=None, occupancy=None) -> RenderResult via
     the v2 fused kernel — forward AND backward (training-capable: the
     custom VJP reaches the field params through the differentiable
-    pack_params_f32).  Occupancy masks computed in XLA as in v1."""
+    pack_params_f32).
+
+    occupancy_mode:
+    - "coarse_kernel" (default): occupancy max-pooled to <=16^3, packed
+      into 128 bit-words and tested INSIDE the kernel per sample — zero
+      XLA gathers (the per-sample XLA occupancy gather costs ~8 ns/index,
+      ~34 ms per 32Kx128 chunk) and it feeds the kernel's empty-block
+      skipping.
+    - "xla_fine": exact fine-grid mask via the XLA gather (parity path).
+    """
     from tnerf.cameras import Rays  # local import to avoid cycles
     from tnerf.grid.traversal import occupancy_lookup, ray_aabb
     from tnerf.render.composite import RenderResult
@@ -562,10 +634,19 @@ def make_fused_pipeline_renderer_v2(
     n_chunks = -(-S // SC)
     S_pad = n_chunks * SC
     nl = field_cfg.hidden_layers + 1
+    res = grid_cfg.resolution
+    res_c = min(16, res)
+    use_coarse = occupancy_mode == "coarse_kernel"
+    lo = np.asarray(grid_cfg.aabb_min, np.float32)
+    hi = np.asarray(grid_cfg.aabb_max, np.float32)
+    coarse = (res_c, tuple(lo), tuple(res_c / (hi - lo))) if use_coarse else None
     fused = make_fused_trainable(
         nl, n_chunks, b_tile=b_tile, b_tile_bwd=b_tile_bwd,
         term_eps=render_cfg.transmittance_threshold, interpret=interpret,
+        coarse=coarse,
     )
+    zero_words = jnp.zeros((8, LANES), jnp.int32)
+    full_words = jnp.full((8, LANES), -1, jnp.int32)  # all bits set
 
     def render(params, rays: Rays, key=None, occupancy=None) -> RenderResult:
         B = rays.origins.shape[0]
@@ -578,17 +659,22 @@ def make_fused_pipeline_renderer_v2(
         tx = jnp.maximum(tx, te)
         dt = (tx - te) / S_pad
         mask = (tx > te)[:, None] & jnp.ones((o.shape[0], S_pad), bool)
+        words = full_words if use_coarse else zero_words
         if occupancy is not None:
-            r = grid_cfg.resolution
-            s_idx = jnp.arange(S_pad, dtype=jnp.float32) + 0.5
-            t = te[:, None] + s_idx * dt[:, None]
-            pts = sample_positions(o, d, t)
-            mask = mask & occupancy_lookup(pts, occupancy.reshape(r, r, r), grid_cfg)
+            if use_coarse:
+                words = pack_occupancy_words(occupancy, res, res_c)
+            else:
+                s_idx = jnp.arange(S_pad, dtype=jnp.float32) + 0.5
+                t = te[:, None] + s_idx * dt[:, None]
+                pts = sample_positions(o, d, t)
+                mask = mask & occupancy_lookup(
+                    pts, occupancy.reshape(res, res, res), grid_cfg
+                )
 
         W, Bias = pack_params_f32(params, field_cfg, s_aff, b_aff)
         gamma, beta = encode_gamma_beta(o, d, tp, te, dt, A, C)
-        out = fused(W, Bias, gamma, beta, pack_rays8(te, dt),
-                    mask.astype(jnp.float32))
+        out = fused(W, Bias, gamma, beta, pack_rays8(te, dt, o, d),
+                    mask.astype(jnp.float32), words)
         rgb = out[:B, 0:3]
         acc = out[:B, 3]
         depth = out[:B, 4]
