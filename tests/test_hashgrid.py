@@ -123,3 +123,71 @@ def test_full_field_with_hashgrid_trains():
     g = jax.grad(loss)(params)
     assert all(np.isfinite(np.asarray(l)).all() for l in jax.tree.leaves(g))
     assert float(jnp.abs(g["hashgrid"]["tables"]).sum()) > 0
+
+
+# ---- MXU one-hot (matmul-gather) formulation ------------------------------
+
+
+def test_onehot_matches_gather_exactly():
+    """With float32 compute the one-hot matmul formulation is bit-exact
+    against the gather formulation (one-hot rows select without rounding;
+    identical corner accumulation order)."""
+    from tnerf.fields.hashgrid import apply_hashgrid_gather, apply_hashgrid_onehot
+
+    cfg = small_cfg(compute_dtype="float32")
+    params = init_hashgrid(jax.random.PRNGKey(0), cfg)
+    x = jax.random.uniform(jax.random.PRNGKey(1), (333, 3))
+    a = apply_hashgrid_gather(params, x, cfg)
+    b = apply_hashgrid_onehot(params, x, cfg)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_onehot_chunked_matches_and_keeps_shape():
+    from tnerf.fields.hashgrid import apply_hashgrid_gather, apply_hashgrid_onehot
+
+    cfg = small_cfg(compute_dtype="float32")
+    params = init_hashgrid(jax.random.PRNGKey(0), cfg)
+    x = jax.random.uniform(jax.random.PRNGKey(2), (5, 1000, 3))
+    a = apply_hashgrid_gather(params, x, cfg)
+    b = apply_hashgrid_onehot(params, x, cfg, chunk=2048)
+    assert b.shape == a.shape
+    # Under the chunk scan XLA fuses the weight FMA differently, so the
+    # chunked path is allclose (1e-11-scale FMA rounding), not bit-equal.
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-9)
+
+
+def test_onehot_grads_match_gather():
+    """Autodiff through the one-hot matmul (dense matmul accumulation)
+    equals autodiff through the gather (scatter-add) — the deterministic
+    replacement for tcnn's fp16 atomic grads."""
+    from tnerf.fields.hashgrid import apply_hashgrid_gather, apply_hashgrid_onehot
+
+    cfg = small_cfg(compute_dtype="float32")
+    params = init_hashgrid(jax.random.PRNGKey(0), cfg)
+    x = jax.random.uniform(jax.random.PRNGKey(3), (257, 3))
+
+    def loss(tables, fn):
+        return jnp.sum(fn({"tables": tables}, x, cfg) ** 2)
+
+    ga = jax.grad(lambda t: loss(t, apply_hashgrid_gather))(params["tables"])
+    gb = jax.grad(lambda t: loss(t, apply_hashgrid_onehot))(params["tables"])
+    np.testing.assert_allclose(np.asarray(ga), np.asarray(gb), rtol=1e-5, atol=1e-12)
+
+
+def test_onehot_rejects_oversize_table():
+    from tnerf.fields.hashgrid import apply_hashgrid_onehot
+
+    cfg = small_cfg(hash_log2_table_size=16)
+    params = init_hashgrid(jax.random.PRNGKey(0), cfg)
+    x = jnp.zeros((4, 3))
+    with pytest.raises(ValueError):
+        apply_hashgrid_onehot(params, x, cfg)
+
+
+def test_resolve_gather_mode():
+    from tnerf.fields.hashgrid import resolve_gather_mode
+
+    assert resolve_gather_mode(small_cfg(hash_gather_mode="onehot")) == "onehot"
+    assert resolve_gather_mode(small_cfg(hash_gather_mode="gather")) == "gather"
+    # auto on CPU -> gather (onehot only pays on TPU)
+    assert resolve_gather_mode(small_cfg()) == "gather"

@@ -130,6 +130,11 @@ class FieldConfig:
     hash_log2_table_size: int = 19
     hash_base_resolution: int = 16
     hash_max_resolution: int = 2048
+    # Table lookup strategy: "gather" (XLA gather), "onehot" (MXU
+    # matmul-gather, needs hash_log2_table_size <= 15), or "auto"
+    # (onehot on TPU when the table is small enough — see
+    # tnerf/fields/hashgrid.py:resolve_gather_mode).
+    hash_gather_mode: str = "auto"
     # With hashgrid, Instant-NGP uses a shallow MLP.
     hash_hidden_width: int = 64
     hash_hidden_layers: int = 2

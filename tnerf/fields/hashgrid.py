@@ -47,8 +47,78 @@ def init_hashgrid(key: jax.Array, cfg: FieldConfig) -> dict:
     return {"tables": tables}
 
 
-def apply_hashgrid(params: dict, x01: jnp.ndarray, cfg: FieldConfig) -> jnp.ndarray:
+def _level_geometry(x01: jnp.ndarray, cfg: FieldConfig):
+    """Shared per-level cell geometry: (i0 [..., L, 3] uint32 base corner,
+    frac [..., L, 3] f32, dense_fits [L] bool, n1 [L] uint32)."""
+    T = 1 << cfg.hash_log2_table_size
+    res = level_resolutions(cfg)  # static numpy [L]
+    res_j = jnp.asarray(res, jnp.float32)
+    pos = x01[..., None, :] * res_j[:, None]
+    pos = jnp.clip(pos, 0.0, (res_j[:, None] - 1e-4))
+    i0f = jnp.floor(pos)
+    frac = pos - i0f
+    i0 = i0f.astype(jnp.uint32)
+    dense_fits = jnp.asarray((res + 1) ** 3 <= T)  # [L] (static values)
+    n1 = jnp.asarray(res + 1, jnp.uint32)  # [L]
+    return i0, frac, dense_fits, n1
+
+
+def _corner_index_weight(c, i0, frac, dense_fits, n1, T):
+    """Corner c (0..7) of the trilinear cube: within-level table index
+    [..., L] uint32 in [0, T) and interpolation weight [..., L] f32."""
+    off = ((c >> 2) & 1, (c >> 1) & 1, c & 1)
+    x_ = i0[..., 0] + jnp.uint32(off[0])  # [..., L]
+    y_ = i0[..., 1] + jnp.uint32(off[1])
+    z_ = i0[..., 2] + jnp.uint32(off[2])
+    linear = x_ + n1 * (y_ + n1 * z_)
+    hashed = (
+        x_ * jnp.uint32(_PRIMES[0])
+        ^ y_ * jnp.uint32(_PRIMES[1])
+        ^ z_ * jnp.uint32(_PRIMES[2])
+    )
+    idx = jnp.where(dense_fits, linear, hashed) & jnp.uint32(T - 1)
+    w = (
+        (frac[..., 0] if off[0] else 1.0 - frac[..., 0])
+        * (frac[..., 1] if off[1] else 1.0 - frac[..., 1])
+        * (frac[..., 2] if off[2] else 1.0 - frac[..., 2])
+    )  # [..., L]
+    return idx, w
+
+
+def resolve_gather_mode(cfg: FieldConfig) -> str:
+    """'onehot' (MXU matmul-gather) or 'gather' (XLA gather).
+
+    'auto' picks onehot on TPU when each level's table is small enough
+    for the one-hot row matmul to be cheap (T <= 2^15 -> at most a
+    [256, 128] row block per level); XLA's gather on TPU lowers to a
+    ~8 ns/element scalar loop (docs/KERNEL_NOTES.md), so the matmul
+    formulation wins by >10x there despite doing 128x the FLOPs.
+    """
+    mode = getattr(cfg, "hash_gather_mode", "auto")
+    if mode != "auto":
+        return mode
+    T = 1 << cfg.hash_log2_table_size
+    if T <= (1 << 15) and jax.default_backend() == "tpu":
+        return "onehot"
+    return "gather"
+
+
+def apply_hashgrid(
+    params: dict, x01: jnp.ndarray, cfg: FieldConfig, mode: str | None = None
+) -> jnp.ndarray:
     """x01: [..., 3] positions in [0, 1]^3 -> [..., L*F] features.
+
+    Dispatches between the XLA-gather formulation and the MXU one-hot
+    matmul formulation (see resolve_gather_mode)."""
+    if (mode or resolve_gather_mode(cfg)) == "onehot":
+        return apply_hashgrid_onehot(params, x01, cfg)
+    return apply_hashgrid_gather(params, x01, cfg)
+
+
+def apply_hashgrid_gather(
+    params: dict, x01: jnp.ndarray, cfg: FieldConfig
+) -> jnp.ndarray:
+    """XLA-gather formulation.
 
     The 8 cube corners are processed as a Python loop of gather+FMA
     (one [..., L] index tensor per corner) instead of one vectorized
@@ -58,41 +128,116 @@ def apply_hashgrid(params: dict, x01: jnp.ndarray, cfg: FieldConfig) -> jnp.ndar
     """
     L, F = cfg.hash_levels, cfg.hash_features_per_level
     T = 1 << cfg.hash_log2_table_size
-    res = level_resolutions(cfg)  # static numpy [L]
-    res_j = jnp.asarray(res, jnp.float32)
-
-    # Scale to every level at once: [..., L, 3]
-    pos = x01[..., None, :] * res_j[:, None]
-    pos = jnp.clip(pos, 0.0, (res_j[:, None] - 1e-4))
-    i0f = jnp.floor(pos)
-    frac = pos - i0f
-    i0 = i0f.astype(jnp.uint32)
-
-    dense_fits = jnp.asarray((res + 1) ** 3 <= T)  # [L] (static values)
-    n1 = jnp.asarray(res + 1, jnp.uint32)  # [L]
+    i0, frac, dense_fits, n1 = _level_geometry(x01, cfg)
     level_off = jnp.arange(L, dtype=jnp.uint32) * jnp.uint32(T)
     tables = params["tables"]
 
     out = jnp.zeros((*x01.shape[:-1], L, F), tables.dtype)
     for c in range(8):
-        off = ((c >> 2) & 1, (c >> 1) & 1, c & 1)
-        x_ = i0[..., 0] + jnp.uint32(off[0])  # [..., L]
-        y_ = i0[..., 1] + jnp.uint32(off[1])
-        z_ = i0[..., 2] + jnp.uint32(off[2])
-        linear = x_ + n1 * (y_ + n1 * z_)
-        hashed = (
-            x_ * jnp.uint32(_PRIMES[0])
-            ^ y_ * jnp.uint32(_PRIMES[1])
-            ^ z_ * jnp.uint32(_PRIMES[2])
-        )
-        idx = (jnp.where(dense_fits, linear, hashed) & jnp.uint32(T - 1)) + level_off
-        w = (
-            (frac[..., 0] if off[0] else 1.0 - frac[..., 0])
-            * (frac[..., 1] if off[1] else 1.0 - frac[..., 1])
-            * (frac[..., 2] if off[2] else 1.0 - frac[..., 2])
-        )  # [..., L]
-        out = out + w[..., None] * tables[idx.astype(jnp.int32)]
+        idx, w = _corner_index_weight(c, i0, frac, dense_fits, n1, T)
+        out = out + w[..., None] * tables[(idx + level_off).astype(jnp.int32)]
     return out.reshape(*x01.shape[:-1], L * F)
+
+
+def apply_hashgrid_onehot(
+    params: dict,
+    x01: jnp.ndarray,
+    cfg: FieldConfig,
+    chunk: int = 8192,
+) -> jnp.ndarray:
+    """MXU matmul-gather formulation (gather-as-matmul).
+
+    XLA's TPU gather costs ~8 ns/element regardless of table size
+    (docs/KERNEL_NOTES.md 'XLA gather pathology') — it made hash-grid
+    training 35x slower than the freq-MLP.  This formulation replaces
+    every table lookup with systolic-array work, the role tcnn's fused
+    HashGrid kernel plays in the reference (main.cu:35-69):
+
+      - each level's table is viewed as [ROWS, 128] lane-tiles
+        (ROWS = T/128; requires T <= 2^15 so ROWS <= 256);
+      - the ROW of a corner's entry is selected by a one-hot
+        [N, ROWS] @ [ROWS, F*128] matmul per level (MXU, exact:
+        one-hot rows select without rounding);
+      - the LANE is selected by a compare-mask + lane reduction (VPU);
+      - the trilinear weight multiplies the selected f32 value.
+
+    Gradients come from plain autodiff: d/d(tables) of a one-hot matmul
+    is another matmul — a deterministic dense accumulation, replacing
+    both XLA scatter-add AND tcnn's nondeterministic fp16 atomics.
+
+    With float32 tables this matches apply_hashgrid_gather bit-exactly
+    for a single chunk (the one-hot matmul contributes exact zeros off
+    the selected row; corner accumulation order is identical); under the
+    multi-chunk scan XLA's FMA fusion differs at the ~1e-11 level.
+
+    Samples are processed in `chunk`-sized pieces under jax.checkpoint:
+    the dot output [L, chunk, F*128] is the peak intermediate (~134 MB
+    f32 at chunk=8192) and is rematerialized in the backward pass.
+    """
+    L, F = cfg.hash_levels, cfg.hash_features_per_level
+    T = 1 << cfg.hash_log2_table_size
+    if T % 128 != 0 or T > (1 << 15):
+        raise ValueError(
+            f"onehot gather mode needs 128 | T <= 2^15, got T=2^{cfg.hash_log2_table_size}"
+        )
+    rows = T // 128
+    tables = params["tables"]  # [L*T, F]
+    compute_dtype = (
+        jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
+    )
+    # [L, ROWS, F*128] with lane m = f*128 + k  (k = idx & 127)
+    tbl_m = (
+        tables.reshape(L, rows, 128, F)
+        .transpose(0, 1, 3, 2)
+        .reshape(L, rows, F * 128)
+        .astype(compute_dtype)
+    )
+
+    batch_shape = x01.shape[:-1]
+    x = x01.reshape(-1, 3)
+    n = x.shape[0]
+    n_pad = -(-n // chunk) * chunk if n > chunk else n
+    if n_pad != n:
+        x = jnp.pad(x, ((0, n_pad - n), (0, 0)))
+
+    iota_rows = jax.lax.broadcasted_iota(jnp.int32, (1, 1, rows), 2)
+    iota_lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 128), 2)
+
+    def encode_chunk(xc: jnp.ndarray) -> jnp.ndarray:  # [C, 3] -> [C, L*F]
+        c_sz = xc.shape[0]
+        i0, frac, dense_fits, n1 = _level_geometry(xc, cfg)
+        out = jnp.zeros((L, c_sz, F), jnp.float32)
+        for c in range(8):
+            idx, w = _corner_index_weight(c, i0, frac, dense_fits, n1, T)
+            idx_t = idx.astype(jnp.int32).T  # [L, C]
+            oh_row = (idx_t[:, :, None] >> 7 == iota_rows).astype(compute_dtype)
+            # Dot output in compute_dtype: EXACT even in bf16 — the one-hot
+            # selects a single already-compute_dtype table value; every
+            # other product is a true zero.  Measured 2.6x over an f32
+            # output (the [L,C,F*128] intermediate halves in bytes).
+            m = jax.lax.dot_general(
+                oh_row,
+                tbl_m,
+                dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=compute_dtype,
+            )  # [L, C, F*128]
+            oh_lane = (idx_t[:, :, None] & 127) == iota_lane  # [L, C, 128]
+            val = jnp.sum(
+                m.reshape(L, c_sz, F, 128) * oh_lane[:, :, None, :].astype(compute_dtype),
+                axis=-1,
+                dtype=compute_dtype,
+            )  # [L, C, F] — exact: one nonzero per (sample, level, feature)
+            out = out + w.T[:, :, None] * val.astype(jnp.float32)
+        return out.transpose(1, 0, 2).reshape(c_sz, L * F)
+
+    if n_pad > chunk:
+        y = jax.lax.map(
+            jax.checkpoint(encode_chunk), x.reshape(-1, chunk, 3)
+        ).reshape(n_pad, L * F)
+        y = y[:n]
+    else:
+        y = encode_chunk(x)
+    return y.reshape(*batch_shape, L * F).astype(tables.dtype)
 
 
 def hashgrid_num_params(cfg: FieldConfig) -> int:

@@ -281,3 +281,116 @@ def traverse_grid_pallas(
         t_enter=t_enter.reshape(batch_shape),
         t_exit=t_exit.reshape(batch_shape),
     )
+
+
+# --------------------------------------------------------------------------
+# Occupancy range tightening (Pallas): per-ray [t0, t1] of the occupied
+# span, probe-based, coarse bitfield in VMEM.  The XLA tightened_range
+# (traversal.py) gathers occupancy per probe at ~8 ns/element — ~330 ms
+# for a full 800x800 frame; this kernel does the same probes as [8,128]
+# lane arithmetic + the within-row take_along_axis bit test (the pattern
+# of pallas_fused2._coarse_mask), ~1000x cheaper.
+# --------------------------------------------------------------------------
+
+def _tighten_kernel(
+    ox, oy, oz, dx, dy, dz, te_ref, tx_ref, words_ref,
+    t0_out, t1_out,
+    *, res_c, lo, cell_c, probes, pad_diag,
+):
+    f32 = jnp.float32
+    i32 = jnp.int32
+    lox, loy, loz = (f32(v) for v in lo)
+    inv_cx, inv_cy, inv_cz = (f32(1.0 / v) for v in cell_c)
+    o_x, o_y, o_z = ox[:], oy[:], oz[:]
+    d_x, d_y, d_z = dx[:], dy[:], dz[:]
+    te = te_ref[:]
+    tx = tx_ref[:]
+    words = words_ref[:]
+    span = jnp.maximum(tx - te, 0.0)
+    step = span * f32(1.0 / probes)
+    big = f32(3.0e38)
+
+    def probe(i, carry):
+        tf, tl = carry
+        t = te + step * (i.astype(f32) + 0.5)
+        x = o_x + d_x * t
+        y = o_y + d_y * t
+        z = o_z + d_z * t
+        ci = jnp.clip(jnp.floor((x - lox) * inv_cx).astype(i32), 0, res_c - 1)
+        cj = jnp.clip(jnp.floor((y - loy) * inv_cy).astype(i32), 0, res_c - 1)
+        ck = jnp.clip(jnp.floor((z - loz) * inv_cz).astype(i32), 0, res_c - 1)
+        cflat = (ci * res_c + cj) * res_c + ck
+        w = jnp.take_along_axis(words, cflat >> 5, axis=1)
+        occ = (((w >> (cflat & 31)) & 1) > 0) & (span > 0)
+        tf = jnp.minimum(tf, jnp.where(occ, t, big))
+        tl = jnp.maximum(tl, jnp.where(occ, t, -big))
+        return tf, tl
+
+    init = (jnp.full_like(te, big), jnp.full_like(te, -big))
+    tf, tl = jax.lax.fori_loop(0, probes, probe, init)
+    hit = tl >= tf
+    pad = step + f32(pad_diag)
+    t0_out[:] = jnp.where(hit, jnp.maximum(tf - pad, te), te)
+    t1_out[:] = jnp.where(hit, jnp.minimum(tl + pad, tx), tx)
+
+
+def tighten_range_pallas(
+    origins: jnp.ndarray,
+    directions: jnp.ndarray,
+    t_enter: jnp.ndarray,
+    t_exit: jnp.ndarray,
+    words: jnp.ndarray,
+    res_c: int,
+    grid: GridConfig,
+    probes: int = 256,
+    interpret: bool = False,
+):
+    """Shrink per-ray [t_enter, t_exit] to the span of occupied COARSE
+    cells (same contract as traversal.tightened_range, coarse-grained:
+    rays with no occupied probe keep the full span; hits are padded by
+    one probe step + one fine-cell diagonal).
+
+    words: [8, >=128] i32 coarse bitfield (pack_coarse_words /
+    pallas_fused2.pack_occupancy_words layout) for a res_c^3 grid.
+    """
+    lo = np.asarray(grid.aabb_min, np.float32)
+    hi = np.asarray(grid.aabb_max, np.float32)
+    cell_c = (hi - lo) / res_c
+    fine_diag = float(np.linalg.norm((hi - lo) / grid.resolution))
+
+    B = origins.shape[0]
+    pad = (-B) % _BLOCK
+    o = jnp.pad(origins.astype(jnp.float32), ((0, pad), (0, 0)))
+    d = jnp.pad(directions.astype(jnp.float32), ((0, pad), (0, 0)), constant_values=1.0)
+    te = jnp.pad(t_enter.astype(jnp.float32), (0, pad))
+    tx = jnp.pad(t_exit.astype(jnp.float32), (0, pad))
+    Bp = B + pad
+    n_rows = Bp // _LANES
+    as_rows = lambda a: a.reshape(n_rows, _LANES)
+    if words.shape[1] < _LANES:
+        words = jnp.pad(words, ((0, 0), (0, _LANES - words.shape[1])))
+
+    kernel = functools.partial(
+        _tighten_kernel,
+        res_c=res_c, lo=tuple(lo), cell_c=tuple(cell_c),
+        probes=probes, pad_diag=fine_diag,
+    )
+    ray_spec = pl.BlockSpec((_SUB, _LANES), lambda rb: (rb, 0), memory_space=pltpu.VMEM)
+    t0, t1 = pl.pallas_call(
+        kernel,
+        grid=(Bp // _BLOCK,),
+        in_specs=[ray_spec] * 8 + [
+            pl.BlockSpec((_SUB, _LANES), lambda rb: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[ray_spec, ray_spec],
+        out_shape=[
+            jax.ShapeDtypeStruct((n_rows, _LANES), jnp.float32),
+            jax.ShapeDtypeStruct((n_rows, _LANES), jnp.float32),
+        ],
+        interpret=interpret,
+    )(
+        as_rows(o[:, 0]), as_rows(o[:, 1]), as_rows(o[:, 2]),
+        as_rows(d[:, 0]), as_rows(d[:, 1]), as_rows(d[:, 2]),
+        as_rows(te), as_rows(tx), words,
+    )
+    return t0.reshape(Bp)[:B], t1.reshape(Bp)[:B]

@@ -140,15 +140,19 @@ def pack_rays8(t_enter, dt, origins=None, directions=None):
 # Shared in-kernel pieces
 # --------------------------------------------------------------------------
 
-def _encode_chunk(gamma, beta, chunk, b_tile):
-    """[B,128] gamma/beta -> encoded rows E [R,128] bf16 for sample chunk
-    `chunk` (R = b_tile*SC, row r = (ray r//SC, sample r%SC))."""
-    R = b_tile * SC
-    gk = gamma + (chunk * SC).astype(jnp.float32) * beta          # [B,128]
-    gk_rep = jnp.broadcast_to(gk[:, None, :], (b_tile, SC, LANES)).reshape(R, LANES)
-    b_rep = jnp.broadcast_to(beta[:, None, :], (b_tile, SC, LANES)).reshape(R, LANES)
+def _encode_chunk(gamma, beta, chunk, b_tile, spr=SC):
+    """gamma/beta [B_rays,128] -> encoded rows E [R,128] bf16 for sample
+    chunk `chunk`.  spr = samples per ray per chunk; with rpc rays packed
+    per scalar row (rpc = SC//spr), B_rays = b_tile*rpc and R = b_tile*SC.
+    Row r maps to (ray r//spr, sample r%spr) — consistent with the
+    [R,1]->[b_tile,SC] lane bridge in _chunk_scalars."""
+    b_rays = gamma.shape[0]
+    R = b_rays * spr
+    gk = gamma + (chunk * spr).astype(jnp.float32) * beta          # [B,128]
+    gk_rep = jnp.broadcast_to(gk[:, None, :], (b_rays, spr, LANES)).reshape(R, LANES)
+    b_rep = jnp.broadcast_to(beta[:, None, :], (b_rays, spr, LANES)).reshape(R, LANES)
     s_wave = (
-        jax.lax.broadcasted_iota(jnp.int32, (R, 1), 0) % SC
+        jax.lax.broadcasted_iota(jnp.int32, (R, 1), 0) % spr
     ).astype(jnp.float32) + 0.5
     I = gk_rep + s_wave * b_rep
     lane = jax.lax.broadcasted_iota(jnp.int32, (R, LANES), 1)
@@ -176,9 +180,26 @@ def _mlp_forward(E, W_ref, Bias_ref, n_layers, acts=None):
     return hL  # [R,128] f32; lanes 0..3 = (r,g,b,sigma_raw) pre-activations
 
 
-def _chunk_scalars(hL, rays8, mask, chunk, b_tile):
+def _lane_scalars(rays_arr, b_tile, spr):
+    """Per-lane ray scalars for the chunk's [b_tile, SC] scalar world.
+
+    spr == SC (one ray per scalar row): rays_arr is the [b_tile, 8]
+    per-ray block; return [b_tile, 1] column slices (ops broadcast).
+    spr < SC (rpc = SC//spr rays packed per row): rays_arr is
+    [b_tile, 128] with scalar q of in-row ray j at column j*8+q; expand
+    each to [b_tile, SC] with a within-row lane gather (the one gather
+    Mosaic has)."""
+    if spr == SC:
+        return tuple(rays_arr[:, q : q + 1] for q in range(8))
+    lane = jax.lax.broadcasted_iota(jnp.int32, (b_tile, SC), 1)
+    src = (lane // spr) * 8
+    return tuple(jnp.take_along_axis(rays_arr, src + q, axis=1) for q in range(8))
+
+
+def _chunk_scalars(hL, sc8, mask, chunk, b_tile, spr=SC):
     """Bridge raw head lanes to [B,SC] and apply activations + quadrature
-    precursors there (scalar math on lanes, not rows)."""
+    precursors there (scalar math on lanes, not rows).  sc8 = per-lane
+    ray scalars from _lane_scalars."""
     to2d = lambda col: col.reshape(b_tile, SC)
     r2 = to2d(hL[:, 0:1])
     g2 = to2d(hL[:, 1:2])
@@ -188,19 +209,16 @@ def _chunk_scalars(hL, rays8, mask, chunk, b_tile):
     rgb_g = jax.nn.sigmoid(g2)
     rgb_b = jax.nn.sigmoid(b2)
     sig = jax.nn.softplus(s2 - 1.0)
-    te = rays8[:, 0:1]
-    dt = rays8[:, 1:2]
+    te, dt = sc8[0], sc8[1]
     s_idx = (
-        jax.lax.broadcasted_iota(jnp.int32, (b_tile, SC), 1).astype(jnp.float32)
-        + (chunk * SC).astype(jnp.float32)
-        + 0.5
-    )
+        jax.lax.broadcasted_iota(jnp.int32, (b_tile, SC), 1) % spr
+    ).astype(jnp.float32) + (chunk * spr).astype(jnp.float32) + 0.5
     t2 = te + s_idx * dt
     tau = sig * dt * mask
     return rgb_r, rgb_g, rgb_b, sig, tau, t2
 
 
-def _coarse_mask(rays8, words, mask, chunk, b_tile, coarse):
+def _coarse_mask(sc8, words, mask, chunk, b_tile, spr, coarse):
     """Refine the in-span mask with an IN-KERNEL coarse occupancy test.
 
     XLA's per-sample occupancy gather costs ~8 ns/index (~34 ms for a
@@ -214,17 +232,14 @@ def _coarse_mask(rays8, words, mask, chunk, b_tile, coarse):
         return mask
     res_c, lo, inv_ch = coarse
     i32 = jnp.int32
-    te = rays8[:, 0:1]
-    dtc = rays8[:, 1:2]
+    te, dtc = sc8[0], sc8[1]
     s_idx = (
-        jax.lax.broadcasted_iota(i32, (b_tile, SC), 1).astype(jnp.float32)
-        + (chunk * SC).astype(jnp.float32)
-        + 0.5
-    )
+        jax.lax.broadcasted_iota(i32, (b_tile, SC), 1) % spr
+    ).astype(jnp.float32) + (chunk * spr).astype(jnp.float32) + 0.5
     t2 = te + s_idx * dtc
-    x = rays8[:, 2:3] + t2 * rays8[:, 5:6]
-    y = rays8[:, 3:4] + t2 * rays8[:, 6:7]
-    z = rays8[:, 4:5] + t2 * rays8[:, 7:8]
+    x = sc8[2] + t2 * sc8[5]
+    y = sc8[3] + t2 * sc8[6]
+    z = sc8[4] + t2 * sc8[7]
     ci = jnp.clip(jnp.floor((x - lo[0]) * inv_ch[0]).astype(i32), 0, res_c - 1)
     cj = jnp.clip(jnp.floor((y - lo[1]) * inv_ch[1]).astype(i32), 0, res_c - 1)
     ck = jnp.clip(jnp.floor((z - lo[2]) * inv_ch[2]).astype(i32), 0, res_c - 1)
@@ -235,29 +250,55 @@ def _coarse_mask(rays8, words, mask, chunk, b_tile, coarse):
     return mask * bit
 
 
-def _tri(strict_upper: bool):
+def _tri(strict_upper: bool, spr: int = SC):
+    """(Block-diagonal) strict triangular [SC,SC]: nonzero only within a
+    ray's spr-lane segment — rays packed in the same row never mix."""
     i = jax.lax.broadcasted_iota(jnp.int32, (SC, SC), 0)
     j = jax.lax.broadcasted_iota(jnp.int32, (SC, SC), 1)
-    return ((i < j) if strict_upper else (i > j)).astype(jnp.float32)
+    tri = (i < j) if strict_upper else (i > j)
+    if spr != SC:
+        tri = tri & ((i // spr) == (j // spr))
+    return tri.astype(jnp.float32)
 
 
-def _excl_cumsum(tau):
+def _seg_matrix(spr: int):
+    """[SC,SC] segment indicator: X @ seg = per-segment sums, replicated
+    across each ray's spr lanes."""
+    i = jax.lax.broadcasted_iota(jnp.int32, (SC, SC), 0)
+    j = jax.lax.broadcasted_iota(jnp.int32, (SC, SC), 1)
+    return ((i // spr) == (j // spr)).astype(jnp.float32)
+
+
+def _pack_matrix(q: int, spr: int, rpc: int, select_first: bool = False):
+    """[SC,SC] output-packing matrix: X @ P sums ray j's segment into
+    lane q*rpc + j (or selects the segment's first lane if select_first,
+    for already-replicated quantities like transmittance)."""
+    i = jax.lax.broadcasted_iota(jnp.int32, (SC, SC), 0)
+    j = jax.lax.broadcasted_iota(jnp.int32, (SC, SC), 1)
+    p = j == (q * rpc + i // spr)
+    if select_first:
+        p = p & (i % spr == 0)
+    return p.astype(jnp.float32)
+
+
+def _hi_dot(x, m):
+    return jax.lax.dot_general(
+        x, m, (((1,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32,
+    )
+
+
+def _excl_cumsum(tau, spr: int = SC):
     """Exclusive per-ray cumsum over the sample lanes: one exact
-    triangular MXU matmul (HIGHEST precision)."""
-    return jax.lax.dot_general(
-        tau, _tri(True), (((1,), (0,)), ((), ())),
-        precision=jax.lax.Precision.HIGHEST,
-        preferred_element_type=jnp.float32,
-    )
+    (block-diagonal) triangular MXU matmul (HIGHEST precision)."""
+    return _hi_dot(tau, _tri(True, spr))
 
 
-def _suffix_sum(G):
-    """suffix[b,s] = sum_{j>s} G[b,j]: strict-lower triangular matmul."""
-    return jax.lax.dot_general(
-        G, _tri(False), (((1,), (0,)), ((), ())),
-        precision=jax.lax.Precision.HIGHEST,
-        preferred_element_type=jnp.float32,
-    )
+def _suffix_sum(G, spr: int = SC):
+    """suffix[b,s] = sum_{j>s in segment} G[b,j]: strict-lower triangular
+    matmul."""
+    return _hi_dot(G, _tri(False, spr))
 
 
 # --------------------------------------------------------------------------
@@ -268,43 +309,70 @@ def _fwd_kernel(
     gamma_ref, beta_ref, rays8_ref, mask_ref, words_ref, W_ref, Bias_ref,
     out_ref, tchk_ref,
     T_run,
-    *, b_tile, n_layers, n_chunks, term_eps, coarse,
+    *, b_tile, n_layers, n_chunks, term_eps, coarse, rpc=1,
 ):
     chunk = pl.program_id(1)
+    spr = SC // rpc
 
     @pl.when(chunk == 0)
     def _init():
-        out_ref[:] = jnp.zeros_like(out_ref)
-        out_ref[:, 5:6] = jnp.ones_like(out_ref[:, 5:6])
+        if rpc == 1:
+            out_ref[:] = jnp.zeros_like(out_ref)
+            out_ref[:, 5:6] = jnp.ones_like(out_ref[:, 5:6])
+        else:
+            # T_final lanes [5*rpc, 6*rpc) start at 1, the rest at 0.
+            lane = jax.lax.broadcasted_iota(jnp.int32, (b_tile, SC), 1)
+            out_ref[:] = ((lane >= 5 * rpc) & (lane < 6 * rpc)).astype(jnp.float32)
         T_run[:] = jnp.ones_like(T_run)
 
-    T0 = T_run[:, 0:1]
+    # Running transmittance: [b_tile, 1] for rpc==1, else per-lane
+    # [b_tile, SC] replicated across each ray's spr-lane segment.
+    T0 = T_run[:, 0:1] if rpc == 1 else T_run[:]
     for j in range(n_chunks):  # static unroll: dynamic-lane stores unsupported
         @pl.when(chunk == j)
         def _save():
-            tchk_ref[:, j : j + 1] = T0
+            tchk_ref[:, j : j + 1] = T0[:, 0:1]
 
-    mask = _coarse_mask(rays8_ref[:], words_ref[:], mask_ref[:], chunk, b_tile, coarse)
+    sc8 = _lane_scalars(rays8_ref[:], b_tile, spr)
+    mask = _coarse_mask(sc8, words_ref[:], mask_ref[:], chunk, b_tile, spr, coarse)
     alive = (jnp.max(T0) > term_eps) & (jnp.max(mask) > 0.0)
 
     @pl.when(alive)
     def _work():
-        E = _encode_chunk(gamma_ref[:], beta_ref[:], chunk, b_tile)
+        E = _encode_chunk(gamma_ref[:], beta_ref[:], chunk, b_tile, spr)
         hL = _mlp_forward(E, W_ref, Bias_ref, n_layers)
         rgb_r, rgb_g, rgb_b, sig, tau, t2 = _chunk_scalars(
-            hL, rays8_ref[:], mask, chunk, b_tile
+            hL, sc8, mask, chunk, b_tile, spr
         )
-        excl = _excl_cumsum(tau)
+        excl = _excl_cumsum(tau, spr)
         w = T0 * jnp.exp(-excl) * (1.0 - jnp.exp(-tau))
-        lanesum = lambda x: jnp.sum(x, axis=1, keepdims=True)
-        out_ref[:, 0:1] += lanesum(w * rgb_r)
-        out_ref[:, 1:2] += lanesum(w * rgb_g)
-        out_ref[:, 2:3] += lanesum(w * rgb_b)
-        out_ref[:, 3:4] += lanesum(w)
-        out_ref[:, 4:5] += lanesum(w * t2)
-        T_new = T0 * jnp.exp(-lanesum(tau))
-        T_run[:, 0:1] = T_new
-        out_ref[:, 5:6] = T_new
+        if rpc == 1:
+            lanesum = lambda x: jnp.sum(x, axis=1, keepdims=True)
+            out_ref[:, 0:1] += lanesum(w * rgb_r)
+            out_ref[:, 1:2] += lanesum(w * rgb_g)
+            out_ref[:, 2:3] += lanesum(w * rgb_b)
+            out_ref[:, 3:4] += lanesum(w)
+            out_ref[:, 4:5] += lanesum(w * t2)
+            T_new = T0 * jnp.exp(-lanesum(tau))
+            T_run[:, 0:1] = T_new
+            out_ref[:, 5:6] = T_new
+        else:
+            # Segment sums of each quantity land in output lane q*rpc+j
+            # (ray j of the row) via one packing matmul each.
+            acc = _hi_dot(w * rgb_r, _pack_matrix(0, spr, rpc))
+            acc += _hi_dot(w * rgb_g, _pack_matrix(1, spr, rpc))
+            acc += _hi_dot(w * rgb_b, _pack_matrix(2, spr, rpc))
+            acc += _hi_dot(w, _pack_matrix(3, spr, rpc))
+            acc += _hi_dot(w * t2, _pack_matrix(4, spr, rpc))
+            T_new = T0 * jnp.exp(-_hi_dot(tau, _seg_matrix(spr)))
+            T_run[:] = T_new
+            lane = jax.lax.broadcasted_iota(jnp.int32, (b_tile, SC), 1)
+            t_lanes = (lane >= 5 * rpc) & (lane < 6 * rpc)
+            out_ref[:] = jnp.where(
+                t_lanes,
+                _hi_dot(T_new, _pack_matrix(5, spr, rpc, select_first=True)),
+                out_ref[:] + acc,
+            )
 
 
 # --------------------------------------------------------------------------
@@ -337,7 +405,8 @@ def _bwd_kernel(
     for j in range(n_chunks):
         T0 = T0 + jnp.where(chunk == j, tchk_ref[:, j : j + 1], 0.0)
 
-    maskc = _coarse_mask(rays8_ref[:], words_ref[:], mask_ref[:], chunk, b_tile, coarse)
+    sc8 = _lane_scalars(rays8_ref[:], b_tile, SC)
+    maskc = _coarse_mask(sc8, words_ref[:], mask_ref[:], chunk, b_tile, SC, coarse)
     alive = (jnp.max(T0) > term_eps) & (jnp.max(maskc) > 0.0)
 
     @pl.when(alive)
@@ -347,7 +416,7 @@ def _bwd_kernel(
         hL = _mlp_forward(E, W_ref, Bias_ref, n_layers, acts=acts)
         mask = maskc
         rgb_r, rgb_g, rgb_b, sig, tau, t2 = _chunk_scalars(
-            hL, rays8_ref[:], mask, chunk, b_tile
+            hL, sc8, mask, chunk, b_tile
         )
         excl = _excl_cumsum(tau)
         E_ = jnp.exp(-excl)
@@ -368,7 +437,7 @@ def _bwd_kernel(
         dw = g_r * rgb_r + g_g * rgb_g + g_b * rgb_b + g_acc + g_dep * t2
         G = dw * w
         dtau = -_suffix_sum(G) + dw * (T0 * E_ * emt) - gT * (T0 * Texp)
-        dsig = dtau * rays8_ref[:, 1:2] * mask
+        dsig = dtau * sc8[1] * mask
         # d softplus(x-1)/dx = sigmoid(x-1) = 1 - exp(-softplus(x-1))
         dsraw = dsig * (1.0 - jnp.exp(-sig))
         drpre = (w * g_r) * rgb_r * (1.0 - rgb_r)
@@ -432,46 +501,63 @@ def make_fused_trainable(
     term_eps: float = 1e-4,
     interpret: bool = False,
     coarse=None,
+    rpc: int = 1,
 ):
     """Build fused(W_f32, Bias, gamma, beta, rays8, mask, words) -> out
-    [B,8] with a custom VJP onto (W, Bias).
+    with a custom VJP onto (W, Bias).
 
-    Shapes: W [NL,128,128] f32, Bias [NL,128] f32, gamma/beta [B,128],
-    rays8 [B,8], mask [B, n_chunks*128] f32 in {0,1}, words [8,128] i32
-    (coarse occupancy bits; all-zeros + coarse=None disables the
-    in-kernel occupancy test).  B must divide b_tile (and b_tile_bwd).
+    rpc == 1 (trainable): gamma/beta [B,128], rays8 [B,8],
+    mask [B, n_chunks*128], out [B,8].
+
+    rpc > 1 (render-only; backward raises): rpc rays packed per scalar
+    row with spr = 128/rpc samples each — per-ray MLP work drops rpc-fold.
+    B_rows = B/rpc; gamma/beta stay per-ray [B,128]; rays8 becomes
+    [B_rows,128] (scalar q of in-row ray j at column j*8+q); mask
+    [B_rows, n_chunks*128] in chunk-major lane layout; out [B_rows,128]
+    with quantity q of ray j at lane q*rpc+j (q<6); the tchk output is
+    not meaningful.
+
+    W [NL,128,128] f32, Bias [NL,128] f32, words [8,128] i32 (coarse
+    occupancy bits; all-zeros + coarse=None disables the in-kernel
+    occupancy test).  Row counts must divide b_tile (and b_tile_bwd).
     """
     NL = n_layers
     NK = n_chunks
     S = NK * SC
+    if SC % rpc != 0:
+        raise ValueError(f"rpc must divide {SC}, got {rpc}")
 
     def fwd_call(Wb, Bias, gamma, beta, rays8, mask, words):
-        B = gamma.shape[0]
+        B_rows = gamma.shape[0] // rpc
         kernel = functools.partial(
             _fwd_kernel, b_tile=b_tile, n_layers=NL, n_chunks=NK,
-            term_eps=term_eps, coarse=coarse,
+            term_eps=term_eps, coarse=coarse, rpc=rpc,
         )
+        out_cols = 8 if rpc == 1 else SC
+        rays_cols = 8 if rpc == 1 else LANES
         return pl.pallas_call(
             kernel,
-            grid=(B // b_tile, NK),
+            grid=(B_rows // b_tile, NK),
             in_specs=[
-                pl.BlockSpec((b_tile, LANES), lambda rb, k: (rb, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((b_tile, LANES), lambda rb, k: (rb, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((b_tile, 8), lambda rb, k: (rb, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((b_tile * rpc, LANES), lambda rb, k: (rb, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((b_tile * rpc, LANES), lambda rb, k: (rb, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((b_tile, rays_cols), lambda rb, k: (rb, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec((b_tile, SC), lambda rb, k: (rb, k), memory_space=pltpu.VMEM),
                 pl.BlockSpec((8, LANES), lambda rb, k: (0, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec((NL, LANES, LANES), lambda rb, k: (0, 0, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec((NL, LANES), lambda rb, k: (0, 0), memory_space=pltpu.VMEM),
             ],
             out_specs=[
-                pl.BlockSpec((b_tile, 8), lambda rb, k: (rb, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((b_tile, out_cols), lambda rb, k: (rb, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec((b_tile, NK), lambda rb, k: (rb, 0), memory_space=pltpu.VMEM),
             ],
             out_shape=[
-                jax.ShapeDtypeStruct((B, 8), jnp.float32),
-                jax.ShapeDtypeStruct((B, NK), jnp.float32),
+                jax.ShapeDtypeStruct((B_rows, out_cols), jnp.float32),
+                jax.ShapeDtypeStruct((B_rows, NK), jnp.float32),
             ],
-            scratch_shapes=[pltpu.VMEM((b_tile, 8), jnp.float32)],
+            scratch_shapes=[
+                pltpu.VMEM((b_tile, 8 if rpc == 1 else SC), jnp.float32)
+            ],
             interpret=interpret,
         )(gamma, beta, rays8, mask, words, Wb, Bias)
 
@@ -523,6 +609,11 @@ def make_fused_trainable(
         return out, (Wb, Bias, gamma, beta, rays8, mask, words, tchk)
 
     def fused_bwd(res, gout):
+        if rpc != 1:
+            raise ValueError(
+                "the fused backward kernel requires rpc=1 (multi-ray "
+                "chunks are a render-only optimization)"
+            )
         Wb, Bias, gamma, beta, rays8, mask, words, tchk = res
         Wt = jnp.transpose(Wb, (0, 2, 1))
         dW, dB8 = bwd_call(Wb, Wt, Bias, gamma, beta, rays8, mask, words, tchk, gout)
@@ -609,6 +700,8 @@ def make_fused_pipeline_renderer_v2(
     b_tile_bwd: int = 16,
     interpret: bool = False,
     occupancy_mode: str = "coarse_kernel",
+    rpc: int = 1,
+    tighten: bool = False,
 ):
     """render(params, rays, key=None, occupancy=None) -> RenderResult via
     the v2 fused kernel — forward AND backward (training-capable: the
@@ -622,8 +715,16 @@ def make_fused_pipeline_renderer_v2(
       ~34 ms per 32Kx128 chunk) and it feeds the kernel's empty-block
       skipping.
     - "xla_fine": exact fine-grid mask via the XLA gather (parity path).
+
+    rpc (render-only when > 1; backward raises): pack rpc rays per
+    128-lane chunk row, giving each ray samples_per_ray = 128/rpc samples
+    per chunk — per-ray MLP work drops rpc-fold.  Combine with
+    tighten=True, which shrinks each ray's t-span to the occupied range
+    (Pallas probe kernel, tnerf/grid/pallas_dda.py:tighten_range_pallas)
+    so the reduced sample budget concentrates on the object.
     """
     from tnerf.cameras import Rays  # local import to avoid cycles
+    from tnerf.grid.pallas_dda import tighten_range_pallas
     from tnerf.grid.traversal import occupancy_lookup, ray_aabb
     from tnerf.render.composite import RenderResult
     from tnerf.sampling import sample_positions
@@ -631,8 +732,9 @@ def make_fused_pipeline_renderer_v2(
     s_aff, b_aff = _norm_affine(grid_cfg)
     A, C, _ = _encoding_matrices(field_cfg, s_aff, b_aff)
     S = sampler_cfg.samples_per_ray
-    n_chunks = -(-S // SC)
-    S_pad = n_chunks * SC
+    spr = SC // rpc  # samples per ray per chunk
+    n_chunks = -(-S // spr)
+    S_pad = n_chunks * spr
     nl = field_cfg.hidden_layers + 1
     res = grid_cfg.resolution
     res_c = min(16, res)
@@ -643,41 +745,68 @@ def make_fused_pipeline_renderer_v2(
     fused = make_fused_trainable(
         nl, n_chunks, b_tile=b_tile, b_tile_bwd=b_tile_bwd,
         term_eps=render_cfg.transmittance_threshold, interpret=interpret,
-        coarse=coarse,
+        coarse=coarse, rpc=rpc,
     )
     zero_words = jnp.zeros((8, LANES), jnp.int32)
     full_words = jnp.full((8, LANES), -1, jnp.int32)  # all bits set
 
     def render(params, rays: Rays, key=None, occupancy=None) -> RenderResult:
         B = rays.origins.shape[0]
-        pad = (-B) % max(b_tile, b_tile_bwd)
+        pad = (-B) % (max(b_tile, b_tile_bwd) * rpc)
         o = jnp.pad(rays.origins, ((0, pad), (0, 0)))
         d = jnp.pad(rays.directions, ((0, pad), (0, 0)), constant_values=1.0)
         tp = jnp.pad(rays.viewdirs_tp, ((0, pad), (0, 0)))
         te, tx = ray_aabb(o, d, grid_cfg.aabb_min, grid_cfg.aabb_max)
         te = jnp.maximum(te, sampler_cfg.near)
         tx = jnp.maximum(tx, te)
+        words = full_words if use_coarse else zero_words
+        if occupancy is not None and use_coarse:
+            words = pack_occupancy_words(occupancy, res, res_c)
+        if occupancy is not None and tighten:
+            te, tx = tighten_range_pallas(
+                o, d, te, tx, words, res_c, grid_cfg, interpret=interpret
+            )
         dt = (tx - te) / S_pad
         mask = (tx > te)[:, None] & jnp.ones((o.shape[0], S_pad), bool)
-        words = full_words if use_coarse else zero_words
-        if occupancy is not None:
-            if use_coarse:
-                words = pack_occupancy_words(occupancy, res, res_c)
-            else:
-                s_idx = jnp.arange(S_pad, dtype=jnp.float32) + 0.5
-                t = te[:, None] + s_idx * dt[:, None]
-                pts = sample_positions(o, d, t)
-                mask = mask & occupancy_lookup(
-                    pts, occupancy.reshape(res, res, res), grid_cfg
-                )
+        if occupancy is not None and not use_coarse:
+            s_idx = jnp.arange(S_pad, dtype=jnp.float32) + 0.5
+            t = te[:, None] + s_idx * dt[:, None]
+            pts = sample_positions(o, d, t)
+            mask = mask & occupancy_lookup(
+                pts, occupancy.reshape(res, res, res), grid_cfg
+            )
 
         W, Bias = pack_params_f32(params, field_cfg, s_aff, b_aff)
         gamma, beta = encode_gamma_beta(o, d, tp, te, dt, A, C)
-        out = fused(W, Bias, gamma, beta, pack_rays8(te, dt, o, d),
-                    mask.astype(jnp.float32), words)
-        rgb = out[:B, 0:3]
-        acc = out[:B, 3]
-        depth = out[:B, 4]
+        maskf = mask.astype(jnp.float32)
+        if rpc == 1:
+            out = fused(W, Bias, gamma, beta, pack_rays8(te, dt, o, d),
+                        maskf, words)
+            rgb = out[:B, 0:3]
+            acc = out[:B, 3]
+            depth = out[:B, 4]
+        else:
+            Bp = o.shape[0]
+            b_rows = Bp // rpc
+            # rays_pack [B_rows, 128]: scalar q of in-row ray j at col j*8+q
+            r8 = pack_rays8(te, dt, o, d).reshape(b_rows, rpc * 8)
+            rays_pack = jnp.pad(r8, ((0, 0), (0, LANES - rpc * 8)))
+            # mask [Bp, S_pad] -> chunk-major lane layout [B_rows, NK*128]
+            mlane = (
+                maskf.reshape(b_rows, rpc, n_chunks, spr)
+                .transpose(0, 2, 1, 3)
+                .reshape(b_rows, n_chunks * SC)
+            )
+            out = fused(W, Bias, gamma, beta, rays_pack, mlane, words)
+            # lane q*rpc+j -> [Bp, 6]
+            per_ray = (
+                out[:, : 6 * rpc].reshape(b_rows, 6, rpc)
+                .transpose(0, 2, 1)
+                .reshape(Bp, 6)
+            )
+            rgb = per_ray[:B, 0:3]
+            acc = per_ray[:B, 3]
+            depth = per_ray[:B, 4]
         if render_cfg.white_background:
             rgb = rgb + (1.0 - acc)[:, None]
         empty = jnp.zeros((B, 0), jnp.float32)
