@@ -285,6 +285,68 @@ def bench_fused_train(res=64, samples=128, batch=32768) -> dict:
     }
 
 
+def bench_hashgrid_train(res=64, samples=128, batch=8192, log2T=14) -> dict:
+    """Instant-NGP hash-grid train-step throughput: the MXU matmul-gather
+    encoding (tnerf/fields/hashgrid.py:apply_hashgrid_onehot) vs the XLA
+    gather formulation — the tcnn HashGrid role (reference main.cu:35-69)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import optax
+
+    from tnerf.cameras import Rays
+    from tnerf.config import Config
+    from tnerf.data.procedural import analytic_field
+    from tnerf.fields.nerf_field import NeRFField
+    from tnerf.grid.occupancy import cell_centers
+    from tnerf.render.grid_renderer import make_grid_renderer
+
+    cfg = Config().apply_overrides([
+        f"grid.resolution={res}", f"sampler.samples_per_ray={samples}",
+        "sampler.near=2.0", "sampler.far=5.5", "scene.scene_scale=1.0",
+        "field_.encoding=hashgrid", f"field_.hash_log2_table_size={log2T}",
+    ])
+    _, sigma = analytic_field(cell_centers(cfg.grid).reshape(-1, 3))
+    occ = jnp.asarray((sigma > 0.5).reshape(res, res, res))
+
+    (o, d, v), = _camera_ray_variants(800, 800, n_variants=1)
+    n = 800 * 800
+    mid = max(0, n // 2 - batch // 2)
+    o, d, v = o[mid:mid + batch], d[mid:mid + batch], v[mid:mid + batch]
+    gt = jnp.asarray(np.random.default_rng(0).uniform(0, 1, (batch, 3)).astype(np.float32))
+    opt = optax.adam(1e-3)
+
+    def step_time(mode, compact):
+        c2 = cfg.apply_overrides([f"field_.hash_gather_mode={mode}"])
+        field = NeRFField(c2.field_, c2.grid, arch="twobranch")
+        params = jax.device_put(field.init(jax.random.PRNGKey(0)))
+        ost = jax.device_put(opt.init(params))
+        rend = make_grid_renderer(
+            field, c2.grid, c2.sampler, c2.render, strategy="march",
+            compact=compact, compact_capacity=batch * samples // 4,
+        )
+
+        def f(o2):
+            rays = Rays(origins=o2, directions=d, viewdirs_tp=v)
+
+            def loss_fn(p):
+                return jnp.mean((rend(p, rays, None, occ).rgb - gt) ** 2)
+
+            l, g = jax.value_and_grad(loss_fn)(params)
+            up, _ = opt.update(g, ost)
+            return l + sum(jnp.sum(jnp.abs(u)) for u in jax.tree.leaves(up)) * 1e-12
+
+        return _diff_timeit(f, o, inner=(2, 5))
+
+    t_onehot = step_time("onehot", True)
+    t_gather = step_time("gather", True)
+    return {
+        "hashgrid_train_krays_per_sec": batch / t_onehot / 1e3,
+        "hashgrid_gather_train_krays_per_sec": batch / t_gather / 1e3,
+        "hashgrid_onehot_speedup": t_gather / t_onehot,
+    }
+
+
 def bench_fused_render(width=800, height=800, res=64, samples=128) -> dict:
     """Fused Pallas kernel (v2, pallas_fused2) render throughput with the
     realistic analytic-scene occupancy grid."""
@@ -311,21 +373,35 @@ def bench_fused_render(width=800, height=800, res=64, samples=128) -> dict:
     (o, d, v), = _camera_ray_variants(width, height, n_variants=1)
     n = width * height
     chunk = 32768
-    rend = make_fused_pipeline_renderer_v2(cfg.field_, cfg.grid, cfg.sampler, cfg.render)
-
     mid = max(0, n // 2 - chunk // 2)  # center chunk: representative mix
     o, d, v = o[mid:mid + chunk], d[mid:mid + chunk], v[mid:mid + chunk]
 
-    def chunk_scalar(o2):
-        rays = Rays(origins=o2, directions=d, viewdirs_tp=v)
-        return rend(params, rays, None, occ3).rgb.sum()
+    def fps_of(rend):
+        def chunk_scalar(o2):
+            rays = Rays(origins=o2, directions=d, viewdirs_tp=v)
+            return rend(params, rays, None, occ3).rgb.sum()
 
-    dt_chunk = _diff_timeit(chunk_scalar, o)
-    n_chunks = -(-n // chunk)
-    dt = dt_chunk * n_chunks
+        dt_chunk = _diff_timeit(chunk_scalar, o)
+        n_chunks = -(-n // chunk)
+        return chunk / dt_chunk / 1e6, 1.0 / (dt_chunk * n_chunks)
+
+    # Fast config: 2 rays/chunk x 64 samples over the occupancy-tightened
+    # span — 37.0 dB on the trained hard-scene gate vs 38.5 dB for the
+    # hq config and 39.2 dB for the march-XLA path (docs/KERNEL_NOTES.md).
+    cfg_fast = cfg.apply_overrides(["sampler.samples_per_ray=64"])
+    mrays_fast, fps_fast = fps_of(make_fused_pipeline_renderer_v2(
+        cfg_fast.field_, cfg_fast.grid, cfg_fast.sampler, cfg_fast.render,
+        rpc=2, tighten=True,
+    ))
+    mrays_hq, fps_hq = fps_of(make_fused_pipeline_renderer_v2(
+        cfg.field_, cfg.grid, cfg.sampler, cfg.render, tighten=True,
+    ))
+    is800 = (width, height) == (800, 800)
     return {
-        "fused_mrays_per_sec": chunk / dt_chunk / 1e6,
-        "fused_fps_800x800": (1.0 / dt) if (width, height) == (800, 800) else None,
+        "fused_mrays_per_sec": mrays_fast,
+        "fused_fps_800x800": fps_fast if is800 else None,
+        "fused_hq_mrays_per_sec": mrays_hq,
+        "fused_hq_fps_800x800": fps_hq if is800 else None,
     }
 
 
@@ -339,6 +415,7 @@ def main():
     render = bench_render()
     fused = bench_fused_render()
     train = bench_fused_train()
+    hg = bench_hashgrid_train()
     value = round(march8["mrays_per_sec"], 2)
     line = {
         "metric": "ray_march_Mrays_per_sec_800x800_8^3grid",
@@ -352,9 +429,14 @@ def main():
             "fps_800x800": round(render["fps_800x800"], 3) if render["fps_800x800"] else None,
             "fused_render_mrays_per_sec": round(fused["fused_mrays_per_sec"], 3),
             "fused_fps_800x800": round(fused["fused_fps_800x800"], 3) if fused["fused_fps_800x800"] else None,
+            "fused_hq_mrays_per_sec": round(fused["fused_hq_mrays_per_sec"], 3),
+            "fused_hq_fps_800x800": round(fused["fused_hq_fps_800x800"], 3) if fused["fused_hq_fps_800x800"] else None,
             "fused_train_krays_per_sec": round(train["fused_train_krays_per_sec"], 1),
             "xla_train_krays_per_sec": round(train["xla_train_krays_per_sec"], 1),
             "fused_train_speedup": round(train["fused_train_speedup"], 2),
+            "hashgrid_train_krays_per_sec": round(hg["hashgrid_train_krays_per_sec"], 1),
+            "hashgrid_gather_train_krays_per_sec": round(hg["hashgrid_gather_train_krays_per_sec"], 1),
+            "hashgrid_onehot_speedup": round(hg["hashgrid_onehot_speedup"], 2),
             "render_occupancy_frac": round(render["occupancy_frac"], 4),
             "render_samples_per_ray": render["samples_per_ray"],
             "march_seconds_per_launch": round(march8["seconds_per_launch"], 6),

@@ -82,3 +82,36 @@ def test_capacity_truncation_and_padding():
     # H < steps: truncated
     got2 = traverse_grid_pallas(o, d, grid, max_hits=10, steps=48, interpret=True)
     assert got2.cells.shape[-1] == 10
+
+
+def test_tighten_range_pallas_brackets_occupied_span():
+    """The Pallas probe-tightening kernel must bracket the occupied span
+    (padded) and keep the full span for rays with no occupied probe."""
+    from tnerf.config import GridConfig
+    from tnerf.grid.pallas_dda import pack_coarse_words, tighten_range_pallas
+    from tnerf.grid.traversal import make_coarse_occupancy, ray_aabb
+
+    res, res_c = 64, 16
+    grid = GridConfig(resolution=res, aabb_min=(-1.0, -1.0, -1.0),
+                      aabb_max=(1.0, 1.0, 1.0))
+    occ = np.zeros((res, res, res), bool)
+    occ[28:36, 28:36, 28:36] = True  # central blob, x,y,z in [-0.125, 0.125]
+    occ_c = make_coarse_occupancy(jnp.asarray(occ), res // res_c)
+    words = pack_coarse_words(occ_c)
+
+    # ray through the center hits; a ray offset far in +y misses
+    origins = jnp.asarray([[-3.0, 0.0, 0.0], [-3.0, 0.9, 0.0]], jnp.float32)
+    directions = jnp.asarray([[1.0, 0.0, 0.0], [1.0, 0.0, 0.0]], jnp.float32)
+    te, tx = ray_aabb(origins, directions, grid.aabb_min, grid.aabb_max)
+    t0, t1 = tighten_range_pallas(
+        origins, directions, te, tx, words, res_c, grid, interpret=True
+    )
+    t0, t1 = np.asarray(t0), np.asarray(t1)
+    # hit ray: occupied span is x in [-0.125, 0.125] -> t in [2.875, 3.125];
+    # coarse cells are 0.125 wide so the coarse span adds <= 1 cell each side,
+    # plus pad (probe step + fine diag). Must bracket, must tighten.
+    assert t0[0] < 2.875 and t1[0] > 3.125
+    assert t0[0] > float(te[0]) + 0.5 and t1[0] < float(tx[0]) - 0.5
+    # miss ray: untouched full span
+    np.testing.assert_allclose(t0[1], float(te[1]), rtol=1e-6)
+    np.testing.assert_allclose(t1[1], float(tx[1]), rtol=1e-6)

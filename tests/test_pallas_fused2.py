@@ -188,3 +188,66 @@ def test_coarse_kernel_mask_matches_xla_coarse_occupancy():
     rx = rendx(params, rays, None, jnp.asarray(occ_exp))
     np.testing.assert_allclose(np.asarray(r2.rgb), np.asarray(rx.rgb), atol=2e-2)
     np.testing.assert_allclose(np.asarray(r2.acc), np.asarray(rx.acc), atol=2e-2)
+
+
+# ---- multi-ray chunks (rpc > 1): render-only fast path ---------------------
+
+
+@pytest.mark.parametrize("rpc", [2, 4])
+def test_rpc_forward_matches_reference(rpc):
+    """rpc rays per 128-lane chunk (spr = 128/rpc samples each) must
+    reproduce the jnp mirror run at S = n_chunks*spr samples per ray."""
+    rng = np.random.default_rng(2)
+    NL, NK = 3, 2
+    B = 64
+    spr = 128 // rpc
+    S = NK * spr
+    W = jnp.asarray(rng.normal(0, 0.3, (NL, 128, 128)).astype(np.float32))
+    Bias = jnp.asarray(rng.normal(0, 0.1, (NL, 128)).astype(np.float32))
+    gamma = jnp.asarray(rng.normal(0, 1.0, (B, 128)).astype(np.float32))
+    beta = jnp.asarray(rng.normal(0, 0.02, (B, 128)).astype(np.float32))
+    te = jnp.asarray(rng.uniform(1.5, 2.5, (B, 1)).astype(np.float32))
+    dt = jnp.asarray(rng.uniform(0.01, 0.02, (B, 1)).astype(np.float32))
+    rays8 = jnp.concatenate([te, dt, jnp.zeros((B, 6))], axis=1)
+    mask = (rng.uniform(0, 1, (B, S)) < 0.7).astype(np.float32)
+    mask[:2] = 0.0
+    mask = jnp.asarray(mask)
+    words = jnp.zeros((8, 128), jnp.int32)
+
+    b_rows = B // rpc
+    rays_pack = jnp.pad(
+        rays8.reshape(b_rows, rpc * 8), ((0, 0), (0, 128 - rpc * 8))
+    )
+    mlane = (
+        mask.reshape(b_rows, rpc, NK, spr).transpose(0, 2, 1, 3)
+        .reshape(b_rows, NK * 128)
+    )
+    fused = make_fused_trainable(NL, NK, b_tile=8, term_eps=0.0,
+                                 interpret=True, rpc=rpc)
+    out = fused(W, Bias, gamma, beta, rays_pack, mlane, words)
+    per_ray = np.asarray(
+        out[:, : 6 * rpc].reshape(b_rows, 6, rpc).transpose(0, 2, 1).reshape(B, 6)
+    )
+    ref = np.asarray(fused_reference_v2(W, Bias, gamma, beta, rays8, mask))
+    np.testing.assert_allclose(per_ray, ref[:, :6], atol=5e-3)
+    # fully-masked rays: no color, full transmittance
+    np.testing.assert_allclose(per_ray[:2, 3], 0.0, atol=1e-6)
+    np.testing.assert_allclose(per_ray[:2, 5], 1.0, atol=1e-6)
+
+
+def test_rpc_backward_raises():
+    fused = make_fused_trainable(2, 1, b_tile=8, term_eps=0.0,
+                                 interpret=True, rpc=2)
+    rng = np.random.default_rng(3)
+    B = 16
+    W = jnp.asarray(rng.normal(0, 0.3, (2, 128, 128)).astype(np.float32))
+    Bias = jnp.zeros((2, 128))
+    gamma = jnp.asarray(rng.normal(0, 1.0, (B, 128)).astype(np.float32))
+    beta = jnp.zeros((B, 128))
+    rays_pack = jnp.zeros((B // 2, 128)).at[:, 0::8].set(2.0).at[:, 1::8].set(0.01)
+    mlane = jnp.ones((B // 2, 128))
+    words = jnp.zeros((8, 128), jnp.int32)
+    with pytest.raises(ValueError, match="rpc=1"):
+        jax.grad(
+            lambda w: jnp.sum(fused(w, Bias, gamma, beta, rays_pack, mlane, words))
+        )(W)

@@ -172,6 +172,16 @@ class RenderConfig:
     # Rays per device per render chunk (static shape per compile).
     chunk_size: int = 65536
     white_background: bool = True
+    # Fused pipeline only: rays packed per 128-lane kernel chunk for
+    # eval/render (train stays rpc=1 — the backward kernel needs it).
+    # Pair with a reduced sampler.samples_per_ray: rpc=2 + 64 samples
+    # over the tightened span measured 5.2 fps @ 37.0 dB on the hard
+    # gate (docs/KERNEL_NOTES.md round-2 addendum 2).
+    fused_rpc: int = 1
+    # Fused pipeline: shrink each ray's t-span to the occupied range
+    # with the Pallas probe kernel before sampling (+1.2 dB at equal
+    # cost on the hard gate).
+    fused_tighten: bool = True
 
 
 @dataclass(frozen=True)

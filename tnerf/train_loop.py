@@ -48,7 +48,12 @@ def build_field(cfg: Config) -> NeRFField:
     return NeRFField(cfg.field_, cfg.grid, arch=arch)
 
 
-def build_renderer(cfg: Config, field: NeRFField, compact: Optional[bool] = None):
+def build_renderer(
+    cfg: Config,
+    field: NeRFField,
+    compact: Optional[bool] = None,
+    for_eval: bool = False,
+):
     """Renderer per cfg.render.pipeline; `compact` overrides the config
     (training uses a dense variant while the occupancy grid is still
     dense, switching to the compacted variant once it has pruned —
@@ -76,12 +81,16 @@ def build_renderer(cfg: Config, field: NeRFField, compact: Optional[bool] = None
         )
     if p == "fused":
         # v2: trainable (custom-VJP backward kernel) — 2.9x the unfused
-        # XLA train step on v5e (docs/KERNEL_NOTES.md round-2 addendum)
+        # XLA train step on v5e (docs/KERNEL_NOTES.md round-2 addendum).
+        # render.fused_rpc > 1 (multi-ray chunks, render-only: the
+        # backward kernel needs rpc=1) applies to eval/render builds.
         from tnerf.render.pallas_fused2 import make_fused_pipeline_renderer_v2
 
         return make_fused_pipeline_renderer_v2(
             cfg.field_, cfg.grid, cfg.sampler, cfg.render,
             interpret=jax.devices()[0].platform != "tpu",
+            rpc=cfg.render.fused_rpc if for_eval else 1,
+            tighten=cfg.render.fused_tighten,
         )
     raise ValueError(f"unknown render pipeline {p!r}")
 
