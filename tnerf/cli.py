@@ -100,7 +100,7 @@ def main(argv=None) -> int:
     from tnerf.utils.checkpoint import restore_checkpoint
 
     field = build_field(cfg)
-    renderer = build_renderer(cfg, field)
+    renderer = build_renderer(cfg, field, for_eval=True)
     optimizer = create_optimizer(cfg.train)
     state = init_train_state(field, optimizer, cfg.train.seed)
     use_grid = cfg.render.pipeline.startswith("grid")
@@ -192,7 +192,7 @@ def _run_suite(cfg, scenes) -> int:
             print(f"{scene}: SKIP (no data: {e})", file=sys.stderr)
             continue
         field = build_field(scfg)
-        renderer = build_renderer(scfg, field, compact=False)
+        renderer = build_renderer(scfg, field, compact=False, for_eval=True)
         optimizer = create_optimizer(scfg.train)
         state = init_train_state(field, optimizer, scfg.train.seed)
         use_grid = scfg.render.pipeline.startswith("grid")

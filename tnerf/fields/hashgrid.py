@@ -18,6 +18,8 @@ Layout decisions for TPU:
 
 from __future__ import annotations
 
+import functools
+
 import numpy as np
 
 import jax
@@ -170,47 +172,76 @@ def apply_hashgrid_onehot(
     the selected row; corner accumulation order is identical); under the
     multi-chunk scan XLA's FMA fusion differs at the ~1e-11 level.
 
-    Samples are processed in `chunk`-sized pieces under jax.checkpoint:
-    the dot output [L, chunk, F*128] is the peak intermediate (~134 MB
-    f32 at chunk=8192) and is rematerialized in the backward pass.
+    Samples are processed in `chunk`-sized pieces; the dot output
+    [L, chunk, F*128] is the peak intermediate (~67 MB bf16 at
+    chunk=8192).
+
+    The encoding carries a hand-written VJP: dL/d(tables) is LINEAR in
+    the cotangent (dtbl[l,r,m] = sum_c,samples oh_row * (w * g * oh_lane))
+    so the backward is ONE matmul per corner with NO forward recompute
+    and no stacked residuals (only the positions are saved).  NOTE:
+    positions are treated as non-differentiable (zero cotangent) —
+    nothing in the framework differentiates through sample positions;
+    use hash_gather_mode="gather" if dL/dx is ever needed.
     """
-    L, F = cfg.hash_levels, cfg.hash_features_per_level
     T = 1 << cfg.hash_log2_table_size
     if T % 128 != 0 or T > (1 << 15):
         raise ValueError(
             f"onehot gather mode needs 128 | T <= 2^15, got T=2^{cfg.hash_log2_table_size}"
         )
-    rows = T // 128
+    L, F = cfg.hash_levels, cfg.hash_features_per_level
     tables = params["tables"]  # [L*T, F]
-    compute_dtype = (
-        jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
-    )
-    # [L, ROWS, F*128] with lane m = f*128 + k  (k = idx & 127)
-    tbl_m = (
-        tables.reshape(L, rows, 128, F)
-        .transpose(0, 1, 3, 2)
-        .reshape(L, rows, F * 128)
-        .astype(compute_dtype)
-    )
-
     batch_shape = x01.shape[:-1]
     x = x01.reshape(-1, 3)
     n = x.shape[0]
     n_pad = -(-n // chunk) * chunk if n > chunk else n
     if n_pad != n:
         x = jnp.pad(x, ((0, n_pad - n), (0, 0)))
+    y = _onehot_encode(tables, x, cfg, min(chunk, n_pad))
+    return y[:n].reshape(*batch_shape, L * F).astype(tables.dtype)
 
+
+def _onehot_dtypes(cfg: FieldConfig):
+    return jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
+
+
+def _chunk_iter(x, chunk, body, init):
+    """scan `body(carry, xc)` over [n_pad/chunk, chunk, ...] pieces; x may
+    be a tuple of arrays sharing the leading dim."""
+    leaves = x if isinstance(x, tuple) else (x,)
+    n = leaves[0].shape[0]
+    if n == chunk:
+        carry, ys = body(init, x if isinstance(x, tuple) else leaves[0])
+        return carry, (ys if ys is None else ys[None])
+    stacked = tuple(a.reshape(n // chunk, chunk, *a.shape[1:]) for a in leaves)
+    return jax.lax.scan(body, init, stacked if isinstance(x, tuple) else stacked[0])
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def _onehot_encode(tables, x, cfg, chunk):
+    """tables [L*T, F] f32, x [Npad, 3] (Npad % chunk == 0) -> [Npad, L*F] f32."""
+    L, F = cfg.hash_levels, cfg.hash_features_per_level
+    T = 1 << cfg.hash_log2_table_size
+    rows = T // 128
+    cdtype = _onehot_dtypes(cfg)
+    # [L, ROWS, F*128] with lane m = f*128 + k  (k = idx & 127)
+    tbl_m = (
+        tables.reshape(L, rows, 128, F)
+        .transpose(0, 1, 3, 2)
+        .reshape(L, rows, F * 128)
+        .astype(cdtype)
+    )
     iota_rows = jax.lax.broadcasted_iota(jnp.int32, (1, 1, rows), 2)
     iota_lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 128), 2)
 
-    def encode_chunk(xc: jnp.ndarray) -> jnp.ndarray:  # [C, 3] -> [C, L*F]
+    def encode_chunk(_, xc):  # [C, 3] -> [C, L*F]
         c_sz = xc.shape[0]
         i0, frac, dense_fits, n1 = _level_geometry(xc, cfg)
         out = jnp.zeros((L, c_sz, F), jnp.float32)
         for c in range(8):
             idx, w = _corner_index_weight(c, i0, frac, dense_fits, n1, T)
             idx_t = idx.astype(jnp.int32).T  # [L, C]
-            oh_row = (idx_t[:, :, None] >> 7 == iota_rows).astype(compute_dtype)
+            oh_row = (idx_t[:, :, None] >> 7 == iota_rows).astype(cdtype)
             # Dot output in compute_dtype: EXACT even in bf16 — the one-hot
             # selects a single already-compute_dtype table value; every
             # other product is a true zero.  Measured 2.6x over an f32
@@ -219,25 +250,73 @@ def apply_hashgrid_onehot(
                 oh_row,
                 tbl_m,
                 dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-                preferred_element_type=compute_dtype,
+                preferred_element_type=cdtype,
             )  # [L, C, F*128]
             oh_lane = (idx_t[:, :, None] & 127) == iota_lane  # [L, C, 128]
             val = jnp.sum(
-                m.reshape(L, c_sz, F, 128) * oh_lane[:, :, None, :].astype(compute_dtype),
+                m.reshape(L, c_sz, F, 128) * oh_lane[:, :, None, :].astype(cdtype),
                 axis=-1,
-                dtype=compute_dtype,
+                dtype=cdtype,
             )  # [L, C, F] — exact: one nonzero per (sample, level, feature)
             out = out + w.T[:, :, None] * val.astype(jnp.float32)
-        return out.transpose(1, 0, 2).reshape(c_sz, L * F)
+        return None, out.transpose(1, 0, 2).reshape(c_sz, L * F)
 
-    if n_pad > chunk:
-        y = jax.lax.map(
-            jax.checkpoint(encode_chunk), x.reshape(-1, chunk, 3)
-        ).reshape(n_pad, L * F)
-        y = y[:n]
-    else:
-        y = encode_chunk(x)
-    return y.reshape(*batch_shape, L * F).astype(tables.dtype)
+    _, y = _chunk_iter(x, chunk, encode_chunk, None)
+    return y.reshape(x.shape[0], L * F)
+
+
+def _onehot_encode_fwd(tables, x, cfg, chunk):
+    return _onehot_encode(tables, x, cfg, chunk), x
+
+
+def _onehot_encode_bwd(cfg, chunk, x, g):
+    """dL/d(tables) with no forward recompute: per corner,
+    dtbl_m[l,r,m] = sum_C oh_row[l,C,r] * (w[C,l] * g[l,C,f] * oh_lane[l,C,k])
+    — one [L,ROWS,C]x[L,C,F*128] matmul per corner per chunk, accumulated
+    in f32 across chunks (deterministic; replaces both XLA scatter-add
+    and tcnn's fp16 atomics, main.cu:787 context)."""
+    L, F = cfg.hash_levels, cfg.hash_features_per_level
+    T = 1 << cfg.hash_log2_table_size
+    rows = T // 128
+    cdtype = _onehot_dtypes(cfg)
+    iota_rows = jax.lax.broadcasted_iota(jnp.int32, (1, 1, rows), 2)
+    iota_lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 128), 2)
+
+    def bwd_chunk(acc, inp):
+        xc, gc = inp  # [C,3], [C, L*F]
+        c_sz = xc.shape[0]
+        i0, frac, dense_fits, n1 = _level_geometry(xc, cfg)
+        g3 = gc.reshape(c_sz, L, F).transpose(1, 0, 2)  # [L, C, F] f32
+        for c in range(8):
+            idx, w = _corner_index_weight(c, i0, frac, dense_fits, n1, T)
+            idx_t = idx.astype(jnp.int32).T  # [L, C]
+            oh_row = (idx_t[:, :, None] >> 7 == iota_rows).astype(cdtype)
+            oh_lane = (idx_t[:, :, None] & 127) == iota_lane  # [L, C, 128]
+            wg = w.T[:, :, None] * g3  # [L, C, F] f32
+            G2 = (
+                wg[:, :, :, None] * oh_lane[:, :, None, :].astype(jnp.float32)
+            ).reshape(L, c_sz, F * 128).astype(cdtype)
+            acc = acc + jax.lax.dot_general(
+                oh_row,
+                G2,
+                dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )  # [L, ROWS, F*128]
+        return acc, None
+
+    dtbl_m, _ = _chunk_iter(
+        (x, g), chunk, bwd_chunk, jnp.zeros((L, rows, F * 128), jnp.float32)
+    )
+    dtables = (
+        dtbl_m.reshape(L, rows, F, 128)
+        .transpose(0, 1, 3, 2)
+        .reshape(L * T, F)
+    )
+    # Positions: zero cotangent by design (see apply_hashgrid_onehot doc).
+    return dtables, jnp.zeros_like(x)
+
+
+_onehot_encode.defvjp(_onehot_encode_fwd, _onehot_encode_bwd)
 
 
 def hashgrid_num_params(cfg: FieldConfig) -> int:

@@ -56,24 +56,33 @@ def compacted_field_apply(
     """
     B, S = mask.shape
     N = B * S
-    flat_pos = positions.reshape(N, 3)
-    flat_view = jnp.broadcast_to(viewdirs[:, None, :], (B, S, viewdirs.shape[-1])).reshape(N, -1)
+    vdim = viewdirs.shape[-1]
+    # One packed scatter and one packed gather (XLA's TPU scatter/gather
+    # cost scales with row count, not row width — packing pos+view and
+    # rgb+sigma halves the number of [N]-row ops).
+    flat = jnp.concatenate(
+        [
+            positions.reshape(N, 3),
+            jnp.broadcast_to(viewdirs[:, None, :], (B, S, vdim)).reshape(N, vdim),
+        ],
+        axis=1,
+    )
     flat_mask = mask.reshape(N)
 
     write_idx = jnp.cumsum(flat_mask.astype(jnp.int32)) - 1  # [N]
     write_idx = jnp.where(flat_mask, write_idx, capacity)    # parked at OOB slot
-    buf_pos = jnp.zeros((capacity + 1, 3), flat_pos.dtype).at[write_idx].set(flat_pos)
-    buf_view = jnp.zeros((capacity + 1, flat_view.shape[-1]), flat_view.dtype).at[
-        write_idx
-    ].set(flat_view)
+    buf = jnp.zeros((capacity + 1, 3 + vdim), flat.dtype).at[write_idx].set(flat)
 
-    rgb_c, sigma_c = field.apply(params, buf_pos[:capacity], buf_view[:capacity])
-    rgb_c = jnp.concatenate([rgb_c, jnp.zeros((1, 3), rgb_c.dtype)], axis=0)
-    sigma_c = jnp.concatenate([sigma_c, jnp.zeros((1,), sigma_c.dtype)], axis=0)
+    rgb_c, sigma_c = field.apply(params, buf[:capacity, :3], buf[:capacity, 3:])
+    out_c = jnp.concatenate([rgb_c, sigma_c[:, None].astype(rgb_c.dtype)], axis=1)
+    out_c = jnp.concatenate([out_c, jnp.zeros((1, 4), out_c.dtype)], axis=0)
 
     read_idx = jnp.minimum(write_idx, capacity)
-    rgb = rgb_c[read_idx].reshape(B, S, 3)
-    sigma = jnp.where(flat_mask & (write_idx < capacity), sigma_c[read_idx], 0.0).reshape(B, S)
+    out = out_c[read_idx]
+    rgb = out[:, :3].reshape(B, S, 3)
+    sigma = jnp.where(
+        flat_mask & (write_idx < capacity), out[:, 3], 0.0
+    ).reshape(B, S)
     return rgb, sigma
 
 
