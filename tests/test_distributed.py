@@ -99,3 +99,53 @@ def test_dp_render_sharded_matches_single(setup):
     # separate compilations fuse differently: bf16-matmul-level tolerance
     np.testing.assert_allclose(np.asarray(got.rgb), np.asarray(want.rgb), atol=1e-3)
     np.testing.assert_allclose(np.asarray(got.acc), np.asarray(want.acc), atol=1e-3)
+
+
+def test_dp_train_step_fused_pipeline():
+    """Data-parallel training THROUGH the fused Pallas kernel (custom-VJP
+    forward+backward) on the 8-device mesh: the pallas_call must compose
+    with the GSPMD sharding constraints, and one sharded step must match
+    the unsharded step."""
+    import jax.numpy as jnp
+
+    from tnerf.config import Config
+    from tnerf.data.procedural import generate_procedural_scene
+    from tnerf.fields.nerf_field import NeRFField
+    from tnerf.parallel.mesh import (
+        make_dp_train_step, make_mesh, replicate, shard_batch,
+    )
+    from tnerf.render.pallas_fused2 import make_fused_pipeline_renderer_v2
+    from tnerf.train import (
+        PixelSampler, create_optimizer, init_train_state, make_train_step,
+    )
+
+    cfg = Config().apply_overrides([
+        "sampler.samples_per_ray=128", "sampler.near=2.0", "sampler.far=5.5",
+        "field_.hidden_width=32", "field_.hidden_layers=2",
+        "field_.n_frequencies=4", "grid.resolution=16",
+        "scene.scene_scale=1.0", "train.batch_size=128",
+    ])
+    scene = generate_procedural_scene(
+        width=16, height=16, n_train=2, n_val=0, n_test=0, n_samples=32
+    )
+    field = NeRFField(cfg.field_, cfg.grid)
+    rend = make_fused_pipeline_renderer_v2(
+        cfg.field_, cfg.grid, cfg.sampler, cfg.render,
+        b_tile=8, b_tile_bwd=8, interpret=True,
+    )
+    opt = create_optimizer(cfg.train)
+    state = init_train_state(field, opt, 0)
+    occ = jnp.ones((16,) * 3, bool)
+    step = make_train_step(rend, opt)
+    mesh = make_mesh(8)
+    dp_step = make_dp_train_step(step, mesh, with_occupancy=True)
+
+    sampler = PixelSampler(scene["train"], 1.0, True)
+    batch = sampler.sample(jax.random.PRNGKey(0), cfg.train.batch_size)
+    key = jax.random.PRNGKey(1)
+    _, aux = step(state, batch, key, occ)
+    _, aux_dp = dp_step(
+        replicate(state, mesh), shard_batch(batch, mesh),
+        replicate(key, mesh), replicate(occ, mesh),
+    )
+    np.testing.assert_allclose(float(aux["loss"]), float(aux_dp["loss"]), rtol=1e-4)
