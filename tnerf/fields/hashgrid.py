@@ -252,11 +252,17 @@ def _onehot_encode(tables, x, cfg, chunk):
                 dimension_numbers=(((2,), (1,)), ((0,), (0,))),
                 preferred_element_type=cdtype,
             )  # [L, C, F*128]
-            oh_lane = (idx_t[:, :, None] & 127) == iota_lane  # [L, C, 128]
-            val = jnp.sum(
-                m.reshape(L, c_sz, F, 128) * oh_lane[:, :, None, :].astype(cdtype),
+            oh_lane = ((idx_t[:, :, None] & 127) == iota_lane).astype(cdtype)
+            # Per-feature static 128-lane slices (NOT a [L,C,F,128] reshape:
+            # the trailing [2,128] dims force degenerate T(2,128) tiling —
+            # measured 10 ms per pass at this size).
+            val = jnp.stack(
+                [
+                    jnp.sum(m[:, :, f * 128 : (f + 1) * 128] * oh_lane,
+                            axis=-1, dtype=cdtype)
+                    for f in range(F)
+                ],
                 axis=-1,
-                dtype=cdtype,
             )  # [L, C, F] — exact: one nonzero per (sample, level, feature)
             out = out + w.T[:, :, None] * val.astype(jnp.float32)
         return None, out.transpose(1, 0, 2).reshape(c_sz, L * F)
@@ -291,11 +297,15 @@ def _onehot_encode_bwd(cfg, chunk, x, g):
             idx, w = _corner_index_weight(c, i0, frac, dense_fits, n1, T)
             idx_t = idx.astype(jnp.int32).T  # [L, C]
             oh_row = (idx_t[:, :, None] >> 7 == iota_rows).astype(cdtype)
-            oh_lane = (idx_t[:, :, None] & 127) == iota_lane  # [L, C, 128]
+            oh_lane = ((idx_t[:, :, None] & 127) == iota_lane).astype(cdtype)
             wg = w.T[:, :, None] * g3  # [L, C, F] f32
-            G2 = (
-                wg[:, :, :, None] * oh_lane[:, :, None, :].astype(jnp.float32)
-            ).reshape(L, c_sz, F * 128).astype(cdtype)
+            # Build [L, C, F*128] by per-feature concat of [L,C,128] tiles
+            # (a [L,C,F,128] broadcast-reshape lowers to T(2,128) tiling:
+            # 10 ms per fusion at this size, 82 ms/step total).
+            G2 = jnp.concatenate(
+                [wg[:, :, f : f + 1].astype(cdtype) * oh_lane for f in range(F)],
+                axis=-1,
+            )  # [L, C, F*128]
             acc = acc + jax.lax.dot_general(
                 oh_row,
                 G2,
