@@ -103,7 +103,7 @@ def main(argv=None) -> int:
     renderer = build_renderer(cfg, field, for_eval=True)
     optimizer = create_optimizer(cfg.train)
     state = init_train_state(field, optimizer, cfg.train.seed)
-    use_grid = cfg.render.pipeline.startswith("grid")
+    use_grid = cfg.render.pipeline != "uniform"  # grid_* and fused all use occupancy
     occ = init_occupancy(cfg.grid) if use_grid else None
     ckpt_dir = args.checkpoint or os.path.join(cfg.logging.out_dir, "checkpoints")
     template = (state, occ) if occ is not None else state
@@ -195,7 +195,7 @@ def _run_suite(cfg, scenes) -> int:
         renderer = build_renderer(scfg, field, compact=False, for_eval=True)
         optimizer = create_optimizer(scfg.train)
         state = init_train_state(field, optimizer, scfg.train.seed)
-        use_grid = scfg.render.pipeline.startswith("grid")
+        use_grid = scfg.render.pipeline != "uniform"  # grid_* and fused all use occupancy
         occ = init_occupancy(scfg.grid) if use_grid else None
         template = (state, occ) if occ is not None else state
         ckpt_dir = os.path.join(scfg.logging.out_dir, "checkpoints")

@@ -134,7 +134,7 @@ def run_training(
     log.info("field=%s/%s params=%.2fM pipeline=%s", cfg.field_.encoding,
              field.arch, n_params / 1e6, cfg.render.pipeline)
 
-    use_grid = cfg.render.pipeline.startswith("grid")
+    use_grid = cfg.render.pipeline != "uniform"  # grid_* and fused all use occupancy
     occ: Optional[OccupancyGridState] = init_occupancy(cfg.grid) if use_grid else None
 
     ckpt_dir = os.path.join(out_dir, "checkpoints")
