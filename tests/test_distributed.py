@@ -149,3 +149,52 @@ def test_dp_train_step_fused_pipeline():
         replicate(key, mesh), replicate(occ, mesh),
     )
     np.testing.assert_allclose(float(aux["loss"]), float(aux_dp["loss"]), rtol=1e-4)
+
+
+def test_dp_train_step_hashgrid_onehot():
+    """Data-parallel training of the hash-grid field with the MXU one-hot
+    encoding (hand-written VJP) — the custom_vjp must compose with the
+    GSPMD sharding constraints and match the unsharded step."""
+    import jax.numpy as jnp
+
+    from tnerf.config import Config
+    from tnerf.data.procedural import generate_procedural_scene
+    from tnerf.fields.nerf_field import NeRFField
+    from tnerf.parallel.mesh import (
+        make_dp_train_step, make_mesh, replicate, shard_batch,
+    )
+    from tnerf.render.grid_renderer import make_grid_renderer
+    from tnerf.train import (
+        PixelSampler, create_optimizer, init_train_state, make_train_step,
+    )
+
+    cfg = Config().apply_overrides([
+        "sampler.samples_per_ray=32", "sampler.near=2.0", "sampler.far=5.5",
+        "field_.encoding=hashgrid", "field_.hash_gather_mode=onehot",
+        "field_.hash_levels=4", "field_.hash_log2_table_size=10",
+        "field_.hash_base_resolution=4", "field_.hash_max_resolution=32",
+        "field_.hash_hidden_width=32", "field_.hash_hidden_layers=2",
+        "grid.resolution=16", "scene.scene_scale=1.0", "train.batch_size=64",
+    ])
+    scene = generate_procedural_scene(
+        width=16, height=16, n_train=2, n_val=0, n_test=0, n_samples=32
+    )
+    field = NeRFField(cfg.field_, cfg.grid, arch="twobranch")
+    rend = make_grid_renderer(field, cfg.grid, cfg.sampler, cfg.render,
+                              strategy="march", compact=False)
+    opt = create_optimizer(cfg.train)
+    state = init_train_state(field, opt, 0)
+    occ = jnp.ones((16,) * 3, bool)
+    step = make_train_step(rend, opt)
+    mesh = make_mesh(8)
+    dp_step = make_dp_train_step(step, mesh, with_occupancy=True)
+
+    sampler = PixelSampler(scene["train"], 1.0, True)
+    batch = sampler.sample(jax.random.PRNGKey(0), cfg.train.batch_size)
+    key = jax.random.PRNGKey(1)
+    _, aux = step(state, batch, key, occ)
+    _, aux_dp = dp_step(
+        replicate(state, mesh), shard_batch(batch, mesh),
+        replicate(key, mesh), replicate(occ, mesh),
+    )
+    np.testing.assert_allclose(float(aux["loss"]), float(aux_dp["loss"]), rtol=1e-4)

@@ -191,3 +191,34 @@ def test_resolve_gather_mode():
     assert resolve_gather_mode(small_cfg(hash_gather_mode="gather")) == "gather"
     # auto on CPU -> gather (onehot only pays on TPU)
     assert resolve_gather_mode(small_cfg()) == "gather"
+
+
+def test_onehot_grads_match_gather_multichunk():
+    """Gradient parity must hold across the multi-chunk scan path of the
+    hand-written VJP (accumulator carried across chunks)."""
+    from tnerf.fields.hashgrid import apply_hashgrid_gather, apply_hashgrid_onehot
+
+    cfg = small_cfg(compute_dtype="float32")
+    params = init_hashgrid(jax.random.PRNGKey(0), cfg)
+    x = jax.random.uniform(jax.random.PRNGKey(4), (300, 3))
+
+    def loss(tables, fn, **kw):
+        return jnp.sum(fn({"tables": tables}, x, cfg, **kw) ** 2)
+
+    ga = jax.grad(lambda t: loss(t, apply_hashgrid_gather))(params["tables"])
+    gb = jax.grad(lambda t: loss(t, apply_hashgrid_onehot, chunk=128))(params["tables"])
+    np.testing.assert_allclose(np.asarray(ga), np.asarray(gb), rtol=1e-5, atol=1e-11)
+
+
+def test_onehot_positions_get_zero_cotangent():
+    """The hand-written VJP deliberately returns zero position gradients
+    (documented contract); the gather path returns real ones."""
+    from tnerf.fields.hashgrid import apply_hashgrid_gather, apply_hashgrid_onehot
+
+    cfg = small_cfg(compute_dtype="float32")
+    params = init_hashgrid(jax.random.PRNGKey(0), cfg)
+    x = jax.random.uniform(jax.random.PRNGKey(5), (64, 3))
+    g_oh = jax.grad(lambda x: jnp.sum(apply_hashgrid_onehot(params, x, cfg)))(x)
+    np.testing.assert_array_equal(np.asarray(g_oh), 0.0)
+    g_ga = jax.grad(lambda x: jnp.sum(apply_hashgrid_gather(params, x, cfg)))(x)
+    assert float(jnp.abs(g_ga).max()) > 0.0

@@ -124,7 +124,8 @@ def run_training(
     # Dense variant while the occupancy grid is still mostly occupied
     # (compaction capacity would overflow and silently drop samples);
     # compacted variant once the grid has pruned below the capacity with
-    # headroom. Eval always renders dense (exactness over speed).
+    # headroom — training AND eval switch together (see the switch in
+    # the step loop).
     renderer_dense = build_renderer(cfg, field, compact=False)
     renderer_compact = build_renderer(cfg, field, compact=True)
     renderer = renderer_dense
@@ -232,11 +233,15 @@ def run_training(
                 ):
                     occ = update_occ(occ, state.params, k_occ)
                     occ_frac_host = float(occupancy_fraction(occ))
-                    train_step = (
-                        step_compact
-                        if occ_frac_host < compact_switch_frac
-                        else step_dense
-                    )
+                    compacted = occ_frac_host < compact_switch_frac
+                    train_step = step_compact if compacted else step_dense
+                    # Eval follows the same switch: once the pruned grid
+                    # fits the compaction capacity, compacted rendering
+                    # is exact (no overflow drops) and, for fields with
+                    # an expensive per-sample encoding (hashgrid), ~5x
+                    # faster than dense-masked eval.
+                    if cfg.render.compact:
+                        renderer = renderer_compact if compacted else renderer_dense
                 jax.block_until_ready(aux["loss"])
 
             if step % cfg.train.log_every == 0 or step == cfg.train.steps - 1:
