@@ -421,4 +421,6 @@ def occupancy_lookup(
     inside = jnp.all((ijk >= 0) & (ijk < res), axis=-1)
     ijk = jnp.clip(ijk, 0, res - 1)
     flat = (ijk[..., 0] * res + ijk[..., 1]) * res + ijk[..., 2]
-    return inside & occupancy.reshape(-1)[flat]
+    # jnp.asarray: a host-numpy occupancy (e.g. straight from a restored
+    # checkpoint) would otherwise call numpy __array__ on traced indices.
+    return inside & jnp.asarray(occupancy).reshape(-1)[flat]
