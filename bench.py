@@ -406,42 +406,63 @@ def bench_fused_render(width=800, height=800, res=64, samples=128) -> dict:
 
 
 def main():
+    import sys
+    import traceback
+
     import jax
 
     device = jax.devices()[0].device_kind
-    march8 = bench_ray_march(res=8)
-    march128 = bench_march_pallas(res=128)          # Pallas DDA kernel
-    march128_scan = bench_ray_march(res=128, inner=(2, 8))  # lax.scan walk
-    render = bench_render()
-    fused = bench_fused_render()
-    train = bench_fused_train()
-    hg = bench_hashgrid_train()
-    value = round(march8["mrays_per_sec"], 2)
+    extra = {"device": device}
+
+    def attempt(fn, **kw):
+        """Run one sub-benchmark; a failure (e.g. a transient remote-compile
+        hiccup) records an error string instead of killing the whole run —
+        the headline line must always be emitted."""
+        try:
+            return fn(**kw)
+        except Exception as e:  # noqa: BLE001 — deliberately broad
+            traceback.print_exc(file=sys.stderr)
+            extra[f"error_{fn.__name__}"] = f"{type(e).__name__}: {e}"[:200]
+            return None
+
+    march8 = attempt(bench_ray_march, res=8)
+    march128 = attempt(bench_march_pallas, res=128)          # Pallas DDA kernel
+    march128_scan = attempt(bench_ray_march, res=128, inner=(2, 8))  # lax.scan walk
+    render = attempt(bench_render)
+    fused = attempt(bench_fused_render)
+    train = attempt(bench_fused_train)
+    hg = attempt(bench_hashgrid_train)
+
+    def put(src, key, out_key=None, digits=3):
+        if src is not None and src.get(key) is not None:
+            extra[out_key or key] = round(src[key], digits)
+
+    put(march128, "mrays_per_sec", "march_128grid_mrays_per_sec", 2)
+    put(march128_scan, "mrays_per_sec", "march_128grid_scan_mrays_per_sec", 2)
+    put(render, "render_mrays_per_sec")
+    put(render, "fps_800x800")
+    put(fused, "fused_mrays_per_sec", "fused_render_mrays_per_sec")
+    put(fused, "fused_fps_800x800")
+    put(fused, "fused_hq_mrays_per_sec")
+    put(fused, "fused_hq_fps_800x800")
+    put(train, "fused_train_krays_per_sec", digits=1)
+    put(train, "xla_train_krays_per_sec", digits=1)
+    put(train, "fused_train_speedup", digits=2)
+    put(hg, "hashgrid_train_krays_per_sec", digits=1)
+    put(hg, "hashgrid_gather_train_krays_per_sec", digits=1)
+    put(hg, "hashgrid_onehot_speedup", digits=2)
+    put(render, "occupancy_frac", "render_occupancy_frac", 4)
+    if render is not None:
+        extra["render_samples_per_ray"] = render["samples_per_ray"]
+    put(march8, "seconds_per_launch", "march_seconds_per_launch", 6)
+
+    value = round(march8["mrays_per_sec"], 2) if march8 else 0.0
     line = {
         "metric": "ray_march_Mrays_per_sec_800x800_8^3grid",
         "value": value,
         "unit": "Mrays/s",
         "vs_baseline": round(value / 100.0, 3),  # north star: 100 Mrays/s
-        "extra": {
-            "march_128grid_mrays_per_sec": round(march128["mrays_per_sec"], 2),
-            "march_128grid_scan_mrays_per_sec": round(march128_scan["mrays_per_sec"], 2),
-            "render_mrays_per_sec": round(render["render_mrays_per_sec"], 3),
-            "fps_800x800": round(render["fps_800x800"], 3) if render["fps_800x800"] else None,
-            "fused_render_mrays_per_sec": round(fused["fused_mrays_per_sec"], 3),
-            "fused_fps_800x800": round(fused["fused_fps_800x800"], 3) if fused["fused_fps_800x800"] else None,
-            "fused_hq_mrays_per_sec": round(fused["fused_hq_mrays_per_sec"], 3),
-            "fused_hq_fps_800x800": round(fused["fused_hq_fps_800x800"], 3) if fused["fused_hq_fps_800x800"] else None,
-            "fused_train_krays_per_sec": round(train["fused_train_krays_per_sec"], 1),
-            "xla_train_krays_per_sec": round(train["xla_train_krays_per_sec"], 1),
-            "fused_train_speedup": round(train["fused_train_speedup"], 2),
-            "hashgrid_train_krays_per_sec": round(hg["hashgrid_train_krays_per_sec"], 1),
-            "hashgrid_gather_train_krays_per_sec": round(hg["hashgrid_gather_train_krays_per_sec"], 1),
-            "hashgrid_onehot_speedup": round(hg["hashgrid_onehot_speedup"], 2),
-            "render_occupancy_frac": round(render["occupancy_frac"], 4),
-            "render_samples_per_ray": render["samples_per_ray"],
-            "march_seconds_per_launch": round(march8["seconds_per_launch"], 6),
-            "device": device,
-        },
+        "extra": extra,
     }
     print(json.dumps(line))
 
