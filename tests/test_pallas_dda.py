@@ -115,3 +115,25 @@ def test_tighten_range_pallas_brackets_occupied_span():
     # miss ray: untouched full span
     np.testing.assert_allclose(t0[1], float(te[1]), rtol=1e-6)
     np.testing.assert_allclose(t1[1], float(tx[1]), rtol=1e-6)
+
+
+def test_truncated_walk_last_interval_ends_at_cell_exit():
+    """When the step budget truncates the walk, the final interval must
+    end at that cell's true exit — not stretch to t_exit across space the
+    walk never visited (review finding: delta was ~12x the cell width)."""
+    from tnerf.config import GridConfig
+    from tnerf.grid.pallas_dda import traverse_grid_pallas
+    from tnerf.grid.traversal import traverse_grid
+
+    grid = GridConfig(resolution=16, aabb_min=(-1.0, -1.0, -1.0),
+                      aabb_max=(1.0, 1.0, 1.0))
+    o = jnp.asarray([[-3.0, 0.01, 0.02]], jnp.float32)
+    d = jnp.asarray([[1.0, 0.0, 0.0]], jnp.float32)
+    got = traverse_grid_pallas(o, d, grid, steps=5, max_hits=5, interpret=True)
+    want = traverse_grid(o, d, grid, max_hits=5)
+    np.testing.assert_allclose(
+        np.asarray(got.t_ends[0]), np.asarray(want.t_ends[0]), atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(got.t_starts[0]), np.asarray(want.t_starts[0]), atol=1e-5
+    )

@@ -93,7 +93,7 @@ def main(argv=None) -> int:
 
     import jax
 
-    from tnerf.data.dataset import load_data
+    from tnerf.data.dataset import load_data, validate_scene_background
     from tnerf.grid.occupancy import init_occupancy
     from tnerf.train import create_optimizer, init_train_state
     from tnerf.train_loop import build_field, build_renderer
@@ -118,6 +118,7 @@ def main(argv=None) -> int:
         state = payload
     print(f"restored step {step} from {ckpt_dir}", file=sys.stderr)
     bits = occ.bitfield if occ is not None else None
+    validate_scene_background(cfg.scene.kind, cfg.scene.name, cfg.scene.white_background)
     datasets = load_data(
         cfg.scene.kind, cfg.scene.name, root=cfg.scene.root,
         srgb_to_linear=cfg.scene.srgb_to_linear, downscale=cfg.scene.downscale,
@@ -168,7 +169,7 @@ def _run_suite(cfg, scenes) -> int:
     a summary table (BASELINE config 4)."""
     import os
 
-    from tnerf.data.dataset import load_data
+    from tnerf.data.dataset import load_data, validate_scene_background
     from tnerf.eval import evaluate
     from tnerf.grid.occupancy import init_occupancy
     from tnerf.train import create_optimizer, init_train_state
@@ -183,6 +184,7 @@ def _run_suite(cfg, scenes) -> int:
             f"logging.out_dir={os.path.join(cfg.logging.out_dir, scene)}",
         ])
         try:
+            validate_scene_background(scfg.scene.kind, scfg.scene.name, scfg.scene.white_background)
             datasets = load_data(
                 scfg.scene.kind, scene, root=scfg.scene.root,
                 srgb_to_linear=scfg.scene.srgb_to_linear,

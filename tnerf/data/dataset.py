@@ -156,3 +156,20 @@ def load_data(
 
         return generate_procedural_scene(name)
     raise ValueError(f"unknown dataset kind {kind!r}")
+
+
+def validate_scene_background(kind: str, name: str, white_background: bool) -> None:
+    """Procedural scenes ship 3-channel GT composited over their intrinsic
+    background; a config that disagrees would silently train against wrong
+    targets (the renderer would add the other background).  Raise early."""
+    if kind != "procedural":
+        return
+    from tnerf.data.procedural import scene_background
+
+    want = scene_background(name)
+    if white_background != want:
+        raise ValueError(
+            f"procedural scene {name!r} has a {'white' if want else 'black'} "
+            f"background baked into its GT images; set scene.white_background="
+            f"{want} (and render.white_background to match)"
+        )

@@ -135,6 +135,14 @@ def analytic_field(x: jnp.ndarray, sharpness: float = 60.0, density_scale: float
 FIELDS = {"prims": analytic_field, "hard": analytic_field_hard}
 
 
+def scene_background(name: str) -> bool:
+    """Intrinsic GT background of a procedural scene (True = white).
+    The generated images are 3-channel (already composited), so a config
+    whose white_background disagrees cannot be re-composited — callers
+    must match this value (load_data validates)."""
+    return name != "hard"
+
+
 # --------------------------------------------------------------------------
 # Ground-truth renderer (dense uniform marching, exact quadrature)
 # --------------------------------------------------------------------------

@@ -100,7 +100,8 @@ def resolve_gather_mode(cfg: FieldConfig) -> str:
     if mode != "auto":
         return mode
     T = 1 << cfg.hash_log2_table_size
-    if T <= (1 << 15) and jax.default_backend() == "tpu":
+    # onehot needs at least one full 128-lane row per level (T % 128 == 0).
+    if 128 <= T <= (1 << 15) and jax.default_backend() == "tpu":
         return "onehot"
     return "gather"
 

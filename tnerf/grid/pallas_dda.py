@@ -248,15 +248,19 @@ def traverse_grid_pallas(
     batch_shape = origins.shape[:-1]
     o = origins.reshape(-1, 3)
     d = directions.reshape(-1, 3)
+    # One sentinel step beyond the budget: the walk's t is monotone and
+    # slot s ends where slot s+1 starts, so the extra step's t0 is the
+    # TRUE exit of the last budgeted cell.  (Using t_exit there instead
+    # would stretch the final interval across everything the truncated
+    # walk never visited — up to ~12x the cell width.)
     t0s, cells, t_enter, t_exit = march_pallas_raw(
         o, d, grid, occupancy=occupancy, coarse_factor=coarse_factor,
-        steps=n_steps, interpret=interpret,
+        steps=n_steps + 1, interpret=interpret,
     )
-    t0s = t0s.T                       # [B, n_steps]
-    cells = cells.T
-    # t_ends: the walk's t is monotone; end of slot s = start of slot s+1
-    t1s = jnp.concatenate([t0s[:, 1:], jnp.maximum(t_exit, t_enter)[:, None]], axis=1)
-    t1s = jnp.minimum(t1s, t_exit[:, None])
+    t0s = t0s.T                       # [B, n_steps+1]
+    cells = cells.T[:, :n_steps]
+    t1s = jnp.minimum(t0s[:, 1:], t_exit[:, None])
+    t0s = t0s[:, :n_steps]
     mask = cells >= 0
     if occupancy is not None:
         occ = occupancy.reshape(-1).astype(bool)

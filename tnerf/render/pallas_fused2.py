@@ -526,6 +526,11 @@ def make_fused_trainable(
     S = NK * SC
     if SC % rpc != 0:
         raise ValueError(f"rpc must divide {SC}, got {rpc}")
+    if rpc * 8 > LANES:
+        raise ValueError(
+            f"rpc must be <= {LANES // 8} (the packed per-row ray scalars "
+            f"need rpc*8 <= {LANES} lanes), got {rpc}"
+        )
 
     def fwd_call(Wb, Bias, gamma, beta, rays8, mask, words):
         B_rows = gamma.shape[0] // rpc
@@ -680,6 +685,11 @@ def fused_reference_v2(W, Bias, gamma, beta, rays8, mask):
 def pack_occupancy_words(occupancy: jnp.ndarray, res: int, res_c: int) -> jnp.ndarray:
     """Max-pool a [res]^3 occupancy to res_c^3 (<= 4096 cells) and pack
     into [8, 128] i32 bit-words for the in-kernel coarse test."""
+    if res % res_c != 0:
+        raise ValueError(
+            f"grid resolution {res} must be a multiple of the coarse "
+            f"resolution {res_c} for the fused pipeline's occupancy pooling"
+        )
     f = res // res_c
     occ_c = occupancy.reshape(res_c, f, res_c, f, res_c, f).any(axis=(1, 3, 5))
     bits = jnp.zeros((4096,), jnp.int32).at[: res_c ** 3].set(
@@ -760,11 +770,17 @@ def make_fused_pipeline_renderer_v2(
         te = jnp.maximum(te, sampler_cfg.near)
         tx = jnp.maximum(tx, te)
         words = full_words if use_coarse else zero_words
-        if occupancy is not None and use_coarse:
-            words = pack_occupancy_words(occupancy, res, res_c)
+        if occupancy is not None and (use_coarse or tighten):
+            # Pack even in xla_fine mode when tightening: the tighten
+            # probes consult this coarse bitfield regardless of whether
+            # the KERNEL also does (zero words would silently disable
+            # tightening — every probe misses).
+            packed = pack_occupancy_words(occupancy, res, res_c)
+            if use_coarse:
+                words = packed
         if occupancy is not None and tighten:
             te, tx = tighten_range_pallas(
-                o, d, te, tx, words, res_c, grid_cfg, interpret=interpret
+                o, d, te, tx, packed, res_c, grid_cfg, interpret=interpret
             )
         dt = (tx - te) / S_pad
         mask = (tx > te)[:, None] & jnp.ones((o.shape[0], S_pad), bool)

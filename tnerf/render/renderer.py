@@ -68,21 +68,34 @@ def make_uniform_renderer(
     return render
 
 
-from functools import lru_cache
-
-
-@lru_cache(maxsize=64)
 def _jitted_chunk_renderer(renderer: RendererFn, mesh, axis_name: str):
     """One cached jit per (renderer, mesh): the whole chunk (sampling +
     field + compositing) compiles to a single XLA program instead of
     paying per-op dispatch for every eval chunk.  Under a mesh, rays are
     sharded across devices and params/occupancy replicated
-    (the eval-time analog of DP training)."""
-    if mesh is None:
-        return jax.jit(lambda p, r, k, o: renderer(p, r, k, o))
-    from tnerf.parallel.mesh import dp_render_sharded
+    (the eval-time analog of DP training).
 
-    return dp_render_sharded(renderer, mesh, axis_name)
+    The cache lives ON the renderer object (not in a module-level
+    lru_cache): every build_renderer call creates a fresh closure, so a
+    global cache would never hit across builds and would pin up to
+    maxsize dead compiled executables for the process lifetime."""
+    cache = getattr(renderer, "_jit_cache", None)
+    if cache is None:
+        cache = {}
+        try:
+            renderer._jit_cache = cache
+        except AttributeError:
+            pass  # exotic callable without __dict__: fall through, uncached
+    key = (mesh, axis_name)
+    if key not in cache:
+        if mesh is None:
+            jitted = jax.jit(lambda p, r, k, o: renderer(p, r, k, o))
+        else:
+            from tnerf.parallel.mesh import dp_render_sharded
+
+            jitted = dp_render_sharded(renderer, mesh, axis_name)
+        cache[key] = jitted
+    return cache[key]
 
 
 def render_image(

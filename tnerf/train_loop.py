@@ -16,7 +16,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from tnerf.config import Config
-from tnerf.data.dataset import ImageDataset, load_data
+from tnerf.data.dataset import ImageDataset, load_data, validate_scene_background
 from tnerf.eval import evaluate
 from tnerf.fields.nerf_field import NeRFField
 from tnerf.grid.occupancy import (
@@ -109,6 +109,9 @@ def run_training(
     metrics = MetricsWriter(os.path.join(out_dir, cfg.logging.metrics_file))
 
     if datasets is None:
+        validate_scene_background(
+            cfg.scene.kind, cfg.scene.name, cfg.scene.white_background
+        )
         datasets = load_data(
             cfg.scene.kind, cfg.scene.name, root=cfg.scene.root,
             srgb_to_linear=cfg.scene.srgb_to_linear, downscale=cfg.scene.downscale,
