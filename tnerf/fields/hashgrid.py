@@ -96,7 +96,7 @@ def resolve_gather_mode(cfg: FieldConfig) -> str:
     ~8 ns/element scalar loop (docs/KERNEL_NOTES.md), so the matmul
     formulation wins by >10x there despite doing 128x the FLOPs.
     """
-    mode = getattr(cfg, "hash_gather_mode", "auto")
+    mode = cfg.hash_gather_mode
     if mode != "auto":
         return mode
     T = 1 << cfg.hash_log2_table_size

@@ -684,21 +684,20 @@ def fused_reference_v2(W, Bias, gamma, beta, rays8, mask):
 
 def pack_occupancy_words(occupancy: jnp.ndarray, res: int, res_c: int) -> jnp.ndarray:
     """Max-pool a [res]^3 occupancy to res_c^3 (<= 4096 cells) and pack
-    into [8, 128] i32 bit-words for the in-kernel coarse test."""
+    into [8, 128] i32 bit-words for the in-kernel coarse test (the
+    shared coarse-pool + bit-pack from tnerf.grid)."""
+    from tnerf.grid.pallas_dda import pack_coarse_words
+    from tnerf.grid.traversal import make_coarse_occupancy
+
     if res % res_c != 0:
         raise ValueError(
             f"grid resolution {res} must be a multiple of the coarse "
             f"resolution {res_c} for the fused pipeline's occupancy pooling"
         )
-    f = res // res_c
-    occ_c = occupancy.reshape(res_c, f, res_c, f, res_c, f).any(axis=(1, 3, 5))
-    bits = jnp.zeros((4096,), jnp.int32).at[: res_c ** 3].set(
-        occ_c.reshape(-1).astype(jnp.int32)
+    occ_c = make_coarse_occupancy(
+        occupancy.reshape(res, res, res), res // res_c
     )
-    words = (bits.reshape(128, 32) << jnp.arange(32, dtype=jnp.int32)).sum(
-        axis=1, dtype=jnp.int32
-    )
-    return jnp.broadcast_to(words[None, :], (8, LANES))
+    return pack_coarse_words(occ_c)[:, :LANES]
 
 
 def make_fused_pipeline_renderer_v2(
