@@ -391,7 +391,7 @@ def bench_fused_render(width=800, height=800, res=64, samples=128) -> dict:
     cfg_fast = cfg.apply_overrides(["sampler.samples_per_ray=64"])
     mrays_fast, fps_fast = fps_of(make_fused_pipeline_renderer_v2(
         cfg_fast.field_, cfg_fast.grid, cfg_fast.sampler, cfg_fast.render,
-        rpc=2, tighten=True,
+        rpc=2, tighten=True, b_tile=16,  # measured fastest (5.3 vs 5.2 fps @32)
     ))
     mrays_hq, fps_hq = fps_of(make_fused_pipeline_renderer_v2(
         cfg.field_, cfg.grid, cfg.sampler, cfg.render, tighten=True,
