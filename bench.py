@@ -338,12 +338,39 @@ def bench_hashgrid_train(res=64, samples=128, batch=8192, log2T=14) -> dict:
 
         return _diff_timeit(f, o, inner=(2, 5))
 
+    # The onehot-vs-gather comparison is only fair if the compaction
+    # capacity holds every occupied sample (overflow silently drops work
+    # from BOTH timings, but asymmetrically skews the encoding cost):
+    # measure the occupied-sample count of this exact workload.
+    from tnerf.grid.traversal import (
+        march_samples_t, occupancy_lookup, ray_aabb, tightened_range,
+    )
+    from tnerf.sampling import sample_positions
+
+    te, tx = ray_aabb(o, d, cfg.grid.aabb_min, cfg.grid.aabb_max)
+    te = jnp.maximum(te, cfg.sampler.near)
+    tx = jnp.maximum(tx, te)
+    if cfg.sampler.tighten:
+        te, tx = tightened_range(o, d, te, tx, occ, cfg.grid,
+                                 probes=cfg.sampler.tighten_probes)
+    t, _ = march_samples_t(te, tx, samples)
+    smask = (tx[:, None] > te[:, None]) & occupancy_lookup(
+        sample_positions(o, d, t), occ, cfg.grid
+    )
+    n_occ = int(jnp.sum(smask))
+    capacity = batch * samples // 4
+    overflow = max(0, n_occ - capacity) / max(n_occ, 1)
+    if overflow > 0:
+        print(f"WARNING: hashgrid bench compaction overflow: {n_occ} occupied "
+              f"samples > capacity {capacity} ({overflow:.1%} dropped)")
+
     t_onehot = step_time("onehot", True)
     t_gather = step_time("gather", True)
     return {
         "hashgrid_train_krays_per_sec": batch / t_onehot / 1e3,
         "hashgrid_gather_train_krays_per_sec": batch / t_gather / 1e3,
         "hashgrid_onehot_speedup": t_gather / t_onehot,
+        "hashgrid_compact_overflow_frac": overflow,
     }
 
 

@@ -190,6 +190,31 @@ def test_coarse_kernel_mask_matches_xla_coarse_occupancy():
     np.testing.assert_allclose(np.asarray(r2.acc), np.asarray(rx.acc), atol=2e-2)
 
 
+def test_zero_mask_forward_gives_empty(workload):
+    """Fully-masked batch (forward): black, acc=0, T=1 (ported from the
+    removed v1 kernel's test suite)."""
+    NL, NK, W, Bias, gamma, beta, rays8, _, words = workload
+    fused = make_fused_trainable(NL, NK, b_tile=32, term_eps=0.0, interpret=True)
+    mask0 = jnp.zeros((gamma.shape[0], NK * 128), jnp.float32)
+    out = np.asarray(fused(W, Bias, gamma, beta, rays8, mask0, words))
+    np.testing.assert_allclose(out[:, 0:5], 0.0, atol=1e-7)
+    np.testing.assert_allclose(out[:, 5], 1.0, atol=1e-7)
+
+
+def test_early_termination_consistent(workload):
+    """term_eps chunk skipping must not change outputs beyond the
+    transmittance threshold it formalizes (ported from the removed v1
+    kernel's test suite): compare term_eps=0 vs term_eps=1e-3 on rays
+    driven opaque early via a sigma-boosting bias."""
+    NL, NK, W, Bias, gamma, beta, rays8, mask, words = workload
+    hot = Bias.at[NL - 1, 3].set(8.0)  # large sigma head bias -> opaque fast
+    f0 = make_fused_trainable(NL, NK, b_tile=32, term_eps=0.0, interpret=True)
+    f1 = make_fused_trainable(NL, NK, b_tile=32, term_eps=1e-3, interpret=True)
+    out0 = np.asarray(f0(W, hot, gamma, beta, rays8, mask, words))
+    out1 = np.asarray(f1(W, hot, gamma, beta, rays8, mask, words))
+    np.testing.assert_allclose(out0[:, :6], out1[:, :6], atol=2e-3)
+
+
 # ---- multi-ray chunks (rpc > 1): render-only fast path ---------------------
 
 

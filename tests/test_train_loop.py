@@ -131,29 +131,41 @@ def test_metrics_writer(tmp_path):
 
 def test_epoch_sampler_covers_all_pixels_once():
     """sample_epoch over one epoch must touch every pixel exactly once
-    (the reference's shuffle semantics, without D11's overrun)."""
+    (the reference's shuffle semantics, without D11's overrun) — asserted
+    on the SAMPLED BATCHES: every pixel's GT color uniquely encodes its
+    (image, y, x) identity, so coverage is read back from what the
+    sampler actually gathered, not re-derived from the index math."""
     import jax
     import jax.numpy as jnp
 
+    from tnerf.data.dataset import ImageDataset
     from tnerf.train import PixelSampler
 
-    ds = generate_procedural_scene(
-        width=8, height=8, n_train=2, n_val=0, n_test=0, n_samples=16
-    )["train"]
+    n_img, H, W = 2, 8, 8
+    imgs = np.zeros((n_img, H, W, 3), np.float32)
+    n_idx, y_idx, x_idx = np.meshgrid(
+        np.arange(n_img), np.arange(H), np.arange(W), indexing="ij"
+    )
+    imgs[..., 0] = n_idx / (n_img - 1)
+    imgs[..., 1] = y_idx / (H - 1)
+    imgs[..., 2] = x_idx / (W - 1)
+    poses = np.tile(np.eye(4, dtype=np.float32)[None], (n_img, 1, 1))
+    ds = ImageDataset(images=imgs, poses=poses, focal=8.0, width=W, height=H,
+                      channels=3)
     sampler = PixelSampler(ds, 1.0, True)
-    total = 2 * 8 * 8
+    total = n_img * H * W
     B = 32
     key = jax.random.PRNGKey(0)
     seen = []
     for i in range(total // B):
         batch = sampler.sample_epoch(key, jnp.asarray(i), B)
-        # recover pixel identity from gt gather by matching rays' origins+
-        # pixels; easier: recompute indices the same way
-        seen.append(np.asarray(batch.gt_rgb))
-    # coverage check via the index math itself
-    perm = np.asarray(jax.random.permutation(key, total))
-    idxs = [perm[i * B:(i + 1) * B] for i in range(total // B)]
-    flat = np.concatenate(idxs)
+        gt = np.asarray(batch.gt_rgb)
+        n = np.rint(gt[:, 0] * (n_img - 1)).astype(int)
+        y = np.rint(gt[:, 1] * (H - 1)).astype(int)
+        x = np.rint(gt[:, 2] * (W - 1)).astype(int)
+        seen.append((n * H + y) * W + x)
+    flat = np.concatenate(seen)
+    assert flat.shape[0] == total
     assert len(np.unique(flat)) == total  # every pixel exactly once
 
 

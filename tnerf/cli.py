@@ -97,7 +97,6 @@ def main(argv=None) -> int:
     from tnerf.grid.occupancy import init_occupancy
     from tnerf.train import create_optimizer, init_train_state
     from tnerf.train_loop import build_field, build_renderer
-    from tnerf.utils.checkpoint import restore_checkpoint
 
     field = build_field(cfg)
     renderer = build_renderer(cfg, field, for_eval=True)
@@ -106,16 +105,10 @@ def main(argv=None) -> int:
     use_grid = cfg.render.pipeline != "uniform"  # grid_* and fused all use occupancy
     occ = init_occupancy(cfg.grid) if use_grid else None
     ckpt_dir = args.checkpoint or os.path.join(cfg.logging.out_dir, "checkpoints")
-    template = (state, occ) if occ is not None else state
-    restored = restore_checkpoint(ckpt_dir, template)
-    if restored is None:
-        print(f"error: no checkpoint found in {ckpt_dir}", file=sys.stderr)
+    step, state, occ, err = _restore_state(ckpt_dir, state, occ)
+    if err:
+        print(f"error: {err}", file=sys.stderr)
         return 1
-    step, payload = restored
-    if occ is not None:
-        state, occ = payload
-    else:
-        state = payload
     print(f"restored step {step} from {ckpt_dir}", file=sys.stderr)
     bits = occ.bitfield if occ is not None else None
     validate_scene_background(cfg.scene.kind, cfg.scene.name, cfg.scene.white_background)
@@ -164,6 +157,42 @@ def main(argv=None) -> int:
     return 0
 
 
+def _restore_state(ckpt_dir, state, occ):
+    """Restore (state, occ) with a state-only fallback: fused-pipeline
+    checkpoints written before round 3 carried no occupancy grid (the
+    pipeline gained the (state, occ) payload when it became
+    occupancy-aware — see docs/MIGRATION.md); those restore into a
+    state-only template and keep the freshly-initialized (dense) grid."""
+    import sys
+
+    from tnerf.utils.checkpoint import restore_checkpoint
+
+    template = (state, occ) if occ is not None else state
+    try:
+        restored = restore_checkpoint(ckpt_dir, template)
+    except ValueError as e:
+        if occ is None:
+            raise
+        restored = restore_checkpoint(ckpt_dir, state)
+        if restored is None:
+            return 0, state, occ, f"no checkpoint found in {ckpt_dir}"
+        step, state = restored
+        print(
+            f"restored step {step} from {ckpt_dir} (legacy state-only "
+            f"checkpoint — occupancy grid left dense; {e})",
+            file=sys.stderr,
+        )
+        return step, state, occ, None
+    if restored is None:
+        return 0, state, occ, f"no checkpoint found in {ckpt_dir}"
+    step, payload = restored
+    if occ is not None:
+        state, occ = payload
+    else:
+        state = payload
+    return step, state, occ, None
+
+
 def _run_suite(cfg, scenes) -> int:
     """Evaluate the test split of each scene from its checkpoint and print
     a summary table (BASELINE config 4)."""
@@ -174,7 +203,6 @@ def _run_suite(cfg, scenes) -> int:
     from tnerf.grid.occupancy import init_occupancy
     from tnerf.train import create_optimizer, init_train_state
     from tnerf.train_loop import build_field, build_renderer
-    from tnerf.utils.checkpoint import restore_checkpoint
 
     results = {}
     for scene in scenes:
@@ -199,14 +227,11 @@ def _run_suite(cfg, scenes) -> int:
         state = init_train_state(field, optimizer, scfg.train.seed)
         use_grid = scfg.render.pipeline != "uniform"  # grid_* and fused all use occupancy
         occ = init_occupancy(scfg.grid) if use_grid else None
-        template = (state, occ) if occ is not None else state
         ckpt_dir = os.path.join(scfg.logging.out_dir, "checkpoints")
-        restored = restore_checkpoint(ckpt_dir, template)
-        if restored is None:
-            print(f"{scene}: SKIP (no checkpoint in {ckpt_dir})", file=sys.stderr)
+        _, state, occ, err = _restore_state(ckpt_dir, state, occ)
+        if err:
+            print(f"{scene}: SKIP ({err})", file=sys.stderr)
             continue
-        _, payload = restored
-        state, occ = payload if occ is not None else (payload, None)
         bits = occ.bitfield if occ is not None else None
         results[scene] = evaluate(
             renderer, state.params, datasets["test"], scfg.scene.scene_scale,

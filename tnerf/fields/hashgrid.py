@@ -87,6 +87,9 @@ def _corner_index_weight(c, i0, frac, dense_fits, n1, T):
     return idx, w
 
 
+_warned_gather_downgrade = False
+
+
 def resolve_gather_mode(cfg: FieldConfig) -> str:
     """'onehot' (MXU matmul-gather) or 'gather' (XLA gather).
 
@@ -95,14 +98,36 @@ def resolve_gather_mode(cfg: FieldConfig) -> str:
     [256, 128] row block per level); XLA's gather on TPU lowers to a
     ~8 ns/element scalar loop (docs/KERNEL_NOTES.md), so the matmul
     formulation wins by >10x there despite doing 128x the FLOPs.
+
+    NOTE: the onehot path treats sample POSITIONS as non-differentiable
+    (zero cotangent) — see apply_hashgrid_onehot.  Nothing in this
+    framework differentiates through positions; force
+    hash_gather_mode='gather' if an external caller ever needs dL/dx.
     """
     mode = cfg.hash_gather_mode
     if mode != "auto":
         return mode
     T = 1 << cfg.hash_log2_table_size
     # onehot needs at least one full 128-lane row per level (T % 128 == 0).
-    if 128 <= T <= (1 << 15) and jax.default_backend() == "tpu":
-        return "onehot"
+    if jax.default_backend() == "tpu":
+        if 128 <= T <= (1 << 15):
+            return "onehot"
+        # Loud, once: on TPU the silent fallback costs 6-9x throughput
+        # (58.8k vs 8.5k rays/s measured, docs/KERNEL_NOTES.md).
+        global _warned_gather_downgrade
+        if not _warned_gather_downgrade:
+            _warned_gather_downgrade = True
+            import logging
+
+            logging.getLogger("tnerf").warning(
+                "hash_gather_mode=auto: table size T=2^%d exceeds the MXU "
+                "one-hot path's limit (T <= 2^15); falling back to the XLA "
+                "gather path, ~6-9x slower on TPU. Set "
+                "field_.hash_log2_table_size<=15 (T=2^14 measured 40.9 dB "
+                "on the hard gate — see configs/lego_800_hashgrid.json) or "
+                "silence this by setting hash_gather_mode=gather explicitly.",
+                cfg.hash_log2_table_size,
+            )
     return "gather"
 
 

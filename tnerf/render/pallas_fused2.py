@@ -1,8 +1,9 @@
-"""Fused Pallas render kernel v2: march + encode + MLP + composite,
+"""Fused Pallas render kernel: march + encode + MLP + composite,
 forward AND backward (trainable via jax.custom_vjp).
 
-This supersedes the v1 kernel (pallas_fused.py) with two structural
-changes, both driven by the measured v5e cost model (docs/KERNEL_NOTES.md):
+This superseded a first-generation kernel (removed in round 3; shared
+encoding algebra lives in fused_common.py) with two structural changes,
+both driven by the measured v5e cost model (docs/KERNEL_NOTES.md):
 
 1. LANE-SATURATED SAMPLE CHUNKS: SC = 128 samples per chunk, so every
    per-sample SCALAR quantity (t, tau, transmittance, weights, head
@@ -53,7 +54,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from tnerf.config import FieldConfig, GridConfig
-from tnerf.render.pallas_fused import (
+from tnerf.render.fused_common import (
     LANES,
     _encoding_matrices,
     _feature_permutation,

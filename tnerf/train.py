@@ -67,6 +67,11 @@ def create_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
     return opt
 
 
+# Module-level so each epoch's permutation reuses one compiled function
+# (a fresh jax.jit wrapper per cache miss would retrace every epoch).
+_jitted_permutation = jax.jit(jax.random.permutation, static_argnums=1)
+
+
 class PixelSampler:
     """Draws random (image, pixel) ray batches fully on device.
 
@@ -115,9 +120,7 @@ class PixelSampler:
         if getattr(self, "_perm_cache_key", None) != kb:
             n_img = self.images.shape[0]
             total = n_img * self.height * self.width
-            self._perm_cache = jax.jit(
-                jax.random.permutation, static_argnums=1
-            )(epoch_key, total)
+            self._perm_cache = _jitted_permutation(epoch_key, total)
             self._perm_cache_key = kb
         return self._perm_cache
 

@@ -304,6 +304,13 @@ def _eval(cfg, renderer, state, occ, datasets, step, log, metrics,
             save_dir=save_dir, chunk_size=cfg.render.chunk_size,
             occupancy=bits, mesh=mesh,
         )
+        if cfg.render.pipeline == "fused":
+            # The in-training eval renderer always runs rpc=1 (built with
+            # for_eval=False); `cli eval` uses render.fused_rpc.  Record
+            # which quadrature produced this PSNR so the two are never
+            # compared as equals (they can differ by >1 dB when
+            # fused_rpc reduces the per-ray sample budget).
+            m["eval_fused_rpc"] = 1
         out.update(m)
         log.info("eval step %d: %s", step, m)
         metrics.write(step, **m)
