@@ -137,3 +137,137 @@ def test_truncated_walk_last_interval_ends_at_cell_exit():
     np.testing.assert_allclose(
         np.asarray(got.t_starts[0]), np.asarray(want.t_starts[0]), atol=1e-5
     )
+
+
+def test_pack_words_rows_bits():
+    rng = np.random.default_rng(11)
+    for c in (16, 32):
+        occ = rng.uniform(0, 1, (c, c, c)) < 0.3
+        words = np.asarray(
+            __import__("tnerf.grid.pallas_dda", fromlist=["pack_words_rows"])
+            .pack_words_rows(jnp.asarray(occ))
+        )
+        flat = occ.reshape(-1)
+        for i in rng.integers(0, c ** 3, 200):
+            w = i // 32
+            bit = (words[w >> 7, w & 127] >> (i % 32)) & 1
+            assert bool(bit) == bool(flat[i]), (c, i)
+
+
+@pytest.mark.parametrize("res_c", [16, 32])
+def test_tighten_sample_mask_matches_xla_path(res_c):
+    """The fused tighten+mask kernel must reproduce the XLA composition
+    (tightened_range on the pooled grid + occupancy_lookup at the
+    midpoint samples) exactly."""
+    from tnerf.grid.pallas_dda import tighten_sample_mask_pallas
+    from tnerf.grid.traversal import (
+        march_samples_t, occupancy_lookup, ray_aabb, tightened_range,
+    )
+    from tnerf.sampling import sample_positions
+
+    res = 64
+    grid = GridConfig(resolution=res)
+    rng = np.random.default_rng(17)
+    occ = rng.uniform(0, 1, (res, res, res)) < 0.04
+    occ_c = make_coarse_occupancy(jnp.asarray(occ), res // res_c)
+
+    B, S, P = 256, 48, 64
+    o = rng.uniform(-1, 1, (B, 3))
+    o = o / np.linalg.norm(o, axis=-1, keepdims=True) * 3.0
+    d = -o / np.linalg.norm(o, axis=-1, keepdims=True)
+    d += rng.normal(0, 0.08, d.shape)
+    o = jnp.asarray(o, jnp.float32)
+    d = jnp.asarray(d, jnp.float32)
+
+    te, tx = ray_aabb(o, d, grid.aabb_min, grid.aabb_max)
+    te = jnp.maximum(te, 0.05)
+    tx = jnp.maximum(tx, te)
+
+    t0_k, t1_k, mask_k = tighten_sample_mask_pallas(
+        o, d, te, tx, occ_c, S, grid, probes=P, interpret=True
+    )
+    t0_x, t1_x = tightened_range(o, d, te, tx, occ_c, grid, probes=P)
+    np.testing.assert_allclose(np.asarray(t0_k), np.asarray(t0_x), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(t1_k), np.asarray(t1_x), atol=1e-5)
+
+    t, _ = march_samples_t(t0_x, t1_x, S)
+    mask_x = (t1_x[:, None] > t0_x[:, None]) & occupancy_lookup(
+        sample_positions(o, d, t), occ_c, grid
+    )
+    agree = np.asarray(mask_k) == np.asarray(mask_x)
+    # o + d*t is FMA-fused inside the kernel but not (necessarily) in the
+    # outer XLA program -> 1-ulp position differences flip the bit for
+    # samples landing exactly on coarse-cell boundaries (~0.3% here,
+    # physically meaningless: the field is continuous there).  Require
+    # agreement everywhere except such boundary ties.
+    assert agree.mean() > 0.99, agree.mean()
+    if not agree.all():
+        bad = np.argwhere(~agree)
+        t, _ = march_samples_t(t0_x, t1_x, S)
+        pts = np.asarray(sample_positions(o, d, t))
+        cell = (pts[bad[:, 0], bad[:, 1]] + 1.0) / (2.0 / res_c)
+        dist = np.abs(cell - np.rint(cell)).min(axis=1)
+        assert dist.max() < 1e-4, dist.max()  # all flips at boundaries
+
+
+def test_march_renderer_kernel_mask_path_matches_xla(monkeypatch):
+    """make_grid_renderer with pooled tighten/mask res: the eval-time
+    kernel path (key=None) must match the same renderer routed through
+    the XLA composition of identical pooled semantics."""
+    import jax
+
+    from tnerf.config import Config
+    from tnerf.fields.nerf_field import NeRFField
+    from tnerf.render.grid_renderer import make_grid_renderer
+    from tnerf.grid.traversal import (
+        march_samples_t, occupancy_lookup, tightened_range,
+    )
+    from tnerf.sampling import sample_positions
+
+    res = 32
+    cfg = Config().apply_overrides([
+        f"grid.resolution={res}", "sampler.samples_per_ray=32",
+        "sampler.near=0.05", "scene.scene_scale=1.0",
+        "sampler.tighten_res=16", "sampler.occupancy_mask_res=16",
+        "sampler.tighten_probes=64",
+    ])
+    field = NeRFField(cfg.field_, cfg.grid)
+    params = field.init(jax.random.PRNGKey(0))
+
+    rng = np.random.default_rng(23)
+    occ = jnp.asarray(rng.uniform(0, 1, (res, res, res)) < 0.1)
+
+    from tnerf.cameras import Rays, viewdirs_to_thetaphi
+    o = rng.uniform(-1, 1, (64, 3))
+    o = o / np.linalg.norm(o, axis=-1, keepdims=True) * 3.0
+    d = -o / np.linalg.norm(o, axis=-1, keepdims=True)
+    d = jnp.asarray(d, jnp.float32)
+    rays = Rays(origins=jnp.asarray(o, jnp.float32), directions=d,
+                viewdirs_tp=viewdirs_to_thetaphi(d))
+
+    rend = make_grid_renderer(field, cfg.grid, cfg.sampler, cfg.render,
+                              strategy="march", compact=False)
+    out_kernel = rend(params, rays, None, occ)
+
+    # Same renderer with the kernel swapped for an XLA implementation of
+    # the identical contract -> outputs must agree to float tolerance.
+    import tnerf.render.grid_renderer as gr
+
+    def xla_impl(origins, directions, te, tx, occ_c, S, grid, probes=256,
+                 interpret=False):
+        t0, t1 = tightened_range(origins, directions, te, tx, occ_c, grid,
+                                 probes=probes)
+        t, _ = march_samples_t(t0, t1, S)
+        m = (t1[:, None] > t0[:, None]) & occupancy_lookup(
+            sample_positions(origins, directions, t), occ_c, grid
+        )
+        return t0, t1, m
+
+    monkeypatch.setattr(gr, "tighten_sample_mask_pallas", xla_impl)
+    rend_x = make_grid_renderer(field, cfg.grid, cfg.sampler, cfg.render,
+                                strategy="march", compact=False)
+    out_x = rend_x(params, rays, None, occ)
+    np.testing.assert_allclose(np.asarray(out_kernel.rgb),
+                               np.asarray(out_x.rgb), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(out_kernel.acc),
+                               np.asarray(out_x.acc), atol=2e-4)

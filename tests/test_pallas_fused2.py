@@ -276,3 +276,25 @@ def test_rpc_backward_raises():
         jax.grad(
             lambda w: jnp.sum(fused(w, Bias, gamma, beta, rays_pack, mlane, words))
         )(W)
+
+
+def test_exact_samples_per_ray_rpc_invariant():
+    """sampler.samples_per_ray means what it says on the fused path:
+    rpc=1 S=64 must be quadrature-identical to rpc=2 S=64 (the round-2
+    fast-render config lost ~2 dB to S silently rounding up to the chunk
+    width at rpc=1 — train and fast-render now share one quadrature)."""
+    from tnerf.fields.nerf_field import NeRFField
+
+    cfg = _small_cfg().apply_overrides(["sampler.samples_per_ray=64"])
+    field = NeRFField(cfg.field_, cfg.grid)
+    params = field.init(jax.random.PRNGKey(0))
+    rays = _rays(64, seed=11)
+    occ = jnp.ones((8, 8, 8), bool)
+    r1 = make_fused_pipeline_renderer_v2(
+        cfg.field_, cfg.grid, cfg.sampler, cfg.render, interpret=True, rpc=1
+    )(params, rays, None, occ)
+    r2 = make_fused_pipeline_renderer_v2(
+        cfg.field_, cfg.grid, cfg.sampler, cfg.render, interpret=True, rpc=2
+    )(params, rays, None, occ)
+    np.testing.assert_allclose(np.asarray(r1.rgb), np.asarray(r2.rgb), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(r1.acc), np.asarray(r2.acc), atol=2e-5)

@@ -104,6 +104,19 @@ class SamplerConfig:
     # bitfield and concentrate the sample budget on the occupied t-span.
     tighten: bool = True
     tighten_probes: int = 64
+    # Resolution of the (max-pooled) occupancy grid the tighten probes
+    # consult.  0 = fine (grid.resolution, XLA gather probes).  A pooled
+    # res <= 32 enables the fused Pallas tighten+mask kernel at eval
+    # (VMEM-resident bitfield, zero XLA gathers) — train-time probes use
+    # the XLA path against the SAME pooled grid, so train and eval spans
+    # agree exactly.
+    tighten_res: int = 0
+    # Per-sample occupancy-mask resolution for the march pipeline:
+    # 0 = fine (grid.resolution, XLA per-sample gather — ~8 ns/element,
+    # ~40% of an 800x800 frame); a pooled res <= 32 moves the eval-time
+    # mask into the Pallas kernel.  Train-time masking uses the XLA
+    # lookup against the same pooled grid (exact at jittered positions).
+    occupancy_mask_res: int = 0
 
 
 @dataclass(frozen=True)

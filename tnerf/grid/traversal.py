@@ -379,12 +379,17 @@ def tightened_range(
 
     Probes `probes` points along the slab span against the occupancy
     bitfield and returns the [first, last] occupied t padded by one probe
-    step + one cell diagonal (so no occupied cell between probes is
+    step + one FINE cell diagonal (so no occupied cell between probes is
     missed).  Rays where NO probe hits keep the untightened
     [t_enter, t_exit]: an occupied sliver thinner than the probe spacing
     could lie entirely between probes, and collapsing the range would
     silently drop it; the fallback costs nothing (the per-ray sample
     count is fixed and unoccupied samples are masked downstream).
+
+    `occupancy` may be a max-pooled coarse grid (any cubic res <=
+    grid.resolution): probes test at the pooled resolution — the same
+    semantics as the Pallas tighten kernels — while the pad keeps the
+    fine-cell diagonal.
 
     This concentrates the fixed per-ray sample budget on the object
     instead of the whole scene box — the sample-efficiency half of what
@@ -413,8 +418,12 @@ def occupancy_lookup(
     occupancy: jnp.ndarray,
     grid: GridConfig,
 ) -> jnp.ndarray:
-    """Point-in-occupied-cell test: [..., 3] -> [...] bool."""
-    res = grid.resolution
+    """Point-in-occupied-cell test: [..., 3] -> [...] bool.
+
+    The test resolution comes from the occupancy array itself when it is
+    cubic 3-D (so max-pooled coarse grids work directly); flat bitfields
+    use grid.resolution."""
+    res = occupancy.shape[0] if occupancy.ndim == 3 else grid.resolution
     lo = jnp.asarray(grid.aabb_min, jnp.float32)
     hi = jnp.asarray(grid.aabb_max, jnp.float32)
     ijk = jnp.floor((positions - lo) / ((hi - lo) / res)).astype(jnp.int32)

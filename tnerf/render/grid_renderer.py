@@ -26,7 +26,9 @@ import jax.numpy as jnp
 from tnerf.cameras import Rays
 from tnerf.config import GridConfig, RenderConfig, SamplerConfig
 from tnerf.fields.nerf_field import NeRFField
+from tnerf.grid.pallas_dda import tighten_sample_mask_pallas
 from tnerf.grid.traversal import (
+    make_coarse_occupancy,
     march_samples_t,
     occupancy_lookup,
     ray_aabb,
@@ -136,22 +138,52 @@ def make_grid_renderer(
             )
             t_enter = jnp.maximum(t_enter, sampler_cfg.near)
             t_exit = jnp.maximum(t_exit, t_enter)
-            if occ3 is not None and sampler_cfg.tighten:
-                t_enter, t_exit = tightened_range(
-                    rays.origins, rays.directions, t_enter, t_exit,
-                    occ3, grid_cfg, probes=sampler_cfg.tighten_probes,
-                )
             S = sampler_cfg.samples_per_ray
-            jitter = (
-                jax.random.uniform(key, (*t_enter.shape, S), jnp.float32)
-                if key is not None
-                else None
+            res = grid_cfg.resolution
+            t_res = min(sampler_cfg.tighten_res or res, res)
+            m_res = min(sampler_cfg.occupancy_mask_res or res, res)
+            pool = lambda occ, r: (
+                occ if r == res else make_coarse_occupancy(occ, res // r)
             )
-            t, deltas = march_samples_t(t_enter, t_exit, S, jitter=jitter)
-            smask = t_exit[..., None] > t_enter[..., None]
-            if occ3 is not None:
-                pts_probe = sample_positions(rays.origins, rays.directions, t)
-                smask = smask & occupancy_lookup(pts_probe, occ3, grid_cfg)
+            # Fused Pallas tighten+mask kernel: eval-time (midpoint
+            # quadrature, key is None) with both stages on one pooled
+            # bitfield <= 32^3 — replaces the XLA probe gathers (~21% of
+            # frame) and the per-sample occupancy gather (~40%).
+            use_kernel = (
+                occ3 is not None
+                and sampler_cfg.tighten
+                and key is None
+                and t_res == m_res
+                and t_res < res
+                and t_res <= 32
+            )
+            if use_kernel:
+                t_enter, t_exit, smask = tighten_sample_mask_pallas(
+                    rays.origins, rays.directions, t_enter, t_exit,
+                    pool(occ3, t_res), S, grid_cfg,
+                    probes=sampler_cfg.tighten_probes,
+                    interpret=jax.devices()[0].platform != "tpu",
+                )
+                t, deltas = march_samples_t(t_enter, t_exit, S)
+            else:
+                if occ3 is not None and sampler_cfg.tighten:
+                    t_enter, t_exit = tightened_range(
+                        rays.origins, rays.directions, t_enter, t_exit,
+                        pool(occ3, t_res), grid_cfg,
+                        probes=sampler_cfg.tighten_probes,
+                    )
+                jitter = (
+                    jax.random.uniform(key, (*t_enter.shape, S), jnp.float32)
+                    if key is not None
+                    else None
+                )
+                t, deltas = march_samples_t(t_enter, t_exit, S, jitter=jitter)
+                smask = t_exit[..., None] > t_enter[..., None]
+                if occ3 is not None:
+                    pts_probe = sample_positions(rays.origins, rays.directions, t)
+                    smask = smask & occupancy_lookup(
+                        pts_probe, pool(occ3, m_res), grid_cfg
+                    )
 
         pts = sample_positions(rays.origins, rays.directions, t)
         if strategy == "march" and compact and occ3 is not None:

@@ -782,8 +782,16 @@ def make_fused_pipeline_renderer_v2(
             te, tx = tighten_range_pallas(
                 o, d, te, tx, packed, res_c, grid_cfg, interpret=interpret
             )
-        dt = (tx - te) / S_pad
-        mask = (tx > te)[:, None] & jnp.ones((o.shape[0], S_pad), bool)
+        # dt divides by the REQUESTED S, not the chunk-padded S_pad: the
+        # kernel processes S_pad lane-slots but slots s >= S are masked
+        # off below, so sampler.samples_per_ray means what it says and
+        # e.g. rpc=1 S=64 is quadrature-identical to rpc=2 S=64 (train
+        # and fast-render configs share one quadrature — the round-2
+        # fused fast path lost ~2 dB to exactly this mismatch).
+        dt = (tx - te) / S
+        mask = (tx > te)[:, None] & (
+            jnp.arange(S_pad, dtype=jnp.int32)[None, :] < S
+        )
         if occupancy is not None and not use_coarse:
             s_idx = jnp.arange(S_pad, dtype=jnp.float32) + 0.5
             t = te[:, None] + s_idx * dt[:, None]
