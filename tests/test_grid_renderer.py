@@ -113,3 +113,78 @@ def test_compaction_overflow_drops_not_corrupts():
     s = np.asarray(sig).reshape(-1)
     assert (s[:cap] > 0).all()      # first `cap` samples evaluated
     assert (s[cap:] == 0).all()      # the rest dropped cleanly
+
+
+def test_ray_compaction_matches_uncompacted():
+    """render.ray_compact drops background rays before the field runs;
+    outputs must match the uncompacted renderer exactly: kept rays shade
+    identically, dropped rays composite to pure background either way."""
+    res = 32
+    cfg = Config().apply_overrides([
+        f"grid.resolution={res}", "sampler.samples_per_ray=32",
+        "sampler.near=0.05", "scene.scene_scale=1.0",
+        "field_.hidden_width=32", "field_.hidden_layers=2",
+        "field_.n_frequencies=4",
+        "sampler.tighten_res=16", "sampler.occupancy_mask_res=16",
+    ])
+    field = NeRFField(cfg.field_, cfg.grid)
+    params = field.init(jax.random.PRNGKey(0))
+    rng = np.random.default_rng(31)
+    # a small occupied blob -> many rays miss entirely
+    occ = np.zeros((res, res, res), bool)
+    occ[12:20, 12:20, 12:20] = True
+    occ = jnp.asarray(occ)
+    o = rng.uniform(-1, 1, (96, 3))
+    o = o / np.linalg.norm(o, axis=-1, keepdims=True) * 3.0
+    d = -o / np.linalg.norm(o, axis=-1, keepdims=True)
+    d = d + rng.normal(0, 0.25, d.shape)  # some rays miss the blob
+    d = jnp.asarray(d, jnp.float32)
+    rays = Rays(origins=jnp.asarray(o, jnp.float32), directions=d,
+                viewdirs_tp=viewdirs_to_thetaphi(d))
+
+    rend = make_grid_renderer(field, cfg.grid, cfg.sampler, cfg.render,
+                              strategy="march", compact=False)
+    base = rend(params, rays, None, occ)
+
+    cfg_rc = cfg.apply_overrides(["render.ray_compact=true",
+                                  "render.ray_compact_fraction=0.9"])
+    rend_rc = make_grid_renderer(field, cfg_rc.grid, cfg_rc.sampler,
+                                 cfg_rc.render, strategy="march", compact=False)
+    out = rend_rc(params, rays, None, occ)
+    np.testing.assert_allclose(np.asarray(out.rgb), np.asarray(base.rgb),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out.acc), np.asarray(base.acc),
+                               atol=1e-5)
+
+    # overflow: capacity below the kept count -> excess rays become
+    # background (acc == 0), never corrupted
+    cfg_of = cfg.apply_overrides(["render.ray_compact=true",
+                                  "render.ray_compact_fraction=0.05"])
+    rend_of = make_grid_renderer(field, cfg_of.grid, cfg_of.sampler,
+                                 cfg_of.render, strategy="march", compact=False)
+    out_of = rend_of(params, rays, None, occ)
+    dropped = np.asarray(out_of.acc) == 0.0
+    kept = ~dropped
+    np.testing.assert_allclose(np.asarray(out_of.rgb)[kept],
+                               np.asarray(base.rgb)[kept], atol=1e-5)
+    bg = 1.0 if cfg.render.white_background else 0.0
+    np.testing.assert_allclose(np.asarray(out_of.rgb)[dropped], bg, atol=1e-6)
+
+
+def test_render_image_chunk_interleave_invariant(setup):
+    """render_image output must not depend on the chunk size (the strided
+    interleave + inverse must be exact)."""
+    from tnerf.cameras import camera_rays
+    from tnerf.render.renderer import render_image
+
+    cfg, field, params, _ = setup
+    rend = make_grid_renderer(field, cfg.grid, cfg.sampler, cfg.render,
+                              strategy="march", compact=False)
+    pose = np.eye(4, dtype=np.float32)
+    pose[2, 3] = 3.0
+    rays = camera_rays(jnp.asarray(pose), 24, 16, 20.0, 1.0)
+    occ = jnp.ones((8, 8, 8), bool)
+    one = render_image(rend, params, rays, chunk_size=24 * 16, occupancy=occ)
+    many = render_image(rend, params, rays, chunk_size=64, occupancy=occ)
+    np.testing.assert_allclose(np.asarray(many.rgb), np.asarray(one.rgb),
+                               atol=1e-6)

@@ -180,6 +180,17 @@ class RenderConfig:
     # Compaction buffer capacity as a fraction of batch*samples;
     # overflowing samples are dropped.
     compact_fraction: float = 0.25
+    # RAY-level compaction at eval (grid_march + pooled tighten/mask
+    # kernel only): rays whose tightened span contains no occupied
+    # sample are dropped before the field runs — background pixels never
+    # pay encoding/MLP FLOPs.  Per-ray gathers cost ~8 ns/row (vs the
+    # per-SAMPLE compaction's ~8 ns/element), so this is the cheap
+    # compaction axis on TPU.  render_image interleaves chunks across
+    # the image so each chunk sees ~the global object fraction.
+    ray_compact: bool = False
+    # Kept-ray capacity as a fraction of the chunk; rays beyond it
+    # render as background (see grid_renderer docstring).
+    ray_compact_fraction: float = 0.5
     # Composite with the Pallas transmittance-scan kernel (exact custom
     # VJP) instead of the jnp cumsum compositor. Numerically equivalent;
     # runs interpreted on CPU.

@@ -118,6 +118,44 @@ def make_grid_renderer(
             r = grid_cfg.resolution
             occ3 = occupancy.reshape(r, r, r)
 
+        def shade(origins, directions, viewdirs_tp, t, deltas, smask):
+            """Field eval + compositing on explicit ray/sample arrays
+            (shared by the direct paths and the ray-compacted path)."""
+            pts = sample_positions(origins, directions, t)
+            if strategy == "march" and compact and occ3 is not None:
+                B_, S_ = pts.shape[0], pts.shape[1]
+                frac = (
+                    compact_fraction
+                    if compact_fraction is not None
+                    else render_cfg.compact_fraction
+                )
+                cap = compact_capacity or max(1, int(B_ * S_ * frac))
+                rgb, sigma = compacted_field_apply(
+                    field, params, pts, viewdirs_tp, smask, cap
+                )
+            else:
+                rgb, sigma = field.apply(params, pts, viewdirs_tp[..., None, :])
+
+            if render_cfg.pallas_compositor and t.shape[-1] % 128 == 0:
+                from tnerf.render.pallas_composite import pallas_composite
+
+                interp = jax.devices()[0].platform != "tpu"
+                out = pallas_composite(
+                    sigma, jnp.broadcast_to(deltas, sigma.shape),
+                    smask.astype(jnp.float32), t, rgb, interp,
+                )
+                rgb_px = out[:, 0:3]
+                acc = out[:, 3]
+                if render_cfg.white_background:
+                    rgb_px = rgb_px + (1.0 - acc)[:, None]
+                empty = jnp.zeros((sigma.shape[0], 0), jnp.float32)
+                return RenderResult(rgb=rgb_px, acc=acc, depth=out[:, 4],
+                                    weights=empty, transmittance=empty)
+            return composite(
+                rgb, sigma, deltas, t_mid=t, mask=smask,
+                white_background=render_cfg.white_background,
+            )
+
         if strategy == "intervals":
             iv = traverse_grid(
                 rays.origins, rays.directions, grid_cfg, occupancy=occ3,
@@ -158,11 +196,64 @@ def make_grid_renderer(
                 and t_res <= 32
             )
             if use_kernel:
-                t_enter, t_exit, smask = tighten_sample_mask_pallas(
-                    rays.origins, rays.directions, t_enter, t_exit,
+                kernel = lambda o_, d_, te_, tx_: tighten_sample_mask_pallas(
+                    o_, d_, te_, tx_,
                     pool(occ3, t_res), S, grid_cfg,
                     probes=sampler_cfg.tighten_probes,
                     interpret=jax.devices()[0].platform != "tpu",
+                )
+                if render_cfg.ray_compact:
+                    # RAY compaction (see RenderConfig.ray_compact): pass
+                    # 1 finds rays with any occupied sample; per-ray
+                    # scalars compact with cheap [B]-row gathers; pass 2
+                    # re-derives span+mask for the kept rays (re-running
+                    # the kernel beats gathering [B,S] masks at
+                    # ~8 ns/element); background rays are reconstructed
+                    # at scatter-back.  Kept rays beyond the static
+                    # capacity also render as background — size
+                    # ray_compact_fraction well above the scene's object
+                    # pixel fraction (render_image's chunk interleaving
+                    # makes per-chunk fractions ~equal to the global one).
+                    B = rays.origins.shape[0]
+                    cap = max(1, int(B * render_cfg.ray_compact_fraction))
+                    _, _, mask_a = kernel(
+                        rays.origins, rays.directions, t_enter, t_exit
+                    )
+                    keep = jnp.any(mask_a, axis=1)
+                    widx = jnp.where(keep, jnp.cumsum(keep) - 1, cap)
+                    packed = jnp.concatenate(
+                        [
+                            rays.origins, rays.directions, rays.viewdirs_tp,
+                            t_enter[:, None], t_exit[:, None],
+                        ],
+                        axis=1,
+                    )  # [B, 10]
+                    buf = (
+                        jnp.zeros((cap + 1, 10), packed.dtype)
+                        .at[widx].set(packed)[:cap]
+                    )
+                    o_c, d_c, v_c = buf[:, 0:3], buf[:, 3:6], buf[:, 6:8]
+                    te_c, tx_c = buf[:, 8], buf[:, 9]
+                    t0_c, t1_c, smask_c = kernel(o_c, d_c, te_c, tx_c)
+                    t_c, deltas_c = march_samples_t(t0_c, t1_c, S)
+                    res_c = shade(o_c, d_c, v_c, t_c, deltas_c, smask_c)
+                    out_pack = jnp.concatenate(
+                        [res_c.rgb, res_c.acc[:, None], res_c.depth[:, None]],
+                        axis=1,
+                    )  # [cap, 5]
+                    bgv = 1.0 if render_cfg.white_background else 0.0
+                    bg_row = jnp.array([[bgv, bgv, bgv, 0.0, 0.0]], jnp.float32)
+                    out_full = jnp.concatenate([out_pack, bg_row], axis=0)[
+                        jnp.minimum(widx, cap)
+                    ]
+                    empty = jnp.zeros((B, 0), jnp.float32)
+                    return RenderResult(
+                        rgb=out_full[:, 0:3], acc=out_full[:, 3],
+                        depth=out_full[:, 4], weights=empty,
+                        transmittance=empty,
+                    )
+                t_enter, t_exit, smask = kernel(
+                    rays.origins, rays.directions, t_enter, t_exit
                 )
                 t, deltas = march_samples_t(t_enter, t_exit, S)
             else:
@@ -185,39 +276,7 @@ def make_grid_renderer(
                         pts_probe, pool(occ3, m_res), grid_cfg
                     )
 
-        pts = sample_positions(rays.origins, rays.directions, t)
-        if strategy == "march" and compact and occ3 is not None:
-            B = pts.shape[0]
-            S = pts.shape[1]
-            frac = compact_fraction if compact_fraction is not None else render_cfg.compact_fraction
-            cap = compact_capacity or max(1, int(B * S * frac))
-            rgb, sigma = compacted_field_apply(
-                field, params, pts, rays.viewdirs_tp, smask, cap
-            )
-        else:
-            rgb, sigma = field.apply(params, pts, rays.viewdirs_tp[..., None, :])
-
-        if render_cfg.pallas_compositor and t.shape[-1] % 128 == 0:
-            import jax as _jax
-
-            from tnerf.render.composite import RenderResult
-            from tnerf.render.pallas_composite import pallas_composite
-
-            interp = _jax.devices()[0].platform != "tpu"
-            out = pallas_composite(
-                sigma, jnp.broadcast_to(deltas, sigma.shape),
-                smask.astype(jnp.float32), t, rgb, interp,
-            )
-            rgb_px = out[:, 0:3]
-            acc = out[:, 3]
-            if render_cfg.white_background:
-                rgb_px = rgb_px + (1.0 - acc)[:, None]
-            empty = jnp.zeros((sigma.shape[0], 0), jnp.float32)
-            return RenderResult(rgb=rgb_px, acc=acc, depth=out[:, 4],
-                                weights=empty, transmittance=empty)
-        return composite(
-            rgb, sigma, deltas, t_mid=t, mask=smask,
-            white_background=render_cfg.white_background,
-        )
+        return shade(rays.origins, rays.directions, rays.viewdirs_tp,
+                     t, deltas, smask)
 
     return render

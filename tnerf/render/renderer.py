@@ -126,12 +126,33 @@ def render_image(
     n_pad = ((n + chunk_size - 1) // chunk_size) * chunk_size
     pad = n_pad - n
     flat = jax.tree.map(lambda a: jnp.pad(a, ((0, pad), (0, 0))), flat)
+    n_chunks = n_pad // chunk_size
+    if n_chunks > 1:
+        # Interleave rays across chunks (ray j*n_chunks+i -> chunk i):
+        # contiguous scanline chunks have wildly varying object-pixel
+        # fractions (center rows ~all object), which would overflow the
+        # ray-compaction capacity; strided chunks each see ~the global
+        # fraction.  Pure transpose (bandwidth), inverted after render;
+        # per-ray outputs are order-independent.
+        inter = lambda a: (
+            a.reshape(chunk_size, n_chunks, *a.shape[1:])
+            .swapaxes(0, 1)
+            .reshape(n_pad, *a.shape[1:])
+        )
+        flat = jax.tree.map(inter, flat)
     chunk_fn = _jitted_chunk_renderer(renderer, mesh, axis_name)
     outs = []
     for i in range(0, n_pad, chunk_size):
         chunk = jax.tree.map(lambda a: jax.lax.dynamic_slice_in_dim(a, i, chunk_size), flat)
         outs.append(chunk_fn(params, chunk, key, occupancy))
     res = jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=0), *outs)
+    if n_chunks > 1:
+        deinter = lambda a: (
+            a.reshape(n_chunks, chunk_size, *a.shape[1:])
+            .swapaxes(0, 1)
+            .reshape(n_pad, *a.shape[1:])
+        )
+        res = jax.tree.map(deinter, res)
     unflat = lambda a: a[:n].reshape(h, w, *a.shape[1:])
     return RenderResult(
         rgb=unflat(res.rgb),
