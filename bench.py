@@ -133,9 +133,14 @@ def bench_ray_march(width=800, height=800, res=8, inner=(4, 36)) -> dict:
     }
 
 
-def bench_render(width=800, height=800, res=64, samples=128) -> dict:
+def bench_render(width=800, height=800, res=64, samples=128, overrides=(),
+                 compact=False, strided=False) -> dict:
     """Full-pipeline render throughput (march + field + composite) with a
-    realistic occupancy grid derived from the analytic procedural field."""
+    realistic occupancy grid derived from the analytic procedural field.
+
+    strided=True times a STRIDED chunk (every n_chunks-th ray) instead of
+    the center block — the mix render_image's chunk interleaving actually
+    feeds each chunk, required for honest ray-compaction numbers."""
     import jax
     import jax.numpy as jnp
 
@@ -151,21 +156,28 @@ def bench_render(width=800, height=800, res=64, samples=128) -> dict:
         f"sampler.samples_per_ray={samples}",
         "sampler.near=2.0", "sampler.far=5.5",
         "scene.scene_scale=1.0",
+        *overrides,
     ])
-    field = NeRFField(cfg.field_, cfg.grid)
+    arch = "twobranch" if cfg.field_.encoding == "hashgrid" else "fused5d"
+    field = NeRFField(cfg.field_, cfg.grid, arch=arch)
     params = field.init(jax.random.PRNGKey(0))
     _, sigma = analytic_field(cell_centers(cfg.grid).reshape(-1, 3))
     occ = (sigma > 0.5).reshape(res, res, res)
     occ_frac = float(occ.mean())
 
     (o, d, v), = _camera_ray_variants(width, height, n_variants=1)
-    chunk = 32768
     n = width * height
-    mid = max(0, n // 2 - chunk // 2)  # center chunk: representative mix
-    o, d, v = o[mid:mid + chunk], d[mid:mid + chunk], v[mid:mid + chunk]
+    n_chunks = -(-n // 32768)
+    if strided:
+        chunk = n // n_chunks
+        o, d, v = o[::n_chunks][:chunk], d[::n_chunks][:chunk], v[::n_chunks][:chunk]
+    else:
+        chunk = 32768
+        mid = max(0, n // 2 - chunk // 2)  # center chunk: representative mix
+        o, d, v = o[mid:mid + chunk], d[mid:mid + chunk], v[mid:mid + chunk]
     renderer = make_grid_renderer(
         field, cfg.grid, cfg.sampler, cfg.render,
-        strategy="march", compact=False,
+        strategy="march", compact=compact,
     )
 
     def chunk_scalar(o2):
@@ -173,7 +185,6 @@ def bench_render(width=800, height=800, res=64, samples=128) -> dict:
         return renderer(params, rays, None, occ).rgb.sum()
 
     dt_chunk = _diff_timeit(chunk_scalar, o)
-    n_chunks = -(-n // chunk)
     dt = dt_chunk * n_chunks  # per 800x800 frame
     return {
         "render_mrays_per_sec": chunk / dt_chunk / 1e6,
@@ -432,6 +443,39 @@ def bench_fused_render(width=800, height=800, res=64, samples=128) -> dict:
     }
 
 
+def gate_metrics() -> dict:
+    """Quality numbers of record from the committed gate runs (runs/*/
+    metrics.jsonl): mean AND min test-view PSNR — the acceptance asserts
+    the min too, so a regressing view can't hide behind the mean."""
+    import os
+
+    out = {}
+    gates = {
+        "gate_march": "runs/hard_r3_march",
+        "gate_fused": "runs/hard_r3_fused",
+        "gate_hashgrid": "runs/hard_hashgrid2",
+    }
+    here = os.path.dirname(os.path.abspath(__file__))
+    for name, rel in gates.items():
+        path = os.path.join(here, rel, "metrics.jsonl")
+        if not os.path.exists(path):
+            continue
+        last = {}
+        with open(path) as fh:
+            for line in fh:
+                try:
+                    rec = json.loads(line)
+                except json.JSONDecodeError:
+                    continue
+                if "psnr_test" in rec:
+                    last = rec
+        if last:
+            out[f"{name}_psnr_test"] = round(last["psnr_test"], 2)
+            if "psnr_test_min" in last:
+                out[f"{name}_psnr_test_min"] = round(last["psnr_test_min"], 2)
+    return out
+
+
 def main():
     import sys
     import traceback
@@ -440,6 +484,7 @@ def main():
 
     device = jax.devices()[0].device_kind
     extra = {"device": device}
+    extra.update(gate_metrics())
 
     def attempt(fn, **kw):
         """Run one sub-benchmark; a failure (e.g. a transient remote-compile
@@ -455,7 +500,29 @@ def main():
     march8 = attempt(bench_ray_march, res=8)
     march128 = attempt(bench_march_pallas, res=128)          # Pallas DDA kernel
     march128_scan = attempt(bench_ray_march, res=128, inner=(2, 8))  # lax.scan walk
-    render = attempt(bench_render)
+    # Flagship march config (matches runs/hard_r3_march gate): pooled
+    # Pallas tighten+mask kernel + eval-time ray compaction, S=96.
+    render = attempt(
+        bench_render, samples=96, strided=True,
+        overrides=(
+            "sampler.tighten_res=16", "sampler.occupancy_mask_res=16",
+            "render.ray_compact=true", "render.ray_compact_fraction=0.5",
+        ),
+    )
+    # Round-2 configuration (fine mask + XLA tighten, S=128) for
+    # comparability with BENCH_r01/r02.
+    render_fine = attempt(bench_render)
+    # Hash-grid render (the tcnn-HashGrid role at eval): MXU one-hot
+    # encode + ray compaction + sample compaction on the kernel mask.
+    hg_render = attempt(
+        bench_render, samples=64, strided=True, compact=True,
+        overrides=(
+            "field_.encoding=hashgrid",
+            "sampler.tighten_res=32", "sampler.occupancy_mask_res=32",
+            "render.ray_compact=true", "render.ray_compact_fraction=0.5",
+            "render.compact_fraction=0.3",
+        ),
+    )
     fused = attempt(bench_fused_render)
     train = attempt(bench_fused_train)
     hg = attempt(bench_hashgrid_train)
@@ -468,6 +535,10 @@ def main():
     put(march128_scan, "mrays_per_sec", "march_128grid_scan_mrays_per_sec", 2)
     put(render, "render_mrays_per_sec")
     put(render, "fps_800x800")
+    put(render_fine, "render_mrays_per_sec", "render_finemask_mrays_per_sec")
+    put(render_fine, "fps_800x800", "fps_800x800_finemask")
+    put(hg_render, "render_mrays_per_sec", "hashgrid_render_mrays_per_sec")
+    put(hg_render, "fps_800x800", "hashgrid_fps_800x800")
     put(fused, "fused_mrays_per_sec", "fused_render_mrays_per_sec")
     put(fused, "fused_fps_800x800")
     put(fused, "fused_hq_mrays_per_sec")

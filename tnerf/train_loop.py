@@ -84,6 +84,13 @@ def build_renderer(
         # XLA train step on v5e (docs/KERNEL_NOTES.md round-2 addendum).
         # render.fused_rpc > 1 (multi-ray chunks, render-only: the
         # backward kernel needs rpc=1) applies to eval/render builds.
+        if cfg.field_.encoding != "frequency":
+            raise ValueError(
+                "render.pipeline=fused bakes the frequency encoding into "
+                f"the kernel; field_.encoding={cfg.field_.encoding!r} needs "
+                "render.pipeline=grid_march (hashgrid runs as MXU one-hot "
+                "matmuls there — see configs/procedural_hard_hashgrid.json)"
+            )
         from tnerf.render.pallas_fused2 import make_fused_pipeline_renderer_v2
 
         return make_fused_pipeline_renderer_v2(
