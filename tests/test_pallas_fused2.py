@@ -298,3 +298,43 @@ def test_exact_samples_per_ray_rpc_invariant():
     )(params, rays, None, occ)
     np.testing.assert_allclose(np.asarray(r1.rgb), np.asarray(r2.rgb), atol=2e-5)
     np.testing.assert_allclose(np.asarray(r1.acc), np.asarray(r2.acc), atol=2e-5)
+
+
+@pytest.mark.parametrize("rpc", [1, 2])
+def test_fused_ray_compaction_matches_uncompacted(rpc):
+    """Fused renderer with ray_compact: kept rays shade identically,
+    background rays reconstruct exactly."""
+    from tnerf.fields.nerf_field import NeRFField
+
+    cfg = _small_cfg().apply_overrides([
+        "grid.resolution=32", "sampler.samples_per_ray=64",
+        "sampler.near=2.0",
+    ])
+    field = NeRFField(cfg.field_, cfg.grid)
+    params = field.init(jax.random.PRNGKey(0))
+    rng = np.random.default_rng(41)
+    occ = np.zeros((32, 32, 32), bool)
+    occ[12:20, 12:20, 12:20] = True
+    occ = jnp.asarray(occ)
+    o = rng.uniform(-1, 1, (96, 3))
+    o = o / np.linalg.norm(o, axis=-1, keepdims=True) * 3.0
+    d = -o / np.linalg.norm(o, axis=-1, keepdims=True)
+    d = d + rng.normal(0, 0.25, d.shape)  # some rays miss the blob
+    from tnerf.cameras import Rays, viewdirs_to_thetaphi
+    d = jnp.asarray(d, jnp.float32)
+    rays = Rays(origins=jnp.asarray(o, jnp.float32), directions=d,
+                viewdirs_tp=viewdirs_to_thetaphi(d))
+
+    mk = lambda rc: make_fused_pipeline_renderer_v2(
+        cfg.field_, cfg.grid, cfg.sampler, cfg.render, interpret=True,
+        rpc=rpc, tighten=True, ray_compact=rc, b_tile=8, b_tile_bwd=8,
+    )
+    base = mk(False)(params, rays, None, occ)
+    out = mk(True)(params, rays, None, occ)
+    # background rays (acc==0) must match bitwise; kept rays to float tol
+    # (the compacted batch tiles differently -> bf16 rounding order)
+    np.testing.assert_allclose(np.asarray(out.rgb), np.asarray(base.rgb),
+                               atol=3e-3)
+    np.testing.assert_allclose(np.asarray(out.acc), np.asarray(base.acc),
+                               atol=3e-3)
+    assert float(np.abs(np.asarray(out.acc) - np.asarray(base.acc)).max()) < 3e-3

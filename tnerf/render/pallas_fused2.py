@@ -712,6 +712,7 @@ def make_fused_pipeline_renderer_v2(
     occupancy_mode: str = "coarse_kernel",
     rpc: int = 1,
     tighten: bool = False,
+    ray_compact: bool = False,
 ):
     """render(params, rays, key=None, occupancy=None) -> RenderResult via
     the v2 fused kernel — forward AND backward (training-capable: the
@@ -760,28 +761,11 @@ def make_fused_pipeline_renderer_v2(
     zero_words = jnp.zeros((8, LANES), jnp.int32)
     full_words = jnp.full((8, LANES), -1, jnp.int32)  # all bits set
 
-    def render(params, rays: Rays, key=None, occupancy=None) -> RenderResult:
-        B = rays.origins.shape[0]
-        pad = (-B) % (max(b_tile, b_tile_bwd) * rpc)
-        o = jnp.pad(rays.origins, ((0, pad), (0, 0)))
-        d = jnp.pad(rays.directions, ((0, pad), (0, 0)), constant_values=1.0)
-        tp = jnp.pad(rays.viewdirs_tp, ((0, pad), (0, 0)))
-        te, tx = ray_aabb(o, d, grid_cfg.aabb_min, grid_cfg.aabb_max)
-        te = jnp.maximum(te, sampler_cfg.near)
-        tx = jnp.maximum(tx, te)
-        words = full_words if use_coarse else zero_words
-        if occupancy is not None and (use_coarse or tighten):
-            # Pack even in xla_fine mode when tightening: the tighten
-            # probes consult this coarse bitfield regardless of whether
-            # the KERNEL also does (zero words would silently disable
-            # tightening — every probe misses).
-            packed = pack_occupancy_words(occupancy, res, res_c)
-            if use_coarse:
-                words = packed
-        if occupancy is not None and tighten:
-            te, tx = tighten_range_pallas(
-                o, d, te, tx, packed, res_c, grid_cfg, interpret=interpret
-            )
+    unit = max(b_tile, b_tile_bwd) * rpc
+
+    def core(params, o, d, tp, te, tx, words, occupancy):
+        """Fused-kernel render of pre-tightened rays; returns full-length
+        (rgb, acc, depth), background not yet composited."""
         # dt divides by the REQUESTED S, not the chunk-padded S_pad: the
         # kernel processes S_pad lane-slots but slots s >= S are masked
         # off below, so sampler.samples_per_ray means what it says and
@@ -806,31 +790,88 @@ def make_fused_pipeline_renderer_v2(
         if rpc == 1:
             out = fused(W, Bias, gamma, beta, pack_rays8(te, dt, o, d),
                         maskf, words)
-            rgb = out[:B, 0:3]
-            acc = out[:B, 3]
-            depth = out[:B, 4]
-        else:
+            return out[:, 0:3], out[:, 3], out[:, 4]
+        Bp = o.shape[0]
+        b_rows = Bp // rpc
+        # rays_pack [B_rows, 128]: scalar q of in-row ray j at col j*8+q
+        r8 = pack_rays8(te, dt, o, d).reshape(b_rows, rpc * 8)
+        rays_pack = jnp.pad(r8, ((0, 0), (0, LANES - rpc * 8)))
+        # mask [Bp, S_pad] -> chunk-major lane layout [B_rows, NK*128]
+        mlane = (
+            maskf.reshape(b_rows, rpc, n_chunks, spr)
+            .transpose(0, 2, 1, 3)
+            .reshape(b_rows, n_chunks * SC)
+        )
+        out = fused(W, Bias, gamma, beta, rays_pack, mlane, words)
+        # lane q*rpc+j -> [Bp, 6]
+        per_ray = (
+            out[:, : 6 * rpc].reshape(b_rows, 6, rpc)
+            .transpose(0, 2, 1)
+            .reshape(Bp, 6)
+        )
+        return per_ray[:, 0:3], per_ray[:, 3], per_ray[:, 4]
+
+    def render(params, rays: Rays, key=None, occupancy=None) -> RenderResult:
+        B = rays.origins.shape[0]
+        pad = (-B) % unit
+        o = jnp.pad(rays.origins, ((0, pad), (0, 0)))
+        d = jnp.pad(rays.directions, ((0, pad), (0, 0)), constant_values=1.0)
+        tp = jnp.pad(rays.viewdirs_tp, ((0, pad), (0, 0)))
+        te, tx = ray_aabb(o, d, grid_cfg.aabb_min, grid_cfg.aabb_max)
+        te = jnp.maximum(te, sampler_cfg.near)
+        tx = jnp.maximum(tx, te)
+        words = full_words if use_coarse else zero_words
+        if occupancy is not None and (use_coarse or tighten):
+            # Pack even in xla_fine mode when tightening: the tighten
+            # probes consult this coarse bitfield regardless of whether
+            # the KERNEL also does (zero words would silently disable
+            # tightening — every probe misses).
+            packed = pack_occupancy_words(occupancy, res, res_c)
+            if use_coarse:
+                words = packed
+
+        if ray_compact and occupancy is not None and tighten:
+            # RAY compaction (render-only; the march analog lives in
+            # grid_renderer): the tighten+sample-mask kernel finds rays
+            # with any occupied coarse sample, per-ray data compacts
+            # with cheap [B]-row gathers, the fused kernel runs on the
+            # kept rays only, and background/over-capacity rays
+            # reconstruct exactly at scatter-back (acc=0).
+            from tnerf.grid.pallas_dda import tighten_sample_mask_pallas
+            from tnerf.grid.traversal import make_coarse_occupancy
+
+            occ_c3 = make_coarse_occupancy(
+                occupancy.reshape(res, res, res), res // res_c
+            )
+            te, tx, kmask = tighten_sample_mask_pallas(
+                o, d, te, tx, occ_c3, S, grid_cfg, interpret=interpret
+            )
+            keep = jnp.any(kmask, axis=1)
             Bp = o.shape[0]
-            b_rows = Bp // rpc
-            # rays_pack [B_rows, 128]: scalar q of in-row ray j at col j*8+q
-            r8 = pack_rays8(te, dt, o, d).reshape(b_rows, rpc * 8)
-            rays_pack = jnp.pad(r8, ((0, 0), (0, LANES - rpc * 8)))
-            # mask [Bp, S_pad] -> chunk-major lane layout [B_rows, NK*128]
-            mlane = (
-                maskf.reshape(b_rows, rpc, n_chunks, spr)
-                .transpose(0, 2, 1, 3)
-                .reshape(b_rows, n_chunks * SC)
+            cap = -(-max(1, int(Bp * render_cfg.ray_compact_fraction)) // unit) * unit
+            widx = jnp.where(keep, jnp.cumsum(keep) - 1, cap)
+            pk = jnp.concatenate(
+                [o, d, tp, te[:, None], tx[:, None]], axis=1
+            )  # [Bp, 10]
+            buf = jnp.zeros((cap + 1, 10), pk.dtype).at[widx].set(pk)[:cap]
+            rgb_c, acc_c, dep_c = core(
+                params, buf[:, 0:3], buf[:, 3:6], buf[:, 6:8],
+                buf[:, 8], buf[:, 9], words, occupancy,
             )
-            out = fused(W, Bias, gamma, beta, rays_pack, mlane, words)
-            # lane q*rpc+j -> [Bp, 6]
-            per_ray = (
-                out[:, : 6 * rpc].reshape(b_rows, 6, rpc)
-                .transpose(0, 2, 1)
-                .reshape(Bp, 6)
+            outp = jnp.concatenate(
+                [rgb_c, acc_c[:, None], dep_c[:, None]], axis=1
             )
-            rgb = per_ray[:B, 0:3]
-            acc = per_ray[:B, 3]
-            depth = per_ray[:B, 4]
+            out_full = jnp.concatenate(
+                [outp, jnp.zeros((1, 5), jnp.float32)], axis=0
+            )[jnp.minimum(widx, cap)][:B]
+            rgb, acc, depth = out_full[:, 0:3], out_full[:, 3], out_full[:, 4]
+        else:
+            if occupancy is not None and tighten:
+                te, tx = tighten_range_pallas(
+                    o, d, te, tx, packed, res_c, grid_cfg, interpret=interpret
+                )
+            rgb, acc, depth = core(params, o, d, tp, te, tx, words, occupancy)
+            rgb, acc, depth = rgb[:B], acc[:B], depth[:B]
         if render_cfg.white_background:
             rgb = rgb + (1.0 - acc)[:, None]
         empty = jnp.zeros((B, 0), jnp.float32)

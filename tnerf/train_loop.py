@@ -98,6 +98,7 @@ def build_renderer(
             interpret=jax.devices()[0].platform != "tpu",
             rpc=cfg.render.fused_rpc if for_eval else 1,
             tighten=cfg.render.fused_tighten,
+            ray_compact=cfg.render.ray_compact and for_eval,
         )
     raise ValueError(f"unknown render pipeline {p!r}")
 
