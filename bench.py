@@ -334,7 +334,7 @@ def bench_hashgrid_train(res=64, samples=128, batch=8192, log2T=14) -> dict:
         ost = jax.device_put(opt.init(params))
         rend = make_grid_renderer(
             field, c2.grid, c2.sampler, c2.render, strategy="march",
-            compact=compact, compact_capacity=batch * samples // 4,
+            compact=compact, compact_capacity=batch * samples // 2,
         )
 
         def f(o2):
@@ -369,7 +369,7 @@ def bench_hashgrid_train(res=64, samples=128, batch=8192, log2T=14) -> dict:
         sample_positions(o, d, t), occ, cfg.grid
     )
     n_occ = int(jnp.sum(smask))
-    capacity = batch * samples // 4
+    capacity = batch * samples // 2
     overflow = max(0, n_occ - capacity) / max(n_occ, 1)
     if overflow > 0:
         print(f"WARNING: hashgrid bench compaction overflow: {n_occ} occupied "
@@ -410,9 +410,11 @@ def bench_fused_render(width=800, height=800, res=64, samples=128) -> dict:
 
     (o, d, v), = _camera_ray_variants(width, height, n_variants=1)
     n = width * height
-    chunk = 32768
-    mid = max(0, n // 2 - chunk // 2)  # center chunk: representative mix
-    o, d, v = o[mid:mid + chunk], d[mid:mid + chunk], v[mid:mid + chunk]
+    n_chunks = -(-n // 32768)
+    chunk = n // n_chunks
+    # Strided chunk: the mix render_image's interleaving feeds each chunk
+    # (required for honest ray-compaction numbers).
+    o, d, v = o[::n_chunks][:chunk], d[::n_chunks][:chunk], v[::n_chunks][:chunk]
 
     def fps_of(rend):
         def chunk_scalar(o2):
@@ -420,16 +422,18 @@ def bench_fused_render(width=800, height=800, res=64, samples=128) -> dict:
             return rend(params, rays, None, occ3).rgb.sum()
 
         dt_chunk = _diff_timeit(chunk_scalar, o)
-        n_chunks = -(-n // chunk)
         return chunk / dt_chunk / 1e6, 1.0 / (dt_chunk * n_chunks)
 
-    # Fast config: 2 rays/chunk x 64 samples over the occupancy-tightened
-    # span — 37.0 dB on the trained hard-scene gate vs 38.5 dB for the
-    # hq config and 39.2 dB for the march-XLA path (docs/KERNEL_NOTES.md).
-    cfg_fast = cfg.apply_overrides(["sampler.samples_per_ray=64"])
+    # Fast config (matches the hard_r3_fused gate quadrature: S=64 exact,
+    # rpc=2, tighten, ray compaction): same-checkpoint PSNR is within
+    # 0.034 dB of the march render (docs/ROUND3.md).
+    cfg_fast = cfg.apply_overrides([
+        "sampler.samples_per_ray=64", "render.ray_compact_fraction=0.5",
+    ])
     mrays_fast, fps_fast = fps_of(make_fused_pipeline_renderer_v2(
         cfg_fast.field_, cfg_fast.grid, cfg_fast.sampler, cfg_fast.render,
         rpc=2, tighten=True, b_tile=16,  # measured fastest (5.3 vs 5.2 fps @32)
+        ray_compact=True,
     ))
     mrays_hq, fps_hq = fps_of(make_fused_pipeline_renderer_v2(
         cfg.field_, cfg.grid, cfg.sampler, cfg.render, tighten=True,

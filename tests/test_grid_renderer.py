@@ -188,3 +188,56 @@ def test_render_image_chunk_interleave_invariant(setup):
     many = render_image(rend, params, rays, chunk_size=64, occupancy=occ)
     np.testing.assert_allclose(np.asarray(many.rgb), np.asarray(one.rgb),
                                atol=1e-6)
+
+
+def test_kernel_path_with_fine_mask_refinement():
+    """tighten_res pooled (kernel) + occupancy_mask_res finer (XLA
+    refinement): must equal the pure-XLA composition of pooled tighten +
+    fine mask."""
+    res = 32
+    cfg = Config().apply_overrides([
+        f"grid.resolution={res}", "sampler.samples_per_ray=32",
+        "sampler.near=0.05", "scene.scene_scale=1.0",
+        "field_.hidden_width=32", "field_.hidden_layers=2",
+        "field_.n_frequencies=4",
+        "sampler.tighten_res=16", "sampler.occupancy_mask_res=0",  # fine
+    ])
+    field = NeRFField(cfg.field_, cfg.grid)
+    params = field.init(jax.random.PRNGKey(0))
+    rng = np.random.default_rng(53)
+    occ = jnp.asarray(rng.uniform(0, 1, (res, res, res)) < 0.08)
+    o = rng.uniform(-1, 1, (64, 3))
+    o = o / np.linalg.norm(o, axis=-1, keepdims=True) * 3.0
+    d = -o / np.linalg.norm(o, axis=-1, keepdims=True)
+    d = jnp.asarray(d, jnp.float32)
+    rays = Rays(origins=jnp.asarray(o, jnp.float32), directions=d,
+                viewdirs_tp=viewdirs_to_thetaphi(d))
+
+    rend = make_grid_renderer(field, cfg.grid, cfg.sampler, cfg.render,
+                              strategy="march", compact=False)
+    out = rend(params, rays, None, occ)
+
+    # manual XLA composition of the same semantics
+    from tnerf.grid.traversal import (
+        make_coarse_occupancy, march_samples_t, occupancy_lookup, ray_aabb,
+        tightened_range,
+    )
+    from tnerf.render.composite import composite
+    from tnerf.sampling import sample_positions
+
+    te, tx = ray_aabb(rays.origins, rays.directions, cfg.grid.aabb_min,
+                      cfg.grid.aabb_max)
+    te = jnp.maximum(te, cfg.sampler.near)
+    tx = jnp.maximum(tx, te)
+    occ16 = make_coarse_occupancy(occ, 2)
+    t0, t1 = tightened_range(rays.origins, rays.directions, te, tx, occ16,
+                             cfg.grid, probes=cfg.sampler.tighten_probes)
+    t, deltas = march_samples_t(t0, t1, 32)
+    pts = sample_positions(rays.origins, rays.directions, t)
+    m = (t1[:, None] > t0[:, None]) & occupancy_lookup(pts, occ16, cfg.grid)
+    m = m & occupancy_lookup(pts, occ, cfg.grid)
+    rgb, sigma = field.apply(params, pts, rays.viewdirs_tp[..., None, :])
+    ref = composite(rgb, sigma, deltas, t_mid=t, mask=m,
+                    white_background=cfg.render.white_background)
+    np.testing.assert_allclose(np.asarray(out.rgb), np.asarray(ref.rgb),
+                               atol=3e-4)

@@ -191,7 +191,7 @@ def make_grid_renderer(
                 occ3 is not None
                 and sampler_cfg.tighten
                 and key is None
-                and t_res == m_res
+                and m_res >= t_res
                 and t_res < res
                 and t_res <= 32
             )
@@ -202,6 +202,21 @@ def make_grid_renderer(
                     probes=sampler_cfg.tighten_probes,
                     interpret=jax.devices()[0].platform != "tpu",
                 )
+
+                def refine(mask_k, o_, d_, t0_, t1_):
+                    # occupancy_mask_res finer than the kernel bitfield:
+                    # intersect with the XLA lookup at m_res (the pooled
+                    # t_res mask is a superset, so keep/drop decisions
+                    # made on it never lose a true sample).  Affordable
+                    # exactly where it matters — after ray compaction the
+                    # per-sample gather runs on kept rays only.
+                    if m_res == t_res:
+                        return mask_k
+                    t_, _ = march_samples_t(t0_, t1_, S)
+                    pts_ = sample_positions(o_, d_, t_)
+                    return mask_k & occupancy_lookup(
+                        pts_, pool(occ3, m_res), grid_cfg
+                    )
                 if render_cfg.ray_compact:
                     # RAY compaction (see RenderConfig.ray_compact): pass
                     # 1 finds rays with any occupied sample; per-ray
@@ -235,6 +250,7 @@ def make_grid_renderer(
                     o_c, d_c, v_c = buf[:, 0:3], buf[:, 3:6], buf[:, 6:8]
                     te_c, tx_c = buf[:, 8], buf[:, 9]
                     t0_c, t1_c, smask_c = kernel(o_c, d_c, te_c, tx_c)
+                    smask_c = refine(smask_c, o_c, d_c, t0_c, t1_c)
                     t_c, deltas_c = march_samples_t(t0_c, t1_c, S)
                     res_c = shade(o_c, d_c, v_c, t_c, deltas_c, smask_c)
                     out_pack = jnp.concatenate(
@@ -255,6 +271,8 @@ def make_grid_renderer(
                 t_enter, t_exit, smask = kernel(
                     rays.origins, rays.directions, t_enter, t_exit
                 )
+                smask = refine(smask, rays.origins, rays.directions,
+                               t_enter, t_exit)
                 t, deltas = march_samples_t(t_enter, t_exit, S)
             else:
                 if occ3 is not None and sampler_cfg.tighten:
