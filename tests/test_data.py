@@ -65,11 +65,18 @@ def test_all_scene_names_routed():
 
 
 def test_config_roundtrip_and_overrides():
+    from tnerf.config import reference_parity_config
+
     cfg = Config()
     assert cfg.train.seed == 1337            # reference main.cu:344
     assert cfg.sampler.samples_per_interval == 32  # sampler.h:4
-    assert cfg.grid.resolution == 8          # main.cu:394
-    assert cfg.grid.effective_max_hits == 24  # main.cu:486
+    # The reference's hardcoded values live in reference_parity_config
+    # (Config() defaults are the measured TPU flagship since round 3).
+    ref = reference_parity_config()
+    assert ref.grid.resolution == 8          # main.cu:394
+    assert ref.grid.effective_max_hits == 24  # main.cu:486
+    assert ref.render.pipeline == "grid_march"
+    assert ref.field_.hash_log2_table_size == 19  # tcnn schema main.cu:35-69
     d = cfg.to_dict()
     cfg2 = Config.from_dict(d)
     assert cfg2 == cfg

@@ -27,6 +27,10 @@ def scene():
 def _cfg(tmp, **extra):
     ov = [
         "scene.kind=procedural", "scene.scene_scale=1.0",
+        # grid_march: these tests target the XLA pipeline; the fused
+        # default would run interpreted (slow) on CPU and is covered by
+        # test_pallas_fused2/test_distributed.
+        "render.pipeline=grid_march",
         "sampler.samples_per_ray=32", "sampler.near=2.0", "sampler.far=5.5",
         "field_.hidden_width=32", "field_.hidden_layers=2", "field_.n_frequencies=4",
         "grid.resolution=8", "grid.warmup_steps=5", "grid.update_every=5",

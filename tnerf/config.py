@@ -63,11 +63,13 @@ class GridConfig:
     """Occupancy grid geometry.
 
     The reference covers [-1,1]^3 with a dense res^3 = 8^3 AABB grid baked
-    into an OptiX GAS (reference main.cu:154-174,394-399).  MAX_HITS per ray
-    is the reference's own structural bound 3*res (main.cu:486).
+    into an OptiX GAS (reference main.cu:154-174,394-399; that value lives
+    in reference_parity_config).  MAX_HITS per ray is the reference's own
+    structural bound 3*res (main.cu:486).  The default is the measured
+    round-3 flagship: 64^3 (the hard-gate resolution).
     """
 
-    resolution: int = 8
+    resolution: int = 64
     aabb_min: Tuple[float, float, float] = (-1.0, -1.0, -1.0)
     aabb_max: Tuple[float, float, float] = (1.0, 1.0, 1.0)
     # Per-ray traversal interval capacity; reference uses 3*grid_res.
@@ -97,7 +99,7 @@ class SamplerConfig:
     mode: str = "regular"  # regular | stratified | uniform
     # Fixed-count ray-marching path (TPU-native fast path; the reference's
     # dead "ray sample" OptiX pipeline #2 intended exactly this fusion).
-    samples_per_ray: int = 192
+    samples_per_ray: int = 96
     near: float = 0.05
     far: float = 4.0
     # Occupancy-aware per-ray range tightening (grid_march): probe the
@@ -110,13 +112,13 @@ class SamplerConfig:
     # (VMEM-resident bitfield, zero XLA gathers) — train-time probes use
     # the XLA path against the SAME pooled grid, so train and eval spans
     # agree exactly.
-    tighten_res: int = 0
+    tighten_res: int = 16
     # Per-sample occupancy-mask resolution for the march pipeline:
     # 0 = fine (grid.resolution, XLA per-sample gather — ~8 ns/element,
     # ~40% of an 800x800 frame); a pooled res <= 32 moves the eval-time
     # mask into the Pallas kernel.  Train-time masking uses the XLA
     # lookup against the same pooled grid (exact at jittered positions).
-    occupancy_mask_res: int = 0
+    occupancy_mask_res: int = 16
 
 
 @dataclass(frozen=True)
@@ -166,10 +168,15 @@ class RenderConfig:
     """Volume-rendering quadrature + image assembly."""
 
     # Rendering pipeline: "uniform" (no grid, BASELINE config 1),
-    # "grid_march" (occupancy-masked fixed-step marching, fast path),
-    # "grid_intervals" (DDA interval lists + 32 samples/interval —
-    # reference-parity pipeline shape).
-    pipeline: str = "grid_march"
+    # "grid_march" (occupancy-masked fixed-step marching; required for
+    # field_.encoding=hashgrid), "grid_intervals" (DDA interval lists +
+    # 32 samples/interval — reference-parity pipeline shape), "fused"
+    # (march + frequency-encode + MLP + composite in ONE Pallas kernel,
+    # trainable via its custom-VJP backward — the measured-fastest
+    # train AND render path for the default frequency field:
+    # ~150k rays/s train, >=5 fps @800x800 within 0.034 dB of the
+    # march render on the same checkpoint; docs/ROUND3.md).
+    pipeline: str = "fused"
     # Compact occupied samples across the batch before the MLP
     # (grid_march only) — the static-shape replacement for the
     # reference's thrust-scan batch compaction.  Default OFF: measured on
@@ -191,10 +198,6 @@ class RenderConfig:
     # Kept-ray capacity as a fraction of the chunk; rays beyond it
     # render as background (see grid_renderer docstring).
     ray_compact_fraction: float = 0.5
-    # Composite with the Pallas transmittance-scan kernel (exact custom
-    # VJP) instead of the jnp cumsum compositor. Numerically equivalent;
-    # runs interpreted on CPU.
-    pallas_compositor: bool = False
     # Transmittance below this is treated as terminated (early ray
     # termination, expressed as masking on TPU).
     transmittance_threshold: float = 1e-4
@@ -206,7 +209,7 @@ class RenderConfig:
     # Pair with a reduced sampler.samples_per_ray: rpc=2 + 64 samples
     # over the tightened span measured 5.2 fps @ 37.0 dB on the hard
     # gate (docs/KERNEL_NOTES.md round-2 addendum 2).
-    fused_rpc: int = 1
+    fused_rpc: int = 2
     # Fused pipeline: shrink each ray's t-span to the occupied range
     # with the Pallas probe kernel before sampling (+1.2 dB at equal
     # cost on the hard gate).
@@ -222,7 +225,7 @@ class TrainConfig:
     10 epochs, 45,056-ray batches.
     """
 
-    batch_size: int = 4096
+    batch_size: int = 8192
     steps: int = 2000
     lr: float = 1e-3
     beta1: float = 0.9
@@ -342,5 +345,16 @@ def reference_parity_config() -> Config:
     """The configuration matching the reference executable's hardcoded
     behavior (intended semantics, defects excluded): lego, 8^3 grid over
     [-1,1]^3, 32 regular samples/interval, freq-encoded 8x128 MLP, Adam
-    1e-3, seed 1337."""
-    return Config()
+    1e-3, seed 1337.  (Config() defaults are the measured TPU flagship;
+    the reference's values are pinned here and in
+    configs/reference_parity.json.)"""
+    return Config().apply_overrides([
+        "grid.resolution=8",            # main.cu:394
+        "sampler.samples_per_ray=192",
+        "sampler.tighten_res=0",        # no pooled probes: fine grid
+        "sampler.occupancy_mask_res=0",
+        "render.pipeline=grid_march",
+        "render.fused_rpc=1",
+        "train.batch_size=4096",
+        "field_.hash_log2_table_size=19",  # tcnn schema, main.cu:35-69
+    ])

@@ -14,10 +14,12 @@ NeRF quadrature:
 
 The backward pass is exact by construction: the forward is expressed as
 cumsum + elementwise ops, so `jax.grad` produces the true VJP (the TPU
-answer to vol_render.cu:75-143's hand-derived kernel).  XLA fuses the whole
-thing into a handful of VPU loops; a Pallas blockwise-scan variant with
-early-termination masking lives in tnerf.render.pallas_composite for very
-long sample axes.
+answer to vol_render.cu:75-143's hand-derived kernel).  XLA fuses the
+whole thing into a handful of VPU loops.  (A Pallas blockwise-scan
+compositor existed through round 2; measured at its S=768 design case
+inside grid_intervals it was 2% SLOWER than this XLA path — the pipeline
+is field-bound — and was deleted.  See docs/KERNEL_NOTES.md round-3
+addendum.)
 
 Everything is shape-polymorphic over leading batch dims with a static
 sample axis S — rays are rows of a [batch, S] matrix, never ragged

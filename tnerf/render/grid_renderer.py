@@ -136,21 +136,6 @@ def make_grid_renderer(
             else:
                 rgb, sigma = field.apply(params, pts, viewdirs_tp[..., None, :])
 
-            if render_cfg.pallas_compositor and t.shape[-1] % 128 == 0:
-                from tnerf.render.pallas_composite import pallas_composite
-
-                interp = jax.devices()[0].platform != "tpu"
-                out = pallas_composite(
-                    sigma, jnp.broadcast_to(deltas, sigma.shape),
-                    smask.astype(jnp.float32), t, rgb, interp,
-                )
-                rgb_px = out[:, 0:3]
-                acc = out[:, 3]
-                if render_cfg.white_background:
-                    rgb_px = rgb_px + (1.0 - acc)[:, None]
-                empty = jnp.zeros((sigma.shape[0], 0), jnp.float32)
-                return RenderResult(rgb=rgb_px, acc=acc, depth=out[:, 4],
-                                    weights=empty, transmittance=empty)
             return composite(
                 rgb, sigma, deltas, t_mid=t, mask=smask,
                 white_background=render_cfg.white_background,
