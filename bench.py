@@ -134,7 +134,7 @@ def bench_ray_march(width=800, height=800, res=8, inner=(4, 36)) -> dict:
 
 
 def bench_render(width=800, height=800, res=64, samples=128, overrides=(),
-                 compact=False, strided=False) -> dict:
+                 compact=False, strided=False, scene_field="prims") -> dict:
     """Full-pipeline render throughput (march + field + composite) with a
     realistic occupancy grid derived from the analytic procedural field.
 
@@ -143,10 +143,11 @@ def bench_render(width=800, height=800, res=64, samples=128, overrides=(),
     feeds each chunk, required for honest ray-compaction numbers."""
     import jax
     import jax.numpy as jnp
+    import numpy as np
 
     from tnerf.cameras import Rays
     from tnerf.config import Config
-    from tnerf.data.procedural import analytic_field
+    from tnerf.data.procedural import FIELDS
     from tnerf.fields.nerf_field import NeRFField
     from tnerf.grid.occupancy import cell_centers
     from tnerf.render.grid_renderer import make_grid_renderer
@@ -161,8 +162,8 @@ def bench_render(width=800, height=800, res=64, samples=128, overrides=(),
     arch = "twobranch" if cfg.field_.encoding == "hashgrid" else "fused5d"
     field = NeRFField(cfg.field_, cfg.grid, arch=arch)
     params = field.init(jax.random.PRNGKey(0))
-    _, sigma = analytic_field(cell_centers(cfg.grid).reshape(-1, 3))
-    occ = (sigma > 0.5).reshape(res, res, res)
+    _, sigma = FIELDS[scene_field](cell_centers(cfg.grid).reshape(-1, 3))
+    occ = (np.asarray(sigma) > 0.5).reshape(res, res, res)
     occ_frac = float(occ.mean())
 
     (o, d, v), = _camera_ray_variants(width, height, n_variants=1)
@@ -316,6 +317,10 @@ def bench_hashgrid_train(res=64, samples=128, batch=8192, log2T=14) -> dict:
         f"grid.resolution={res}", f"sampler.samples_per_ray={samples}",
         "sampler.near=2.0", "sampler.far=5.5", "scene.scene_scale=1.0",
         "field_.encoding=hashgrid", f"field_.hash_log2_table_size={log2T}",
+        # the hashgrid gate's train-time mask semantics: pooled tighten,
+        # FINE per-sample mask (the default pooled mask would pass ~3x
+        # more samples into the encoding and skew the comparison)
+        "sampler.tighten_res=32", "sampler.occupancy_mask_res=0",
     ])
     _, sigma = analytic_field(cell_centers(cfg.grid).reshape(-1, 3))
     occ = jnp.asarray((sigma > 0.5).reshape(res, res, res))
@@ -457,7 +462,7 @@ def gate_metrics() -> dict:
     gates = {
         "gate_march": "runs/hard_r3_march",
         "gate_fused": "runs/hard_r3_fused",
-        "gate_hashgrid": "runs/hard_hashgrid2",
+        "gate_hashgrid": "runs/hard_r3_hashgrid",
     }
     here = os.path.dirname(os.path.abspath(__file__))
     for name, rel in gates.items():
@@ -514,17 +519,25 @@ def main():
         ),
     )
     # Round-2 configuration (fine mask + XLA tighten, S=128) for
-    # comparability with BENCH_r01/r02.
-    render_fine = attempt(bench_render)
+    # comparability with BENCH_r01/r02 (defaults moved on in round 3, so
+    # pin the old knobs explicitly).
+    render_fine = attempt(
+        bench_render,
+        overrides=("sampler.tighten_res=0", "sampler.occupancy_mask_res=0"),
+    )
     # Hash-grid render (the tcnn-HashGrid role at eval): MXU one-hot
-    # encode + ray compaction + sample compaction on the kernel mask.
+    # encode + ray compaction + fine-mask sample compaction — the
+    # runs/hard_r3_hashgrid gate configuration (41.45 dB), capacities
+    # sized to the measured occupancies (no silent drops; see
+    # docs/KERNEL_NOTES.md round-3 addendum).
     hg_render = attempt(
-        bench_render, samples=64, strided=True, compact=True,
+        bench_render, samples=48, res=128, strided=True, compact=True,
+        scene_field="hard",  # capacities sized on the hard-gate scene
         overrides=(
-            "field_.encoding=hashgrid",
-            "sampler.tighten_res=32", "sampler.occupancy_mask_res=32",
-            "render.ray_compact=true", "render.ray_compact_fraction=0.5",
-            "render.compact_fraction=0.3",
+            "field_.encoding=hashgrid", "field_.hash_levels=12",
+            "sampler.tighten_res=32", "sampler.occupancy_mask_res=0",
+            "render.ray_compact=true", "render.ray_compact_fraction=0.32",
+            "render.compact_fraction=0.4",
         ),
     )
     fused = attempt(bench_fused_render)

@@ -186,17 +186,38 @@ def _render_gt_image(
     white_background: bool,
     field_name: str = "prims",
 ) -> jnp.ndarray:
+    """Row-chunked so full-size GT renders fit on-device: 800x800 x 768
+    samples would otherwise materialize ~6 GB per [H,W,S,3] intermediate
+    (the dress-rehearsal exports hit this; small test scenes are one
+    chunk)."""
     rays = camera_rays(pose, width, height, focal_px)
     t = jnp.linspace(near, far, n_samples + 1, dtype=jnp.float32)
     t_mid = 0.5 * (t[:-1] + t[1:])
-    deltas = jnp.broadcast_to(t[1:] - t[:-1], (height, width, n_samples))
-    pts = rays.origins[..., None, :] + rays.directions[..., None, :] * t_mid[..., :, None]
-    rgb, sigma = FIELDS[field_name](pts.reshape(-1, 3))
-    rgb = rgb.reshape(height, width, n_samples, 3)
-    sigma = sigma.reshape(height, width, n_samples)
-    res = composite(rgb, sigma, deltas, t_mid=jnp.broadcast_to(t_mid, sigma.shape),
-                    white_background=white_background)
-    return res.rgb
+
+    def rows(origins, directions):  # [h, W, 3] x2 -> [h, W, 3]
+        h = origins.shape[0]
+        deltas = jnp.broadcast_to(t[1:] - t[:-1], (h, width, n_samples))
+        pts = origins[..., None, :] + directions[..., None, :] * t_mid[..., :, None]
+        rgb, sigma = FIELDS[field_name](pts.reshape(-1, 3))
+        rgb = rgb.reshape(h, width, n_samples, 3)
+        sigma = sigma.reshape(h, width, n_samples)
+        res = composite(rgb, sigma, deltas,
+                        t_mid=jnp.broadcast_to(t_mid, sigma.shape),
+                        white_background=white_background)
+        return res.rgb
+
+    # cap the [rows, W, S, 3] working set at ~100 MB
+    row_chunk = max(1, min(height, int(8_000_000 / (width * n_samples))))
+    if row_chunk >= height:
+        return rows(rays.origins, rays.directions)
+    out = []
+    for y0 in range(0, height, row_chunk):
+        h = min(row_chunk, height - y0)
+        out.append(rows(
+            jax.lax.dynamic_slice_in_dim(rays.origins, y0, h),
+            jax.lax.dynamic_slice_in_dim(rays.directions, y0, h),
+        ))
+    return jnp.concatenate(out, axis=0)
 
 
 def generate_procedural_scene(
