@@ -210,14 +210,16 @@ def _render_gt_image(
     row_chunk = max(1, min(height, int(8_000_000 / (width * n_samples))))
     if row_chunk >= height:
         return rows(rays.origins, rays.directions)
-    out = []
-    for y0 in range(0, height, row_chunk):
-        h = min(row_chunk, height - y0)
-        out.append(rows(
-            jax.lax.dynamic_slice_in_dim(rays.origins, y0, h),
-            jax.lax.dynamic_slice_in_dim(rays.directions, y0, h),
-        ))
-    return jnp.concatenate(out, axis=0)
+    # lax.map (a scan) SEQUENCES the chunks — an unrolled python loop
+    # inside this jit lets XLA schedule every chunk's buffers
+    # concurrently (measured 20 GB of HBO temps at 800x800x768).
+    n_chunks = -(-height // row_chunk)
+    pad = n_chunks * row_chunk - height
+    o = jnp.pad(rays.origins, ((0, pad), (0, 0), (0, 0)))
+    d = jnp.pad(rays.directions, ((0, pad), (0, 0), (0, 0)), constant_values=1.0)
+    reshape = lambda a: a.reshape(n_chunks, row_chunk, width, 3)
+    out = jax.lax.map(lambda ab: rows(ab[0], ab[1]), (reshape(o), reshape(d)))
+    return out.reshape(n_chunks * row_chunk, width, 3)[:height]
 
 
 def generate_procedural_scene(
