@@ -198,3 +198,50 @@ def test_dp_train_step_hashgrid_onehot():
         replicate(key, mesh), replicate(occ, mesh),
     )
     np.testing.assert_allclose(float(aux["loss"]), float(aux_dp["loss"]), rtol=1e-4)
+
+
+def test_dp_render_sharded_with_ray_compaction():
+    """Eval-time DP composes with the round-3 ray-compaction path: the
+    tighten+mask kernel, per-shard cumsum compaction, and scatter-back
+    must all compile and match the unsharded render under the mesh."""
+    from tnerf.cameras import Rays, viewdirs_to_thetaphi
+    from tnerf.config import Config
+    from tnerf.fields.nerf_field import NeRFField
+    from tnerf.parallel.mesh import dp_render_sharded, make_mesh, replicate
+    from tnerf.render.grid_renderer import make_grid_renderer
+
+    res = 32
+    cfg = Config().apply_overrides([
+        f"grid.resolution={res}", "sampler.samples_per_ray=32",
+        "sampler.near=0.05", "scene.scene_scale=1.0",
+        "field_.hidden_width=32", "field_.hidden_layers=2",
+        "field_.n_frequencies=4",
+        "sampler.tighten_res=16", "sampler.occupancy_mask_res=16",
+        "render.ray_compact=true", "render.ray_compact_fraction=0.9",
+    ])
+    field = NeRFField(cfg.field_, cfg.grid)
+    params = field.init(jax.random.PRNGKey(0))
+    rng = np.random.default_rng(61)
+    occ = np.zeros((res, res, res), bool)
+    occ[10:22, 10:22, 10:22] = True
+    occ = jnp.asarray(occ)
+    o = rng.uniform(-1, 1, (512, 3))
+    o = o / np.linalg.norm(o, axis=-1, keepdims=True) * 3.0
+    d = -o / np.linalg.norm(o, axis=-1, keepdims=True)
+    d = d + rng.normal(0, 0.2, d.shape)
+    d = jnp.asarray(d, jnp.float32)
+    rays = Rays(origins=jnp.asarray(o, jnp.float32), directions=d,
+                viewdirs_tp=viewdirs_to_thetaphi(d))
+
+    rend = make_grid_renderer(field, cfg.grid, cfg.sampler, cfg.render,
+                              strategy="march", compact=False)
+    want = rend(params, rays, None, occ)
+    mesh = make_mesh()
+    dp = dp_render_sharded(rend, mesh)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    rays_s = jax.device_put(rays, NamedSharding(mesh, P("data")))
+    got = dp(replicate(params, mesh), rays_s, None,
+             replicate(occ, mesh))
+    np.testing.assert_allclose(np.asarray(got.rgb), np.asarray(want.rgb),
+                               atol=1e-3)

@@ -113,10 +113,18 @@ def load_synthetic_scene(
     root: str, name: str, srgb_to_linear: bool = False, downscale: int = 1,
     splits=SPLITS,
 ) -> Dict[str, ImageDataset]:
-    """All splits of one NeRF-synthetic scene (fixes D12/D13)."""
-    if name not in SYNTHETIC_SCENES:
-        raise ValueError(f"unknown synthetic scene {name!r}; expected one of {SYNTHETIC_SCENES}")
+    """All splits of one NeRF-synthetic scene (fixes D12/D13).
+
+    Any directory in NeRF-synthetic format loads (e.g. exported
+    procedural scenes — tools/dress_rehearsal.py); the reference's scene
+    enum (data_loader.h:10-18) is only consulted for a better error when
+    the directory is missing."""
     scene_dir = os.path.join(root, name)
+    if not os.path.isdir(scene_dir) and name not in SYNTHETIC_SCENES:
+        raise ValueError(
+            f"unknown synthetic scene {name!r}: no directory {scene_dir} "
+            f"and not one of the standard scenes {SYNTHETIC_SCENES}"
+        )
     out = {}
     for split in splits:
         if os.path.exists(os.path.join(scene_dir, f"transforms_{split}.json")):

@@ -108,6 +108,12 @@ def train_scene(scene: str, steps: int):
         # grid units (scene_scale 1), not lego's blender radius-4 world
         "scene.scene_scale=1.0",
         "sampler.near=2.0", "sampler.far=5.5",
+        # The rehearsal validates the LOADER + full-size training, not
+        # tuned compaction capacities: the procedural scenes' EMA'd
+        # occupancy is much fatter than the gate scenes', and overflowing
+        # ray/sample capacities would cut renders (capacities are
+        # per-scene measurements — see configs/README.md).  Render dense.
+        "render.compact=false", "render.ray_compact=false",
         f"train.steps={steps}",
         f"train.eval_every={steps}", f"train.checkpoint_every={steps}",
         f"logging.out_dir={os.path.join(OUT_ROOT, scene)}",
