@@ -288,12 +288,25 @@ def bench_fused_train(res=64, samples=128, batch=32768) -> dict:
             return l + sum(jnp.sum(jnp.abs(u)) for u in jax.tree.leaves(up)) * 1e-12
         return f
 
+    # Packed-ray training (fused_train_rpc=2 + S=64 over the tightened
+    # span — the flagship fused-gate quadrature): 2 rays share each
+    # 128-lane chunk so no MLP lanes are masked off.
+    cfg_p = cfg.apply_overrides([
+        "sampler.samples_per_ray=64", "render.fused_train_rpc=2",
+    ])
+    rend_p = make_fused_pipeline_renderer_v2(
+        cfg_p.field_, cfg_p.grid, cfg_p.sampler, cfg_p.render, rpc=2,
+        tighten=cfg_p.render.fused_tighten,
+    )
+
     t_f = _diff_timeit(mk(rend_f), o, inner=(2, 6))
     t_x = _diff_timeit(mk(rend_x), o, inner=(2, 6))
+    t_p = _diff_timeit(mk(rend_p), o, inner=(2, 6))
     return {
         "fused_train_krays_per_sec": batch / t_f / 1e3,
         "xla_train_krays_per_sec": batch / t_x / 1e3,
         "fused_train_speedup": t_x / t_f,
+        "fused_train_rpc2_s64_krays_per_sec": batch / t_p / 1e3,
     }
 
 
@@ -563,6 +576,7 @@ def main():
     put(train, "fused_train_krays_per_sec", digits=1)
     put(train, "xla_train_krays_per_sec", digits=1)
     put(train, "fused_train_speedup", digits=2)
+    put(train, "fused_train_rpc2_s64_krays_per_sec", digits=1)
     put(hg, "hashgrid_train_krays_per_sec", digits=1)
     put(hg, "hashgrid_gather_train_krays_per_sec", digits=1)
     put(hg, "hashgrid_onehot_speedup", digits=2)

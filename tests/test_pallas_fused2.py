@@ -215,7 +215,7 @@ def test_early_termination_consistent(workload):
     np.testing.assert_allclose(out0[:, :6], out1[:, :6], atol=2e-3)
 
 
-# ---- multi-ray chunks (rpc > 1): render-only fast path ---------------------
+# ---- multi-ray chunks (rpc > 1): packed-ray fast path (fwd + bwd) ----------
 
 
 @pytest.mark.parametrize("rpc", [2, 4])
@@ -260,22 +260,58 @@ def test_rpc_forward_matches_reference(rpc):
     np.testing.assert_allclose(per_ray[:2, 5], 1.0, atol=1e-6)
 
 
-def test_rpc_backward_raises():
-    fused = make_fused_trainable(2, 1, b_tile=8, term_eps=0.0,
-                                 interpret=True, rpc=2)
+@pytest.mark.parametrize("rpc", [2, 4])
+def test_rpc_backward_matches_autodiff_of_reference(rpc):
+    """Packed-ray custom VJP: dL/dW, dL/db at rpc>1 must match jax.grad
+    of the jnp mirror on the corresponding unpacked rays (incl. the
+    per-ray T-checkpoint lanes and the packed dL/dT_final carry)."""
     rng = np.random.default_rng(3)
-    B = 16
-    W = jnp.asarray(rng.normal(0, 0.3, (2, 128, 128)).astype(np.float32))
-    Bias = jnp.zeros((2, 128))
+    NL, NK = 3, 2
+    B = 32
+    spr = 128 // rpc
+    S = NK * spr
+    W = jnp.asarray(rng.normal(0, 0.3, (NL, 128, 128)).astype(np.float32))
+    Bias = jnp.asarray(rng.normal(0, 0.1, (NL, 128)).astype(np.float32))
     gamma = jnp.asarray(rng.normal(0, 1.0, (B, 128)).astype(np.float32))
-    beta = jnp.zeros((B, 128))
-    rays_pack = jnp.zeros((B // 2, 128)).at[:, 0::8].set(2.0).at[:, 1::8].set(0.01)
-    mlane = jnp.ones((B // 2, 128))
+    beta = jnp.asarray(rng.normal(0, 0.02, (B, 128)).astype(np.float32))
+    te = jnp.asarray(rng.uniform(1.5, 2.5, (B, 1)).astype(np.float32))
+    dt = jnp.asarray(rng.uniform(0.01, 0.02, (B, 1)).astype(np.float32))
+    rays8 = jnp.concatenate([te, dt, jnp.zeros((B, 6))], axis=1)
+    mask = (rng.uniform(0, 1, (B, S)) < 0.7).astype(np.float32)
+    mask[:2] = 0.0  # fully-masked rays must contribute zero gradient
+    mask = jnp.asarray(mask)
     words = jnp.zeros((8, 128), jnp.int32)
-    with pytest.raises(ValueError, match="rpc=1"):
-        jax.grad(
-            lambda w: jnp.sum(fused(w, Bias, gamma, beta, rays_pack, mlane, words))
-        )(W)
+    cot = jnp.asarray(rng.normal(0, 1.0, (B, 6)).astype(np.float32))
+
+    b_rows = B // rpc
+    rays_pack = jnp.pad(
+        rays8.reshape(b_rows, rpc * 8), ((0, 0), (0, 128 - rpc * 8))
+    )
+    mlane = (
+        mask.reshape(b_rows, rpc, NK, spr).transpose(0, 2, 1, 3)
+        .reshape(b_rows, NK * 128)
+    )
+    fused = make_fused_trainable(NL, NK, b_tile=8, b_tile_bwd=8,
+                                 term_eps=0.0, interpret=True, rpc=rpc)
+
+    def loss_k(W, Bias):
+        out = fused(W, Bias, gamma, beta, rays_pack, mlane, words)
+        per_ray = (
+            out[:, : 6 * rpc].reshape(b_rows, 6, rpc).transpose(0, 2, 1)
+            .reshape(B, 6)
+        )
+        return jnp.sum(per_ray * cot)
+
+    def loss_r(W, Bias):
+        return jnp.sum(fused_reference_v2(W, Bias, gamma, beta, rays8, mask)[:, :6] * cot)
+
+    gk = jax.grad(loss_k, argnums=(0, 1))(W, Bias)
+    gr = jax.grad(loss_r, argnums=(0, 1))(W, Bias)
+    for name, a, b in [("dW", gk[0], gr[0]), ("dB", gk[1], gr[1])]:
+        a, b = np.asarray(a), np.asarray(b)
+        scale = max(float(np.abs(b).max()), 1e-9)
+        rel = float(np.abs(a - b).max()) / scale
+        assert rel < 3e-2, (name, rel)
 
 
 def test_exact_samples_per_ray_rpc_invariant():

@@ -205,11 +205,16 @@ class RenderConfig:
     chunk_size: int = 65536
     white_background: bool = True
     # Fused pipeline only: rays packed per 128-lane kernel chunk for
-    # eval/render (train stays rpc=1 — the backward kernel needs it).
-    # Pair with a reduced sampler.samples_per_ray: rpc=2 + 64 samples
-    # over the tightened span measured 5.2 fps @ 37.0 dB on the hard
-    # gate (docs/KERNEL_NOTES.md round-2 addendum 2).
+    # eval/render.  Pair with a reduced sampler.samples_per_ray: rpc=2 +
+    # 64 samples over the tightened span measured >=5 fps within
+    # 0.04 dB of the march render on the hard gate (docs/ROUND3.md).
     fused_rpc: int = 2
+    # Rays packed per chunk for TRAINING steps (the backward kernel
+    # supports packed rays too).  With samples_per_ray=64, rpc=2 fills
+    # all 128 chunk lanes instead of masking half of them — ~2x the
+    # train-step throughput at identical quadrature (rpc=1 S=64 and
+    # rpc=2 S=64 agree to 8 decimals on the trained gate).
+    fused_train_rpc: int = 1
     # Fused pipeline: shrink each ray's t-span to the occupied range
     # with the Pallas probe kernel before sampling (+1.2 dB at equal
     # cost on the hard gate).

@@ -247,7 +247,12 @@ def generate_procedural_scene(
         raise ValueError(f"unknown procedural scene {name!r}; have {sorted(FIELDS)}")
     if name == "hard":
         white_background = False
-        n_samples = max(n_samples, 768)
+        # 772 (not a rounder 768): the shared TPU compile service keys
+        # its cache on the exact program; a client killed mid-compile
+        # leaves that key's pending entry permanently wedged, and every
+        # later request for the same program join-waits on it forever.
+        # Changing the sample count re-keys the GT-render program.
+        n_samples = max(n_samples, 772)
     focal = focal_from_angle(width, CAMERA_ANGLE_X)
     out: Dict[str, ImageDataset] = {}
     counts = {"train": n_train, "val": n_val, "test": n_test}

@@ -329,10 +329,16 @@ def _fwd_kernel(
     # Running transmittance: [b_tile, 1] for rpc==1, else per-lane
     # [b_tile, SC] replicated across each ray's spr-lane segment.
     T0 = T_run[:, 0:1] if rpc == 1 else T_run[:]
-    for j in range(n_chunks):  # static unroll: dynamic-lane stores unsupported
-        @pl.when(chunk == j)
-        def _save():
-            tchk_ref[:, j : j + 1] = T0[:, 0:1]
+    if rpc == 1:
+        for j in range(n_chunks):  # static unroll: dynamic-lane stores unsupported
+            @pl.when(chunk == j)
+            def _save():
+                tchk_ref[:, j : j + 1] = T0[:, 0:1]
+    else:
+        # Per-lane checkpoint: the tchk block is (b_tile, SC) at chunk
+        # column k — store the whole replicated row (full-lane store;
+        # sub-lane slice stores hang the Mosaic compile on v5e).
+        tchk_ref[:] = T0
 
     sc8 = _lane_scalars(rays8_ref[:], b_tile, spr)
     mask = _coarse_mask(sc8, words_ref[:], mask_ref[:], chunk, b_tile, spr, coarse)
@@ -385,12 +391,16 @@ def _bwd_kernel(
     tchk_ref, gout_ref,
     dW_ref, dB8_ref,
     acts, gT_run,
-    *, b_tile, n_layers, n_chunks, term_eps, coarse,
+    *, b_tile, n_layers, n_chunks, term_eps, coarse, rpc=1,
 ):
     rb = pl.program_id(0)
     kk = pl.program_id(1)
     chunk = n_chunks - 1 - kk
     R = b_tile * SC
+    spr = SC // rpc
+    if rpc > 1:
+        lane = jax.lax.broadcasted_iota(jnp.int32, (b_tile, SC), 1)
+        seg = lane // spr  # in-row ray index per lane
 
     @pl.when((rb == 0) & (kk == 0))
     def _zero():
@@ -399,45 +409,65 @@ def _bwd_kernel(
 
     @pl.when(kk == 0)
     def _init_gt():
-        gT_run[:] = jnp.zeros_like(gT_run)
-        gT_run[:, 0:1] = gout_ref[:, 5:6]
+        if rpc == 1:
+            gT_run[:] = jnp.zeros_like(gT_run)
+            gT_run[:, 0:1] = gout_ref[:, 5:6]
+        else:
+            # dL/dT_final of in-row ray j sits at gout lane 5*rpc+j;
+            # replicate across the ray's spr-lane segment.
+            gT_run[:] = jnp.take_along_axis(gout_ref[:], 5 * rpc + seg, axis=1)
 
-    T0 = jnp.zeros((b_tile, 1), jnp.float32)
-    for j in range(n_chunks):
-        T0 = T0 + jnp.where(chunk == j, tchk_ref[:, j : j + 1], 0.0)
+    if rpc == 1:
+        T0 = jnp.zeros((b_tile, 1), jnp.float32)
+        for j in range(n_chunks):
+            T0 = T0 + jnp.where(chunk == j, tchk_ref[:, j : j + 1], 0.0)
+    else:
+        # Per-lane T0: the tchk block is this chunk's replicated
+        # [b_tile, SC] entry-transmittance row (stored by the forward).
+        T0 = tchk_ref[:]
 
-    sc8 = _lane_scalars(rays8_ref[:], b_tile, SC)
-    maskc = _coarse_mask(sc8, words_ref[:], mask_ref[:], chunk, b_tile, SC, coarse)
+    sc8 = _lane_scalars(rays8_ref[:], b_tile, spr)
+    maskc = _coarse_mask(sc8, words_ref[:], mask_ref[:], chunk, b_tile, spr, coarse)
     alive = (jnp.max(T0) > term_eps) & (jnp.max(maskc) > 0.0)
 
     @pl.when(alive)
     def _work():
         # ---- recompute forward (remat), recording layer inputs --------
-        E = _encode_chunk(gamma_ref[:], beta_ref[:], chunk, b_tile)
+        E = _encode_chunk(gamma_ref[:], beta_ref[:], chunk, b_tile, spr)
         hL = _mlp_forward(E, W_ref, Bias_ref, n_layers, acts=acts)
         mask = maskc
         rgb_r, rgb_g, rgb_b, sig, tau, t2 = _chunk_scalars(
-            hL, sc8, mask, chunk, b_tile
+            hL, sc8, mask, chunk, b_tile, spr
         )
-        excl = _excl_cumsum(tau)
+        excl = _excl_cumsum(tau, spr)
         E_ = jnp.exp(-excl)
         emt = jnp.exp(-tau)          # = 1 - F
         F_ = 1.0 - emt
         w = T0 * E_ * F_
-        lanesum = lambda x: jnp.sum(x, axis=1, keepdims=True)
-        Texp = jnp.exp(-lanesum(tau))
+        if rpc == 1:
+            raysum = lambda x: jnp.sum(x, axis=1, keepdims=True)
+        else:
+            # Per-ray segment sums, replicated across each segment's lanes.
+            raysum = lambda x: _hi_dot(x, _seg_matrix(spr))
+        Texp = jnp.exp(-raysum(tau))
 
         # ---- compositing VJP in [B,SC] --------------------------------
-        g_r = gout_ref[:, 0:1]
-        g_g = gout_ref[:, 1:2]
-        g_b = gout_ref[:, 2:3]
-        g_acc = gout_ref[:, 3:4]
-        g_dep = gout_ref[:, 4:5]
-        gT = gT_run[:, 0:1]
+        if rpc == 1:
+            g_r = gout_ref[:, 0:1]
+            g_g = gout_ref[:, 1:2]
+            g_b = gout_ref[:, 2:3]
+            g_acc = gout_ref[:, 3:4]
+            g_dep = gout_ref[:, 4:5]
+            gT = gT_run[:, 0:1]
+        else:
+            # Quantity q of in-row ray j sits at gout lane q*rpc+j.
+            gq = lambda q: jnp.take_along_axis(gout_ref[:], q * rpc + seg, axis=1)
+            g_r, g_g, g_b, g_acc, g_dep = gq(0), gq(1), gq(2), gq(3), gq(4)
+            gT = gT_run[:]
 
         dw = g_r * rgb_r + g_g * rgb_g + g_b * rgb_b + g_acc + g_dep * t2
         G = dw * w
-        dtau = -_suffix_sum(G) + dw * (T0 * E_ * emt) - gT * (T0 * Texp)
+        dtau = -_suffix_sum(G, spr) + dw * (T0 * E_ * emt) - gT * (T0 * Texp)
         dsig = dtau * sc8[1] * mask
         # d softplus(x-1)/dx = sigmoid(x-1) = 1 - exp(-softplus(x-1))
         dsraw = dsig * (1.0 - jnp.exp(-sig))
@@ -446,7 +476,10 @@ def _bwd_kernel(
         dbpre = (w * g_b) * rgb_b * (1.0 - rgb_b)
 
         # running dL/dT toward earlier chunks
-        gT_run[:, 0:1] = lanesum(dw * E_ * F_) + gT * Texp
+        if rpc == 1:
+            gT_run[:, 0:1] = raysum(dw * E_ * F_) + gT * Texp
+        else:
+            gT_run[:] = raysum(dw * E_ * F_) + gT * Texp
 
         # ---- bridge [B,SC] -> [R,1] (one-hot select; no such reshape) --
         rowmod = jax.lax.broadcasted_iota(jnp.int32, (R, SC), 0) % SC
@@ -507,16 +540,18 @@ def make_fused_trainable(
     """Build fused(W_f32, Bias, gamma, beta, rays8, mask, words) -> out
     with a custom VJP onto (W, Bias).
 
-    rpc == 1 (trainable): gamma/beta [B,128], rays8 [B,8],
-    mask [B, n_chunks*128], out [B,8].
+    rpc == 1: gamma/beta [B,128], rays8 [B,8], mask [B, n_chunks*128],
+    out [B,8].
 
-    rpc > 1 (render-only; backward raises): rpc rays packed per scalar
-    row with spr = 128/rpc samples each — per-ray MLP work drops rpc-fold.
+    rpc > 1 (trainable too — the backward kernel handles packed rays):
+    rpc rays packed per scalar row with spr = 128/rpc samples each —
+    per-ray MLP work drops rpc-fold, forward AND backward.
     B_rows = B/rpc; gamma/beta stay per-ray [B,128]; rays8 becomes
     [B_rows,128] (scalar q of in-row ray j at column j*8+q); mask
     [B_rows, n_chunks*128] in chunk-major lane layout; out [B_rows,128]
-    with quantity q of ray j at lane q*rpc+j (q<6); the tchk output is
-    not meaningful.
+    with quantity q of ray j at lane q*rpc+j (q<6); tchk is
+    [B_rows, n_chunks*128] — chunk k's [*, k*128:(k+1)*128] slice holds
+    the chunk-entry transmittance replicated across each ray's segment.
 
     W [NL,128,128] f32, Bias [NL,128] f32, words [8,128] i32 (coarse
     occupancy bits; all-zeros + coarse=None disables the in-kernel
@@ -555,11 +590,17 @@ def make_fused_trainable(
             ],
             out_specs=[
                 pl.BlockSpec((b_tile, out_cols), lambda rb, k: (rb, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((b_tile, NK), lambda rb, k: (rb, 0), memory_space=pltpu.VMEM),
+                (
+                    pl.BlockSpec((b_tile, NK), lambda rb, k: (rb, 0), memory_space=pltpu.VMEM)
+                    if rpc == 1
+                    else pl.BlockSpec((b_tile, SC), lambda rb, k: (rb, k), memory_space=pltpu.VMEM)
+                ),
             ],
             out_shape=[
                 jax.ShapeDtypeStruct((B_rows, out_cols), jnp.float32),
-                jax.ShapeDtypeStruct((B_rows, NK), jnp.float32),
+                jax.ShapeDtypeStruct(
+                    (B_rows, NK if rpc == 1 else NK * SC), jnp.float32
+                ),
             ],
             scratch_shapes=[
                 pltpu.VMEM((b_tile, 8 if rpc == 1 else SC), jnp.float32)
@@ -568,26 +609,32 @@ def make_fused_trainable(
         )(gamma, beta, rays8, mask, words, Wb, Bias)
 
     def bwd_call(Wb, Wt, Bias, gamma, beta, rays8, mask, words, tchk, gout):
-        B = gamma.shape[0]
+        B_rows = gamma.shape[0] // rpc
         bt = b_tile_bwd
         kernel = functools.partial(
             _bwd_kernel, b_tile=bt, n_layers=NL, n_chunks=NK,
-            term_eps=term_eps, coarse=coarse,
+            term_eps=term_eps, coarse=coarse, rpc=rpc,
         )
+        rays_cols = 8 if rpc == 1 else LANES
+        gout_cols = 8 if rpc == 1 else SC
         return pl.pallas_call(
             kernel,
-            grid=(B // bt, NK),
+            grid=(B_rows // bt, NK),
             in_specs=[
-                pl.BlockSpec((bt, LANES), lambda rb, k: (rb, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((bt, LANES), lambda rb, k: (rb, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((bt, 8), lambda rb, k: (rb, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((bt * rpc, LANES), lambda rb, k: (rb, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((bt * rpc, LANES), lambda rb, k: (rb, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((bt, rays_cols), lambda rb, k: (rb, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec((bt, SC), lambda rb, k: (rb, NK - 1 - k), memory_space=pltpu.VMEM),
                 pl.BlockSpec((8, LANES), lambda rb, k: (0, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec((NL, LANES, LANES), lambda rb, k: (0, 0, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec((NL, LANES, LANES), lambda rb, k: (0, 0, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec((NL, LANES), lambda rb, k: (0, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((bt, NK), lambda rb, k: (rb, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((bt, 8), lambda rb, k: (rb, 0), memory_space=pltpu.VMEM),
+                (
+                    pl.BlockSpec((bt, NK), lambda rb, k: (rb, 0), memory_space=pltpu.VMEM)
+                    if rpc == 1
+                    else pl.BlockSpec((bt, SC), lambda rb, k: (rb, NK - 1 - k), memory_space=pltpu.VMEM)
+                ),
+                pl.BlockSpec((bt, gout_cols), lambda rb, k: (rb, 0), memory_space=pltpu.VMEM),
             ],
             out_specs=[
                 pl.BlockSpec((NL, LANES, LANES), lambda rb, k: (0, 0, 0), memory_space=pltpu.VMEM),
@@ -599,7 +646,7 @@ def make_fused_trainable(
             ],
             scratch_shapes=[
                 pltpu.VMEM((NL, bt * SC, LANES), jnp.bfloat16),
-                pltpu.VMEM((bt, 8), jnp.float32),
+                pltpu.VMEM((bt, 8 if rpc == 1 else SC), jnp.float32),
             ],
             interpret=interpret,
         )(gamma, beta, rays8, mask, words, Wb, Wt, Bias, tchk, gout)
@@ -615,11 +662,6 @@ def make_fused_trainable(
         return out, (Wb, Bias, gamma, beta, rays8, mask, words, tchk)
 
     def fused_bwd(res, gout):
-        if rpc != 1:
-            raise ValueError(
-                "the fused backward kernel requires rpc=1 (multi-ray "
-                "chunks are a render-only optimization)"
-            )
         Wb, Bias, gamma, beta, rays8, mask, words, tchk = res
         Wt = jnp.transpose(Wb, (0, 2, 1))
         dW, dB8 = bwd_call(Wb, Wt, Bias, gamma, beta, rays8, mask, words, tchk, gout)
@@ -727,9 +769,9 @@ def make_fused_pipeline_renderer_v2(
       skipping.
     - "xla_fine": exact fine-grid mask via the XLA gather (parity path).
 
-    rpc (render-only when > 1; backward raises): pack rpc rays per
-    128-lane chunk row, giving each ray samples_per_ray = 128/rpc samples
-    per chunk — per-ray MLP work drops rpc-fold.  Combine with
+    rpc: pack rpc rays per 128-lane chunk row, giving each ray
+    samples_per_ray = 128/rpc samples per chunk — per-ray MLP work drops
+    rpc-fold, forward and backward (trainable).  Combine with
     tighten=True, which shrinks each ray's t-span to the occupied range
     (Pallas probe kernel, tnerf/grid/pallas_dda.py:tighten_range_pallas)
     so the reduced sample budget concentrates on the object.

@@ -80,10 +80,10 @@ def build_renderer(
             field, cfg.grid, cfg.sampler, cfg.render, strategy="intervals",
         )
     if p == "fused":
-        # v2: trainable (custom-VJP backward kernel) — 2.9x the unfused
-        # XLA train step on v5e (docs/KERNEL_NOTES.md round-2 addendum).
-        # render.fused_rpc > 1 (multi-ray chunks, render-only: the
-        # backward kernel needs rpc=1) applies to eval/render builds.
+        # v2: trainable (custom-VJP backward kernel, packed-ray capable).
+        # render.fused_rpc applies to eval/render builds;
+        # render.fused_train_rpc to training builds (rpc=2 + S=64 fills
+        # all 128 chunk lanes — ~2x train throughput, same quadrature).
         if cfg.field_.encoding != "frequency":
             raise ValueError(
                 "render.pipeline=fused bakes the frequency encoding into "
@@ -96,7 +96,7 @@ def build_renderer(
         return make_fused_pipeline_renderer_v2(
             cfg.field_, cfg.grid, cfg.sampler, cfg.render,
             interpret=jax.devices()[0].platform != "tpu",
-            rpc=cfg.render.fused_rpc if for_eval else 1,
+            rpc=cfg.render.fused_rpc if for_eval else cfg.render.fused_train_rpc,
             tighten=cfg.render.fused_tighten,
             ray_compact=cfg.render.ray_compact and for_eval,
         )
@@ -313,12 +313,12 @@ def _eval(cfg, renderer, state, occ, datasets, step, log, metrics,
             occupancy=bits, mesh=mesh,
         )
         if cfg.render.pipeline == "fused":
-            # The in-training eval renderer always runs rpc=1 (built with
-            # for_eval=False); `cli eval` uses render.fused_rpc.  Record
-            # which quadrature produced this PSNR so the two are never
-            # compared as equals (they can differ by >1 dB when
+            # The in-training eval renderer runs fused_train_rpc (built
+            # with for_eval=False); `cli eval` uses render.fused_rpc.
+            # Record which quadrature produced this PSNR so the two are
+            # never compared as equals (they can differ by >1 dB when
             # fused_rpc reduces the per-ray sample budget).
-            m["eval_fused_rpc"] = 1
+            m["eval_fused_rpc"] = cfg.render.fused_train_rpc
         out.update(m)
         log.info("eval step %d: %s", step, m)
         metrics.write(step, **m)
