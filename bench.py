@@ -474,7 +474,7 @@ def gate_metrics() -> dict:
     out = {}
     gates = {
         "gate_march": "runs/hard_r3_march",
-        "gate_fused": "runs/hard_r3_fused",
+        "gate_fused": "runs/hard_r3_fused_rpc2",
         "gate_hashgrid": "runs/hard_r3_hashgrid",
     }
     here = os.path.dirname(os.path.abspath(__file__))
