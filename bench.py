@@ -133,14 +133,49 @@ def bench_ray_march(width=800, height=800, res=8, inner=(4, 36)) -> dict:
     }
 
 
+def _restore_gate(field, cfg, ckpt_run):
+    """Restore (params, occ3 bool array, True) from a committed gate run,
+    or (None, None, False) when absent (fresh clone without runs/)."""
+    import os
+
+    import numpy as np
+
+    if not (ckpt_run and os.path.isdir(os.path.join(ckpt_run, "checkpoints"))):
+        return None, None, False
+    from tnerf.grid.occupancy import init_occupancy
+    from tnerf.train import create_optimizer, init_train_state
+    from tnerf.utils.checkpoint import restore_checkpoint
+
+    state = init_train_state(field, create_optimizer(cfg.train), cfg.train.seed)
+    occ0 = init_occupancy(cfg.grid)
+    restored = restore_checkpoint(
+        os.path.join(ckpt_run, "checkpoints"), (state, occ0)
+    )
+    if restored is None:
+        return None, None, False
+    _, (state, occ0) = restored
+    res = cfg.grid.resolution
+    return state.params, np.asarray(occ0.bitfield).reshape(res, res, res), True
+
+
 def bench_render(width=800, height=800, res=64, samples=128, overrides=(),
-                 compact=False, strided=False, scene_field="prims") -> dict:
-    """Full-pipeline render throughput (march + field + composite) with a
-    realistic occupancy grid derived from the analytic procedural field.
+                 compact=False, strided=False, scene_field="prims",
+                 config_file=None, ckpt_run=None) -> dict:
+    """Full-pipeline render throughput (march + field + composite).
 
     strided=True times a STRIDED chunk (every n_chunks-th ray) instead of
     the center block — the mix render_image's chunk interleaving actually
-    feeds each chunk, required for honest ray-compaction numbers."""
+    feeds each chunk, required for honest ray-compaction numbers.
+
+    ckpt_run: path to a committed gate run — the TRAINED params and EMA
+    occupancy are restored (config_file must be the gate's config so the
+    shapes match).  A trained EMA grid keeps far more rays than the
+    analytic sigma>0.5 grid (measured 0.58-0.70 vs 0.29-0.45 pooled —
+    docs/KERNEL_NOTES.md round-3 addendum), so render-fps rows that feed
+    compacted paths MUST time against it; the analytic fallback covers
+    fresh clones without runs/."""
+    import os
+
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -152,7 +187,10 @@ def bench_render(width=800, height=800, res=64, samples=128, overrides=(),
     from tnerf.grid.occupancy import cell_centers
     from tnerf.render.grid_renderer import make_grid_renderer
 
-    cfg = Config().apply_overrides([
+    base = (
+        Config.from_json_file(config_file) if config_file else Config()
+    )
+    cfg = base.apply_overrides([
         f"grid.resolution={res}",
         f"sampler.samples_per_ray={samples}",
         "sampler.near=2.0", "sampler.far=5.5",
@@ -162,8 +200,12 @@ def bench_render(width=800, height=800, res=64, samples=128, overrides=(),
     arch = "twobranch" if cfg.field_.encoding == "hashgrid" else "fused5d"
     field = NeRFField(cfg.field_, cfg.grid, arch=arch)
     params = field.init(jax.random.PRNGKey(0))
-    _, sigma = FIELDS[scene_field](cell_centers(cfg.grid).reshape(-1, 3))
-    occ = (np.asarray(sigma) > 0.5).reshape(res, res, res)
+    tparams, occ, trained = _restore_gate(field, cfg, ckpt_run)
+    if trained:
+        params = tparams
+    if occ is None:
+        _, sigma = FIELDS[scene_field](cell_centers(cfg.grid).reshape(-1, 3))
+        occ = (np.asarray(sigma) > 0.5).reshape(res, res, res)
     occ_frac = float(occ.mean())
 
     (o, d, v), = _camera_ray_variants(width, height, n_variants=1)
@@ -193,6 +235,7 @@ def bench_render(width=800, height=800, res=64, samples=128, overrides=(),
         "occupancy_frac": occ_frac,
         "samples_per_ray": samples,
         "field": cfg.field_.encoding,
+        "trained_ckpt": trained,
     }
 
 
@@ -403,9 +446,11 @@ def bench_hashgrid_train(res=64, samples=128, batch=8192, log2T=14) -> dict:
     }
 
 
-def bench_fused_render(width=800, height=800, res=64, samples=128) -> dict:
-    """Fused Pallas kernel (v2, pallas_fused2) render throughput with the
-    realistic analytic-scene occupancy grid."""
+def bench_fused_render(width=800, height=800, res=64, samples=128,
+                       ckpt_run="runs/hard_r3_fused_rpc2") -> dict:
+    """Fused Pallas kernel (v2, pallas_fused2) render throughput against
+    the TRAINED gate checkpoint + EMA occupancy when committed (analytic
+    fallback) — see bench_render's ckpt_run note."""
     import jax
     import jax.numpy as jnp
 
@@ -419,12 +464,16 @@ def bench_fused_render(width=800, height=800, res=64, samples=128) -> dict:
         f"grid.resolution={res}", f"sampler.samples_per_ray={samples}",
         "sampler.near=2.0", "sampler.far=5.5",
     ])
-    _, sigma = analytic_field(cell_centers(cfg.grid).reshape(-1, 3))
-    occ3 = jnp.asarray((sigma > 0.5).reshape(res, res, res))
     from tnerf.fields.nerf_field import NeRFField
 
     field = NeRFField(cfg.field_, cfg.grid)
     params = jax.device_put(field.init(jax.random.PRNGKey(0)))
+    tparams, occ_t, trained = _restore_gate(field, cfg, ckpt_run)
+    if trained:
+        params, occ3 = jax.device_put(tparams), jnp.asarray(occ_t)
+    else:
+        _, sigma = analytic_field(cell_centers(cfg.grid).reshape(-1, 3))
+        occ3 = jnp.asarray((sigma > 0.5).reshape(res, res, res))
 
     (o, d, v), = _camera_ray_variants(width, height, n_variants=1)
     n = width * height
@@ -442,11 +491,12 @@ def bench_fused_render(width=800, height=800, res=64, samples=128) -> dict:
         dt_chunk = _diff_timeit(chunk_scalar, o)
         return chunk / dt_chunk / 1e6, 1.0 / (dt_chunk * n_chunks)
 
-    # Fast config (matches the hard_r3_fused gate quadrature: S=64 exact,
-    # rpc=2, tighten, ray compaction): same-checkpoint PSNR is within
-    # 0.034 dB of the march render (docs/ROUND3.md).
+    # Fast config (matches the hard_r3_fused_rpc2 gate quadrature: S=64
+    # exact, rpc=2, tighten, ray compaction at the trained-occupancy
+    # capacity): same-checkpoint PSNR is within 0.034 dB of the march
+    # render (docs/ROUND3.md).
     cfg_fast = cfg.apply_overrides([
-        "sampler.samples_per_ray=64", "render.ray_compact_fraction=0.5",
+        "sampler.samples_per_ray=64", "render.ray_compact_fraction=0.75",
     ])
     mrays_fast, fps_fast = fps_of(make_fused_pipeline_renderer_v2(
         cfg_fast.field_, cfg_fast.grid, cfg_fast.sampler, cfg_fast.render,
@@ -524,11 +574,17 @@ def main():
     march128_scan = attempt(bench_ray_march, res=128, inner=(2, 8))  # lax.scan walk
     # Flagship march config (matches runs/hard_r3_march gate): pooled
     # Pallas tighten+mask kernel + eval-time ray compaction, S=96.
+    # Flagship march render: trained gate checkpoint + EMA occupancy
+    # (the analytic grid keeps ~0.45 of rays pooled at 16^3, the trained
+    # grid 0.65-0.70 — timing against the thin grid overstated fps and
+    # the old 0.5 capacity would background-drop content rays).
     render = attempt(
         bench_render, samples=96, strided=True,
+        config_file="configs/procedural_hard_30db.json",
+        ckpt_run="runs/hard_r3_march",
         overrides=(
             "sampler.tighten_res=16", "sampler.occupancy_mask_res=16",
-            "render.ray_compact=true", "render.ray_compact_fraction=0.5",
+            "render.ray_compact=true", "render.ray_compact_fraction=0.75",
         ),
     )
     # Round-2 configuration (fine mask + XLA tighten, S=128) for
@@ -545,12 +601,16 @@ def main():
     # docs/KERNEL_NOTES.md round-3 addendum).
     hg_render = attempt(
         bench_render, samples=48, res=128, strided=True, compact=True,
-        scene_field="hard",  # capacities sized on the hard-gate scene
+        scene_field="hard",
+        config_file="configs/procedural_hard_hashgrid.json",
+        ckpt_run="runs/hard_r3_hashgrid",
         overrides=(
             "field_.encoding=hashgrid", "field_.hash_levels=12",
             "sampler.tighten_res=32", "sampler.occupancy_mask_res=0",
-            "render.ray_compact=true", "render.ray_compact_fraction=0.32",
-            "render.compact_fraction=0.4",
+            # capacities measured on the TRAINED gate occupancy (keep
+            # 0.51-0.60 pooled at 32^3; fine samples 0.17-0.19 of kept)
+            "render.ray_compact=true", "render.ray_compact_fraction=0.65",
+            "render.compact_fraction=0.25",
         ),
     )
     fused = attempt(bench_fused_render)

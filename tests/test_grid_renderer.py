@@ -241,3 +241,46 @@ def test_kernel_path_with_fine_mask_refinement():
                     white_background=cfg.render.white_background)
     np.testing.assert_allclose(np.asarray(out.rgb), np.asarray(ref.rgb),
                                atol=3e-4)
+
+
+def test_ray_keep_fraction_mirrors_keep_rule():
+    """ray_keep_fraction (the eval capacity guard) must reflect how many
+    rays the compaction keep rule retains: all-empty occupancy -> 0,
+    all-full -> 1, a blob -> strictly between, and more rays kept when
+    the grid fattens (the trained-EMA-vs-analytic footgun it exists
+    for)."""
+    from tnerf.render.grid_renderer import ray_keep_fraction
+
+    res = 32
+    cfg = Config().apply_overrides([
+        f"grid.resolution={res}", "sampler.samples_per_ray=32",
+        "sampler.near=0.05", "scene.scene_scale=1.0",
+        "sampler.tighten_res=16",
+    ])
+    rng = np.random.default_rng(5)
+    o = rng.uniform(-1, 1, (128, 3))
+    o = o / np.linalg.norm(o, axis=-1, keepdims=True) * 3.0
+    d = -o / np.linalg.norm(o, axis=-1, keepdims=True)
+    d = jnp.asarray(d + rng.normal(0, 0.3, d.shape), jnp.float32)
+    rays = Rays(origins=jnp.asarray(o, jnp.float32), directions=d,
+                viewdirs_tp=viewdirs_to_thetaphi(d))
+
+    empty = jnp.zeros((res, res, res), bool)
+    full = jnp.ones((res, res, res), bool)
+    blob = jnp.asarray(np.pad(np.ones((6, 6, 6), bool),
+                              ((13, 13), (13, 13), (13, 13))))
+    fat = jnp.asarray(np.pad(np.ones((14, 14, 14), bool),
+                             ((9, 9), (9, 9), (9, 9))))
+    k_empty = ray_keep_fraction(rays, empty, cfg.grid, cfg.sampler)
+    k_blob = ray_keep_fraction(rays, blob, cfg.grid, cfg.sampler)
+    k_fat = ray_keep_fraction(rays, fat, cfg.grid, cfg.sampler)
+    k_full = ray_keep_fraction(rays, full, cfg.grid, cfg.sampler)
+    # full occupancy keeps exactly the rays that intersect the AABB
+    from tnerf.grid.traversal import ray_aabb
+    te, tx = ray_aabb(rays.origins, rays.directions,
+                      cfg.grid.aabb_min, cfg.grid.aabb_max)
+    te = jnp.maximum(te, cfg.sampler.near)
+    hit_frac = float((tx > te).mean())
+    assert k_empty == 0.0
+    assert abs(k_full - hit_frac) < 1e-6
+    assert 0.0 < k_blob < k_fat < k_full

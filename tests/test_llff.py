@@ -61,3 +61,37 @@ def test_llff_loads_and_converts_axes(tmp_path):
 def test_llff_errors(tmp_path):
     with pytest.raises(FileNotFoundError):
         load_data("llff", "nonexistent", root=str(tmp_path))
+
+
+def test_export_llff_roundtrip(tmp_path):
+    """export_llff_format -> load_data('llff') round-trips poses (exact
+    axis-conversion inverse), focal, non-square dims, and images (to PNG
+    u8 quantization)."""
+    from tnerf.data.dataset import ImageDataset
+    from tnerf.data.procedural import export_llff_format, frontal_poses
+
+    rng = np.random.default_rng(3)
+    n, w, h = 9, 20, 12
+    poses = frontal_poses(n, seed=5)
+    images = rng.uniform(0, 1, (n, h, w, 3)).astype(np.float32)
+    ds = ImageDataset(
+        images=images, poses=poses.astype(np.float32), focal=33.5,
+        width=w, height=h, channels=3, split="all",
+    )
+    export_llff_format(ds, str(tmp_path / "ff"), near=1.5, far=6.0)
+
+    out = load_data("llff", "ff", root=str(tmp_path))
+    assert set(out) == {"train", "test"}
+    # standard holdout: every 8th view is test
+    test_idx = [i for i in range(n) if i % 8 == 0]
+    train_idx = [i for i in range(n) if i % 8 != 0]
+    for split, idx in (("train", train_idx), ("test", test_idx)):
+        d = out[split]
+        assert (d.width, d.height) == (w, h)
+        np.testing.assert_allclose(d.focal, 33.5, rtol=1e-6)
+        np.testing.assert_allclose(d.poses, poses[idx], atol=1e-6)
+        # reader loads RGBA; RGB channels round-trip to u8 quantization
+        np.testing.assert_allclose(
+            d.images[..., :3], images[idx], atol=1.0 / 255.0 + 1e-6
+        )
+        np.testing.assert_allclose(d.near_far, [[1.5, 6.0]] * len(idx))

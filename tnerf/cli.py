@@ -116,6 +116,29 @@ def main(argv=None) -> int:
         cfg.scene.kind, cfg.scene.name, root=cfg.scene.root,
         srgb_to_linear=cfg.scene.srgb_to_linear, downscale=cfg.scene.downscale,
     )
+    if cfg.render.ray_compact and bits is not None and step > 0:
+        # Capacity guard: the keep fraction depends on the RESTORED
+        # occupancy (trained EMA grids are much fatter than analytic
+        # ones); kept rays beyond ray_compact_fraction silently render
+        # as background.  One cheap XLA pass over a probe view.
+        from tnerf.cameras import camera_rays
+        from tnerf.render.grid_renderer import ray_keep_fraction
+
+        ds0 = next(iter(datasets.values()))
+        probe_rays = camera_rays(
+            jax.numpy.asarray(ds0.poses[0]), ds0.width, ds0.height,
+            ds0.focal, cfg.scene.scene_scale,
+        )
+        kf = ray_keep_fraction(probe_rays, bits, cfg.grid, cfg.sampler)
+        if kf > cfg.render.ray_compact_fraction:
+            print(
+                f"WARNING: ray-compaction keep fraction {kf:.3f} on the "
+                f"probe view exceeds render.ray_compact_fraction="
+                f"{cfg.render.ray_compact_fraction} — over-capacity rays "
+                f"will render as background. Raise the fraction (or set "
+                f"render.ray_compact=false).",
+                file=sys.stderr,
+            )
 
     # Multi-device eval rendering: shard rays across a data-parallel mesh
     # when more than one device is visible (same layout as training DP).

@@ -280,6 +280,102 @@ def generate_procedural_scene(
     return out
 
 
+def frontal_poses(
+    n: int,
+    radius: float = 3.5,
+    seed: int = 0,
+    azimuth_half_width: float = 0.35,
+    elevation_range=(0.25, 0.6),
+) -> np.ndarray:
+    """n forward-facing poses on a narrow frontal arc looking at the
+    origin — the LLFF capture geometry (handheld views from one side).
+    [n, 4, 4] camera-to-world in the NeRF/OpenGL convention."""
+    rng = np.random.default_rng(seed)
+    azim = rng.uniform(-azimuth_half_width, azimuth_half_width, size=n)
+    elev = rng.uniform(*elevation_range, size=n)
+    poses = []
+    for a, e in zip(azim, elev):
+        eye = radius * np.array(
+            [np.cos(a) * np.cos(e), np.sin(a) * np.cos(e), np.sin(e)],
+            dtype=np.float32,
+        )
+        poses.append(
+            _look_at_pose(eye, np.zeros(3, np.float32), np.array([0, 0, 1.0], np.float32))
+        )
+    return np.stack(poses)
+
+
+def generate_llff_pool(
+    name: str = "prims",
+    width: int = 320,
+    height: int = 240,
+    n_views: int = 24,
+    n_samples: int = 384,
+    near: float = 2.0,
+    far: float = 5.5,
+    radius: float = 3.5,
+    seed: int = 40,
+) -> ImageDataset:
+    """One pool of forward-facing views of a procedural field (the LLFF
+    capture shape: a single image set, test views held out by index).
+    Non-square by default — LLFF photos are landscape, and W != H
+    exercises the focal/aspect paths the square synthetic flow never
+    touches."""
+    if name not in FIELDS:
+        raise ValueError(f"unknown procedural scene {name!r}; have {sorted(FIELDS)}")
+    white_background = scene_background(name)
+    focal = focal_from_angle(width, CAMERA_ANGLE_X)
+    poses = frontal_poses(n_views, radius=radius, seed=seed)
+    imgs = []
+    for i in range(n_views):
+        img = _render_gt_image(
+            jnp.asarray(poses[i]), width, height, focal,
+            near, far, n_samples, white_background, field_name=name,
+        )
+        imgs.append(np.asarray(jax.device_get(img), dtype=np.float32))
+    return ImageDataset(
+        images=np.clip(np.stack(imgs), 0.0, 1.0),
+        poses=poses,
+        focal=focal,
+        width=width,
+        height=height,
+        channels=3,
+        split="all",
+    )
+
+
+def export_llff_format(
+    ds: ImageDataset, scene_dir: str, near: float, far: float
+) -> None:
+    """Write an image pool to disk in LLFF layout (poses_bounds.npy +
+    images/) so tnerf.data.llff can round-trip it.
+
+    poses_bounds.npy rows are the flattened [3, 5] LLFF matrix
+    (rotation | translation | [H, W, focal]) + [near, far]; LLFF camera
+    axes are [down, right, backwards], the exact inverse of the column
+    conversion in llff.load_llff_scene — so reader+writer pin each other.
+    (The reference's LLFF branch is dead code, loader/data_loader.cpp:
+    140-148 defect D15; this is the real capability.)"""
+    from tnerf.data.png_io import write_png
+
+    img_dir = os.path.join(scene_dir, "images")
+    os.makedirs(img_dir, exist_ok=True)
+    n = len(ds)
+    pb = np.zeros((n, 17), np.float64)
+    for i in range(n):
+        write_png(os.path.join(img_dir, f"image{i:03d}.png"), ds.images[i])
+        c2w = ds.poses[i]
+        raw = np.zeros((3, 5), np.float64)
+        raw[:, 0] = -c2w[:3, 1]  # down  = -up
+        raw[:, 1] = c2w[:3, 0]   # right
+        raw[:, 2] = c2w[:3, 2]   # backwards
+        raw[:, 3] = c2w[:3, 3]   # translation
+        raw[:, 4] = (ds.height, ds.width, ds.focal)
+        pb[i, :15] = raw.reshape(-1)
+        pb[i, 15:] = (near, far)
+    np.save(os.path.join(scene_dir, "poses_bounds.npy"), pb)
+
+
 def export_nerf_synthetic_format(datasets: Dict[str, ImageDataset], scene_dir: str) -> None:
     """Write a procedural scene to disk in NeRF-synthetic layout so the
     loader (tnerf.data.dataset) can round-trip it."""

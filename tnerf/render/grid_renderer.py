@@ -88,6 +88,39 @@ def compacted_field_apply(
     return rgb, sigma
 
 
+def ray_keep_fraction(
+    rays: Rays,
+    occupancy: jnp.ndarray,
+    grid_cfg: GridConfig,
+    sampler_cfg: SamplerConfig,
+) -> float:
+    """Fraction of rays the ray-compaction keep rule retains — the XLA
+    mirror of the kernel's pass-1 pooled tighten+mask (shared-semantics
+    contract, see tighten_sample_mask_pallas).  Callers compare this
+    against render_cfg.ray_compact_fraction BEFORE trusting a compacted
+    render: kept rays beyond the static capacity silently render as
+    background, and the keep fraction depends on the occupancy GRID —
+    a trained EMA grid is much fatter than an analytic one (measured
+    0.65-0.70 at 16^3 pooling on the hard-gate march checkpoint vs
+    ~0.45 analytic; docs/KERNEL_NOTES.md round-3 addendum)."""
+    res = grid_cfg.resolution
+    occ3 = occupancy.reshape(res, res, res)
+    t_res = min(sampler_cfg.tighten_res or res, res)
+    occ_t = occ3 if t_res == res else make_coarse_occupancy(occ3, res // t_res)
+    o = rays.origins.reshape(-1, 3)
+    d = rays.directions.reshape(-1, 3)
+    te, tx = ray_aabb(o, d, grid_cfg.aabb_min, grid_cfg.aabb_max)
+    te = jnp.maximum(te, sampler_cfg.near)
+    tx = jnp.maximum(tx, te)
+    te2, tx2 = tightened_range(
+        o, d, te, tx, occ_t, grid_cfg, probes=sampler_cfg.tighten_probes
+    )
+    t, _ = march_samples_t(te2, tx2, sampler_cfg.samples_per_ray)
+    pts = sample_positions(o, d, t)
+    m = (tx2[:, None] > te2[:, None]) & occupancy_lookup(pts, occ_t, grid_cfg)
+    return float(jnp.any(m, axis=1).mean())
+
+
 def make_grid_renderer(
     field: NeRFField,
     grid_cfg: GridConfig,
