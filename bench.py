@@ -460,7 +460,15 @@ def bench_fused_render(width=800, height=800, res=64, samples=128,
     from tnerf.grid.occupancy import cell_centers
     from tnerf.render.pallas_fused2 import make_fused_pipeline_renderer_v2
 
-    cfg = Config().apply_overrides([
+    import os
+
+    gate_cfg = "configs/procedural_hard_fused.json"
+    base = (
+        Config.from_json_file(gate_cfg)
+        if (ckpt_run and os.path.exists(gate_cfg))
+        else Config()
+    )
+    cfg = base.apply_overrides([
         f"grid.resolution={res}", f"sampler.samples_per_ray={samples}",
         "sampler.near=2.0", "sampler.far=5.5",
     ])
