@@ -11,7 +11,8 @@ from tnerf.cameras import Rays, viewdirs_to_thetaphi
 from tnerf.config import Config
 from tnerf.fields.nerf_field import NeRFField
 from tnerf.grid.occupancy import init_occupancy
-from tnerf.render.grid_renderer import compacted_field_apply, make_grid_renderer
+from tnerf.render.composite import composite
+from tnerf.render.grid_renderer import compacted_shade, make_grid_renderer
 
 
 @pytest.fixture(scope="module")
@@ -76,7 +77,10 @@ def test_compaction_exact_when_capacity_sufficient(setup):
     np.testing.assert_allclose(np.asarray(r1.rgb), np.asarray(r2.rgb), atol=2e-5)
 
 
-def test_compacted_apply_matches_direct():
+def test_compacted_shade_matches_masked_composite():
+    """compacted_shade (sort-compact + segmented compositing) must equal
+    composite(mask=...) of a direct full-batch field eval when capacity
+    covers every kept sample."""
     cfg = Config().apply_overrides([
         "field_.hidden_width=32", "field_.hidden_layers=2", "field_.n_frequencies=4",
     ])
@@ -86,33 +90,44 @@ def test_compacted_apply_matches_direct():
     B, S = 4, 16
     pos = jnp.asarray(rng.uniform(-1, 1, (B, S, 3)), jnp.float32)
     view = jnp.asarray(rng.uniform(0, 3, (B, 2)), jnp.float32)
+    t = jnp.asarray(np.sort(rng.uniform(0.1, 3.0, (B, S)), axis=1), jnp.float32)
+    deltas = jnp.asarray(rng.uniform(0.01, 0.1, (B, S)), jnp.float32)
     mask = jnp.asarray(rng.uniform(size=(B, S)) < 0.4)
-    rgb_c, sig_c = compacted_field_apply(field, params, pos, view, mask, capacity=B * S)
+    out = compacted_shade(field, params, pos, view, t, deltas, mask,
+                          capacity=B * S, white_background=True)
     rgb_d, sig_d = field.apply(params, pos, view[:, None, :])
-    m = np.asarray(mask)
-    np.testing.assert_allclose(
-        np.asarray(rgb_c)[m], np.asarray(rgb_d)[m], atol=2e-5
-    )
-    np.testing.assert_allclose(
-        np.asarray(sig_c)[m], np.asarray(sig_d)[m], atol=2e-5
-    )
-    assert np.all(np.asarray(sig_c)[~m] == 0.0)
+    ref = composite(rgb_d, sig_d, deltas, t_mid=t, mask=mask,
+                    white_background=True)
+    np.testing.assert_allclose(np.asarray(out.rgb), np.asarray(ref.rgb), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(out.acc), np.asarray(ref.acc), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(out.depth), np.asarray(ref.depth),
+                               atol=2e-5)
 
 
 def test_compaction_overflow_drops_not_corrupts():
+    """Kept samples beyond capacity are dropped first-K-win in flat
+    (ray-major) order: the result must equal compositing with the mask
+    truncated to the first `cap` kept slots."""
     cfg = Config().apply_overrides([
         "field_.hidden_width=32", "field_.hidden_layers=2", "field_.n_frequencies=4",
     ])
     field = NeRFField(cfg.field_, cfg.grid)
     params = field.init(jax.random.PRNGKey(0))
+    rng = np.random.default_rng(2)
     B, S, cap = 2, 8, 5
-    pos = jnp.zeros((B, S, 3))
+    pos = jnp.asarray(rng.uniform(-1, 1, (B, S, 3)), jnp.float32)
     view = jnp.zeros((B, 2))
+    t = jnp.asarray(np.sort(rng.uniform(0.1, 3.0, (B, S)), axis=1), jnp.float32)
+    deltas = jnp.asarray(rng.uniform(0.01, 0.1, (B, S)), jnp.float32)
     mask = jnp.ones((B, S), bool)  # 16 wanted, capacity 5
-    rgb, sig = compacted_field_apply(field, params, pos, view, mask, capacity=cap)
-    s = np.asarray(sig).reshape(-1)
-    assert (s[:cap] > 0).all()      # first `cap` samples evaluated
-    assert (s[cap:] == 0).all()      # the rest dropped cleanly
+    out = compacted_shade(field, params, pos, view, t, deltas, mask,
+                          capacity=cap, white_background=False)
+    trunc = jnp.arange(B * S).reshape(B, S) < cap  # first 5 flat slots
+    rgb_d, sig_d = field.apply(params, pos, view[:, None, :])
+    ref = composite(rgb_d, sig_d, deltas, t_mid=t, mask=mask & trunc,
+                    white_background=False)
+    np.testing.assert_allclose(np.asarray(out.rgb), np.asarray(ref.rgb), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(out.acc), np.asarray(ref.acc), atol=2e-5)
 
 
 def test_ray_compaction_matches_uncompacted():

@@ -18,7 +18,7 @@ Two strategies, both pure functions jitted end-to-end:
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -39,53 +39,116 @@ from tnerf.render.composite import RenderResult, composite
 from tnerf.sampling import interval_samples, sample_positions
 
 
-def compacted_field_apply(
+def _segmented_cumsum(x: jnp.ndarray, seg_start: jnp.ndarray) -> jnp.ndarray:
+    """Inclusive per-segment prefix sum over a flat array.
+
+    seg_start[i] marks the first element of each segment.  Exact per
+    segment: the scan operator only ever adds in-segment terms, so the
+    precision matches a per-ray cumsum (a GLOBAL cumsum followed by
+    offset subtraction would lose ~log2(total_tau) bits to cancellation
+    at render batch sizes)."""
+
+    def op(a, b):
+        sa, fa = a
+        sb, fb = b
+        return jnp.where(fb, sb, sa + sb), fa | fb
+
+    s, _ = jax.lax.associative_scan(op, (x, seg_start))
+    return s
+
+
+def compacted_shade(
     field: NeRFField,
     params: dict,
     positions: jnp.ndarray,   # [B, S, 3]
     viewdirs: jnp.ndarray,    # [B, 2]
+    t: jnp.ndarray,           # [B, S] sample depths (midpoints)
+    deltas: jnp.ndarray,      # [B, S]
     mask: jnp.ndarray,        # [B, S] bool
     capacity: int,
-) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Evaluate the field only on masked-in samples.
+    white_background: bool,
+) -> RenderResult:
+    """Field eval + compositing entirely in the compacted sample domain.
 
-    Static-capacity scatter/gather compaction (cumsum write indices) — the
-    TPU replacement for the reference's thrust::exclusive_scan batch
-    compaction (main.cu:631-637), without ragged shapes.  Samples beyond
-    `capacity` are dropped (contribute nothing); callers size capacity to
-    make overflow statistically negligible and can inspect the overflow
-    via the returned sigma (dropped samples have sigma=0).
+    The TPU replacement for the reference's thrust::exclusive_scan batch
+    compaction (main.cu:631-637), without ragged shapes.  Design is
+    driven by the measured ~8 ns/ROW cost of every XLA TPU scatter or
+    gather (docs/KERNEL_NOTES.md): with N = B*S sample slots and
+    K = capacity kept samples (K ~ N/4 at production masks), the frame
+    must never run an [N]-row scatter/gather after the mask is known.
+
+      - the kept-sample permutation comes from ONE stable sort of [N]
+        int32 keys (XLA TPU sort: ~1.8 ns/elem, 4x cheaper than the
+        row-scatter it replaces);
+      - inputs move through ONE [K]-row gather of packed
+        pos+view+t+delta rows;
+      - compositing runs ON THE COMPACTED ORDER: kept samples of a ray
+        are contiguous (cumsum write ranks are ray-major), so T_i comes
+        from a segmented prefix scan, and per-ray reduction is ONE
+        [K]-row scatter-add of packed (w*rgb, w, w*t) rows.
+
+    Semantics match composite(mask=...) + capacity-overflow drop of the
+    round-2 scatter/gather design bit-for-bit up to cumsum association:
+    masked-out samples contribute nothing, kept samples beyond
+    `capacity` are dropped (first-K-kept win), dropped rays composite
+    to background.
     """
     B, S = mask.shape
     N = B * S
+    capacity = min(capacity, N)
     vdim = viewdirs.shape[-1]
-    # One packed scatter and one packed gather (XLA's TPU scatter/gather
-    # cost scales with row count, not row width — packing pos+view and
-    # rgb+sigma halves the number of [N]-row ops).
-    flat = jnp.concatenate(
+    flat_mask = mask.reshape(N)
+
+    kept_incl = jnp.cumsum(flat_mask.astype(jnp.int32))      # [N] inclusive rank
+    total = kept_incl[-1]
+    keys = jnp.where(flat_mask, kept_incl - 1, N)            # kept k -> key k
+    src = jax.lax.sort_key_val(
+        keys, jnp.arange(N, dtype=jnp.int32), is_stable=True
+    )[1][:capacity]                                          # [K] source slots
+    valid = jnp.arange(capacity, dtype=jnp.int32) < total
+
+    pack = jnp.concatenate(
         [
             positions.reshape(N, 3),
             jnp.broadcast_to(viewdirs[:, None, :], (B, S, vdim)).reshape(N, vdim),
+            t.reshape(N, 1).astype(jnp.float32),
+            deltas.reshape(N, 1).astype(jnp.float32),
         ],
         axis=1,
     )
-    flat_mask = mask.reshape(N)
+    g = pack[src]                                            # [K, 5+vdim]
 
-    write_idx = jnp.cumsum(flat_mask.astype(jnp.int32)) - 1  # [N]
-    write_idx = jnp.where(flat_mask, write_idx, capacity)    # parked at OOB slot
-    buf = jnp.zeros((capacity + 1, 3 + vdim), flat.dtype).at[write_idx].set(flat)
+    rgb_c, sigma_c = field.apply(params, g[:, :3], g[:, 3 : 3 + vdim])
+    sigma_c = jnp.where(valid, sigma_c.astype(jnp.float32), 0.0)
+    t_c = g[:, 3 + vdim]
+    dt_c = g[:, 4 + vdim]
 
-    rgb_c, sigma_c = field.apply(params, buf[:capacity, :3], buf[:capacity, 3:])
-    out_c = jnp.concatenate([rgb_c, sigma_c[:, None].astype(rgb_c.dtype)], axis=1)
-    out_c = jnp.concatenate([out_c, jnp.zeros((1, 4), out_c.dtype)], axis=0)
+    # composite() quadrature on ragged per-ray segments (invalid slots
+    # have tau=0 -> alpha=0 -> w=0: they contribute nothing anywhere).
+    tau = sigma_c * dt_c
+    ray_id = src // S                                        # nondecreasing on valid prefix
+    seg_start = jnp.concatenate(
+        [jnp.ones((1,), bool), ray_id[1:] != ray_id[:-1]]
+    )
+    transmittance = jnp.exp(-(_segmented_cumsum(tau, seg_start) - tau))
+    alpha = 1.0 - jnp.exp(-tau)
+    w = transmittance * alpha
 
-    read_idx = jnp.minimum(write_idx, capacity)
-    out = out_c[read_idx]
-    rgb = out[:, :3].reshape(B, S, 3)
-    sigma = jnp.where(
-        flat_mask & (write_idx < capacity), out[:, 3], 0.0
-    ).reshape(B, S)
-    return rgb, sigma
+    data = jnp.concatenate(
+        [
+            w[:, None] * rgb_c.astype(jnp.float32),
+            w[:, None],
+            (w * t_c)[:, None],
+        ],
+        axis=1,
+    )                                                        # [K, 5]
+    rid = jnp.where(valid, ray_id, B)
+    out = jnp.zeros((B + 1, 5), jnp.float32).at[rid].add(data)[:B]
+    out_rgb, acc, depth = out[:, :3], out[:, 3], out[:, 4]
+    if white_background:
+        out_rgb = out_rgb + (1.0 - acc)[:, None]
+    empty = jnp.zeros((B, 0), jnp.float32)
+    return RenderResult(out_rgb, acc, depth, empty, empty)
 
 
 def ray_keep_fraction(
@@ -163,12 +226,11 @@ def make_grid_renderer(
                     else render_cfg.compact_fraction
                 )
                 cap = compact_capacity or max(1, int(B_ * S_ * frac))
-                rgb, sigma = compacted_field_apply(
-                    field, params, pts, viewdirs_tp, smask, cap
+                return compacted_shade(
+                    field, params, pts, viewdirs_tp, t, deltas, smask, cap,
+                    render_cfg.white_background,
                 )
-            else:
-                rgb, sigma = field.apply(params, pts, viewdirs_tp[..., None, :])
-
+            rgb, sigma = field.apply(params, pts, viewdirs_tp[..., None, :])
             return composite(
                 rgb, sigma, deltas, t_mid=t, mask=smask,
                 white_background=render_cfg.white_background,
