@@ -433,3 +433,99 @@ def occupancy_lookup(
     # jnp.asarray: a host-numpy occupancy (e.g. straight from a restored
     # checkpoint) would otherwise call numpy __array__ on traced indices.
     return inside & jnp.asarray(occupancy).reshape(-1)[flat]
+
+
+def occupancy_lookup_matmul(
+    positions: jnp.ndarray,
+    occupancy: jnp.ndarray,
+    grid: GridConfig,
+    chunk: int = 32768,
+) -> jnp.ndarray:
+    """occupancy_lookup via MXU gather-as-matmul (TPU fast path).
+
+    XLA's TPU gather costs ~8 ns/element regardless of table size
+    (docs/KERNEL_NOTES.md), which makes the per-sample fine-occupancy
+    test the single largest non-field cost of the compacted march render
+    (~8 ms per 1M samples at 128^3).  This reformulation is the
+    apply_hashgrid_onehot trick (fields/hashgrid.py:247) applied to a
+    bitfield: pack occupancy bits into BYTES held as a [rows, 512] bf16
+    table (byte values 0..255 are exact in bf16), fetch each sample's
+    byte with one [C, rows] @ [rows, 512] one-hot matmul (exact: a
+    one-hot row copies a single already-bf16 value; all other products
+    are true zeros) + a 4-way 128-lane select, then bit-test in int32.
+
+    Bit-for-bit identical to occupancy_lookup (same floor/clip cell
+    arithmetic); requires res^3 % (8 * 512 * 512) == 0 in principle but
+    any res with res^3 % 4096 == 0 works via row padding.
+    """
+    res = occupancy.shape[0] if occupancy.ndim == 3 else grid.resolution
+    n = res ** 3
+    lo = jnp.asarray(grid.aabb_min, jnp.float32)
+    hi = jnp.asarray(grid.aabb_max, jnp.float32)
+
+    occ_flat = jnp.asarray(occupancy).reshape(-1)
+    n_bytes = -(-n // 8)
+    rows = max(1, -(-n_bytes // 512))
+    bits = occ_flat.astype(jnp.int32)
+    if n_bytes * 8 != n or rows * 512 != n_bytes:
+        bits = jnp.pad(bits, (0, rows * 512 * 8 - n))
+    # [rows*512] bytes, byte j = bits[8j..8j+7], bit b of byte = bit 8j+b
+    byte_tbl = (
+        (bits.reshape(rows * 512, 8) << jnp.arange(8, dtype=jnp.int32))
+        .sum(axis=1, dtype=jnp.int32)
+        .reshape(rows, 512)
+        .astype(jnp.bfloat16)
+    )
+    iota_rows = jax.lax.broadcasted_iota(jnp.int32, (1, rows), 1)
+    iota_lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+
+    batch_shape = positions.shape[:-1]
+    p = positions.reshape(-1, 3)
+    N = p.shape[0]
+    pad = (-N) % chunk
+    p = jnp.pad(p, ((0, pad), (0, 0)))
+
+    def lookup_chunk(pc):  # [C, 3] -> [C] bool
+        ijk = jnp.floor((pc - lo) / ((hi - lo) / res)).astype(jnp.int32)
+        inside = jnp.all((ijk >= 0) & (ijk < res), axis=-1)
+        ijk = jnp.clip(ijk, 0, res - 1)
+        flat = (ijk[..., 0] * res + ijk[..., 1]) * res + ijk[..., 2]
+        byte_idx = flat >> 3
+        row = byte_idx >> 9
+        col = byte_idx & 511
+        oh_row = (row[:, None] == iota_rows).astype(jnp.bfloat16)
+        m = jax.lax.dot_general(
+            oh_row, byte_tbl,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.bfloat16,
+        )  # [C, 512] — exact byte copies
+        oh_lane = ((col[:, None] & 127) == iota_lane).astype(jnp.bfloat16)
+        grp = col >> 7
+        byte = jnp.zeros(pc.shape[:1], jnp.bfloat16)
+        for g in range(4):
+            sel = jnp.sum(m[:, g * 128 : (g + 1) * 128] * oh_lane, axis=-1,
+                          dtype=jnp.bfloat16)
+            byte = jnp.where(grp == g, sel, byte)
+        word = byte.astype(jnp.int32)  # 0..255 exact
+        return inside & (((word >> (flat & 7)) & 1) > 0)
+
+    if p.shape[0] == chunk:
+        out = lookup_chunk(p)
+    else:
+        out = jax.lax.map(lookup_chunk, p.reshape(-1, chunk, 3)).reshape(-1)
+    return out[:N].reshape(batch_shape)
+
+
+def occupancy_lookup_fast(
+    positions: jnp.ndarray,
+    occupancy: jnp.ndarray,
+    grid: GridConfig,
+) -> jnp.ndarray:
+    """occupancy_lookup with the TPU-appropriate formulation: the one-hot
+    matmul path for large tables on TPU (gather pathology), the plain
+    gather elsewhere (CPU gathers are fast; small tables don't matter)."""
+    res = occupancy.shape[0] if occupancy.ndim == 3 else grid.resolution
+    on_tpu = jax.devices()[0].platform == "tpu"
+    if on_tpu and res ** 3 >= (1 << 18) and (res ** 3) % 4096 == 0:
+        return occupancy_lookup_matmul(positions, occupancy, grid)
+    return occupancy_lookup(positions, occupancy, grid)

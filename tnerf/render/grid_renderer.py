@@ -31,6 +31,7 @@ from tnerf.grid.traversal import (
     make_coarse_occupancy,
     march_samples_t,
     occupancy_lookup,
+    occupancy_lookup_fast,
     ray_aabb,
     tightened_range,
     traverse_grid,
@@ -294,7 +295,7 @@ def make_grid_renderer(
                         return mask_k
                     t_, _ = march_samples_t(t0_, t1_, S)
                     pts_ = sample_positions(o_, d_, t_)
-                    return mask_k & occupancy_lookup(
+                    return mask_k & occupancy_lookup_fast(
                         pts_, pool(occ3, m_res), grid_cfg
                     )
                 if render_cfg.ray_compact:
@@ -370,7 +371,7 @@ def make_grid_renderer(
                 smask = t_exit[..., None] > t_enter[..., None]
                 if occ3 is not None:
                     pts_probe = sample_positions(rays.origins, rays.directions, t)
-                    smask = smask & occupancy_lookup(
+                    smask = smask & occupancy_lookup_fast(
                         pts_probe, pool(occ3, m_res), grid_cfg
                     )
 
