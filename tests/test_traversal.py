@@ -263,3 +263,33 @@ def test_twolevel_skips_in_fewer_steps():
     assert len(cells) >= 8  # walked the occupied corner's diagonal cells
     flat_ids = np.asarray(np.nonzero(occ.reshape(-1))[0])
     assert np.all(np.isin(cells, flat_ids))
+
+
+def test_occupancy_lookup_matmul_matches_gather():
+    """The MXU one-hot matmul reformulation (byte-packed table fetch,
+    occupancy_lookup_matmul) must be bit-identical to the plain gather —
+    same floor/clip arithmetic, exact byte copies through bf16 (values
+    0..255 are exact). Exercises both the even-chunk and padded paths,
+    points outside the AABB, and a res whose bit count needs row padding."""
+    from tnerf.grid.traversal import occupancy_lookup_matmul
+
+    rng = np.random.default_rng(7)
+    for res, n_pts, chunk in ((64, 5000, 2048), (32, 1000, 1000)):
+        grid = GridConfig(resolution=res)
+        occ = jnp.asarray(rng.random((res, res, res)) < 0.3)
+        pts = jnp.asarray(
+            rng.uniform(-1.6, 1.6, size=(n_pts, 3)).astype(np.float32)
+        )  # AABB is [-1.5, 1.5]: ~7% of points land outside
+        ref = np.asarray(occupancy_lookup(pts, occ, grid))
+        got = np.asarray(occupancy_lookup_matmul(pts, occ, grid, chunk=chunk))
+        assert ref.dtype == got.dtype == np.bool_
+        np.testing.assert_array_equal(got, ref)
+    # batched shape passthrough
+    grid = GridConfig(resolution=32)
+    occ = jnp.asarray(rng.random((32, 32, 32)) < 0.5)
+    pts = jnp.asarray(rng.uniform(-1.5, 1.5, size=(4, 7, 3)).astype(np.float32))
+    out = occupancy_lookup_matmul(pts, occ, grid, chunk=16)
+    assert out.shape == (4, 7)
+    np.testing.assert_array_equal(
+        np.asarray(out), np.asarray(occupancy_lookup(pts, occ, grid))
+    )
