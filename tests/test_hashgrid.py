@@ -222,3 +222,92 @@ def test_onehot_positions_get_zero_cotangent():
     np.testing.assert_array_equal(np.asarray(g_oh), 0.0)
     g_ga = jax.grad(lambda x: jnp.sum(apply_hashgrid_gather(params, x, cfg)))(x)
     assert float(jnp.abs(g_ga).max()) > 0.0
+
+
+# ---- nearest-interpolation coarse levels (tcnn 'Nearest' parity) ----------
+
+
+def numpy_hashgrid_nearest(tables, x01, cfg):
+    """Numpy mirror with hash_nearest_levels: the first K levels take the
+    rounded-vertex entry with weight 1; the rest are trilinear."""
+    L, F, K = cfg.hash_levels, cfg.hash_features_per_level, cfg.hash_nearest_levels
+    T = 1 << cfg.hash_log2_table_size
+    res = level_resolutions(cfg)
+    out = np.asarray(
+        numpy_hashgrid(tables, x01, cfg).reshape(x01.shape[0], L, F)
+    ).copy()
+    for l in range(K):
+        N = int(res[l])
+        pos = np.clip(x01 * N, 0, N - 1e-4)
+        i0 = np.floor(pos).astype(np.uint32)
+        frac = (pos - i0).astype(np.float32)
+        cx = i0 + (frac >= 0.5).astype(np.uint32)
+        if (N + 1) ** 3 <= T:
+            idx = cx[:, 0] + (N + 1) * (cx[:, 1] + (N + 1) * cx[:, 2])
+        else:
+            idx = (
+                cx[:, 0] * np.uint32(1)
+                ^ cx[:, 1] * np.uint32(2654435761)
+                ^ cx[:, 2] * np.uint32(805459861)
+            )
+        out[:, l] = tables[(idx & np.uint32(T - 1)).astype(np.int64) + l * T]
+    return out.reshape(x01.shape[0], L * F)
+
+
+@pytest.mark.parametrize("K", [1, 2, 4])
+def test_nearest_levels_match_numpy_mirror(K):
+    cfg = small_cfg(hash_nearest_levels=K)
+    params = init_hashgrid(jax.random.PRNGKey(0), cfg)
+    x = np.asarray(jax.random.uniform(jax.random.PRNGKey(7), (211, 3)))
+    got = apply_hashgrid(params, jnp.asarray(x), cfg)
+    want = numpy_hashgrid_nearest(np.asarray(params["tables"]), x, cfg)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-6, atol=1e-7)
+
+
+@pytest.mark.parametrize("K", [1, 3, 4])
+def test_nearest_onehot_matches_gather(K):
+    from tnerf.fields.hashgrid import apply_hashgrid_gather, apply_hashgrid_onehot
+
+    cfg = small_cfg(compute_dtype="float32", hash_nearest_levels=K)
+    params = init_hashgrid(jax.random.PRNGKey(0), cfg)
+    x = jax.random.uniform(jax.random.PRNGKey(8), (333, 3))
+    a = apply_hashgrid_gather(params, x, cfg)
+    b = apply_hashgrid_onehot(params, x, cfg)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_nearest_onehot_grads_match_gather():
+    from tnerf.fields.hashgrid import apply_hashgrid_gather, apply_hashgrid_onehot
+
+    cfg = small_cfg(compute_dtype="float32", hash_nearest_levels=2)
+    params = init_hashgrid(jax.random.PRNGKey(0), cfg)
+    x = jax.random.uniform(jax.random.PRNGKey(9), (300, 3))
+
+    def loss(tables, fn, **kw):
+        return jnp.sum(fn({"tables": tables}, x, cfg, **kw) ** 2)
+
+    ga = jax.grad(lambda t: loss(t, apply_hashgrid_gather))(params["tables"])
+    gb = jax.grad(lambda t: loss(t, apply_hashgrid_onehot))(params["tables"])
+    np.testing.assert_allclose(np.asarray(ga), np.asarray(gb), rtol=1e-5, atol=1e-12)
+    # multi-chunk scan path of the hand-written VJP
+    gc = jax.grad(lambda t: loss(t, apply_hashgrid_onehot, chunk=128))(params["tables"])
+    np.testing.assert_allclose(np.asarray(ga), np.asarray(gc), rtol=1e-5, atol=1e-11)
+
+
+def test_nearest_levels_piecewise_constant():
+    """A nearest level's contribution is constant within a vertex cell:
+    two points that round to the same vertices on every level agree."""
+    cfg = small_cfg(hash_nearest_levels=4)  # all levels nearest
+    params = init_hashgrid(jax.random.PRNGKey(0), cfg)
+    # res = [4, 8, 16, 32]: these perturbed points stay on the same side
+    # of every level's 0.5-frac rounding boundary.
+    a = apply_hashgrid(params, jnp.array([[0.2, 0.2, 0.4]]), cfg)
+    b = apply_hashgrid(params, jnp.array([[0.201, 0.201, 0.401]]), cfg)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_nearest_levels_out_of_range_raises():
+    cfg = small_cfg(hash_nearest_levels=5)
+    params = init_hashgrid(jax.random.PRNGKey(0), cfg)
+    with pytest.raises(ValueError):
+        apply_hashgrid(params, jnp.zeros((4, 3)), cfg)

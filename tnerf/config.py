@@ -155,6 +155,14 @@ class FieldConfig:
     # (onehot on TPU when the table is small enough — see
     # tnerf/fields/hashgrid.py:resolve_gather_mode).
     hash_gather_mode: str = "auto"
+    # Interpolation of the first K levels is nearest-corner (piecewise
+    # constant) instead of trilinear — the role of tcnn's "Nearest"
+    # interpolation mode (the reference schema's HashGrid supports
+    # Nearest/Linear, main.cu:35-69 context).  One corner lookup instead
+    # of 8 cuts encode FLOPs ~(L - 7/8*K)/L on the MXU one-hot path;
+    # coarse levels lose least from the blockiness (cells are refined by
+    # the linear fine levels).  0 = all-linear (tcnn default).
+    hash_nearest_levels: int = 0
     # With hashgrid, Instant-NGP uses a shallow MLP.
     hash_hidden_width: int = 64
     hash_hidden_layers: int = 2

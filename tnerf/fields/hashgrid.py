@@ -65,6 +65,19 @@ def _level_geometry(x01: jnp.ndarray, cfg: FieldConfig):
     return i0, frac, dense_fits, n1
 
 
+def _index_of(x_, y_, z_, dense_fits, n1, T):
+    """Within-level table index [..., L] uint32 in [0, T) for integer
+    vertex coordinates: collision-free linear indexing where the dense
+    grid fits, the NGP spatial hash otherwise."""
+    linear = x_ + n1 * (y_ + n1 * z_)
+    hashed = (
+        x_ * jnp.uint32(_PRIMES[0])
+        ^ y_ * jnp.uint32(_PRIMES[1])
+        ^ z_ * jnp.uint32(_PRIMES[2])
+    )
+    return jnp.where(dense_fits, linear, hashed) & jnp.uint32(T - 1)
+
+
 def _corner_index_weight(c, i0, frac, dense_fits, n1, T):
     """Corner c (0..7) of the trilinear cube: within-level table index
     [..., L] uint32 in [0, T) and interpolation weight [..., L] f32."""
@@ -72,19 +85,20 @@ def _corner_index_weight(c, i0, frac, dense_fits, n1, T):
     x_ = i0[..., 0] + jnp.uint32(off[0])  # [..., L]
     y_ = i0[..., 1] + jnp.uint32(off[1])
     z_ = i0[..., 2] + jnp.uint32(off[2])
-    linear = x_ + n1 * (y_ + n1 * z_)
-    hashed = (
-        x_ * jnp.uint32(_PRIMES[0])
-        ^ y_ * jnp.uint32(_PRIMES[1])
-        ^ z_ * jnp.uint32(_PRIMES[2])
-    )
-    idx = jnp.where(dense_fits, linear, hashed) & jnp.uint32(T - 1)
+    idx = _index_of(x_, y_, z_, dense_fits, n1, T)
     w = (
         (frac[..., 0] if off[0] else 1.0 - frac[..., 0])
         * (frac[..., 1] if off[1] else 1.0 - frac[..., 1])
         * (frac[..., 2] if off[2] else 1.0 - frac[..., 2])
     )  # [..., L]
     return idx, w
+
+
+def _nearest_index(i0, frac, dense_fits, n1, T):
+    """Nearest-vertex table index [..., L] uint32 (tcnn 'Nearest'
+    interpolation: round each coordinate instead of blending 8 corners)."""
+    ix = i0 + (frac >= 0.5).astype(jnp.uint32)  # [..., L, 3]
+    return _index_of(ix[..., 0], ix[..., 1], ix[..., 2], dense_fits, n1, T)
 
 
 _warned_gather_downgrade = False
@@ -138,6 +152,11 @@ def apply_hashgrid(
 
     Dispatches between the XLA-gather formulation and the MXU one-hot
     matmul formulation (see resolve_gather_mode)."""
+    if not 0 <= cfg.hash_nearest_levels <= cfg.hash_levels:
+        raise ValueError(
+            f"hash_nearest_levels={cfg.hash_nearest_levels} must be in "
+            f"[0, hash_levels={cfg.hash_levels}]"
+        )
     if (mode or resolve_gather_mode(cfg)) == "onehot":
         return apply_hashgrid_onehot(params, x01, cfg)
     return apply_hashgrid_gather(params, x01, cfg)
@@ -155,15 +174,26 @@ def apply_hashgrid_gather(
     the loop peaks at ~[..., L, F] working set and fuses cleanly.
     """
     L, F = cfg.hash_levels, cfg.hash_features_per_level
+    K = cfg.hash_nearest_levels
     T = 1 << cfg.hash_log2_table_size
     i0, frac, dense_fits, n1 = _level_geometry(x01, cfg)
     level_off = jnp.arange(L, dtype=jnp.uint32) * jnp.uint32(T)
     tables = params["tables"]
 
-    out = jnp.zeros((*x01.shape[:-1], L, F), tables.dtype)
-    for c in range(8):
-        idx, w = _corner_index_weight(c, i0, frac, dense_fits, n1, T)
-        out = out + w[..., None] * tables[(idx + level_off).astype(jnp.int32)]
+    parts = []
+    if K:  # nearest-interpolated coarse levels: one lookup, weight 1
+        idxn = _nearest_index(
+            i0[..., :K, :], frac[..., :K, :], dense_fits[:K], n1[:K], T
+        )
+        parts.append(tables[(idxn + level_off[:K]).astype(jnp.int32)])
+    if K < L:
+        lin = jnp.zeros((*x01.shape[:-1], L - K, F), tables.dtype)
+        geom = (i0[..., K:, :], frac[..., K:, :], dense_fits[K:], n1[K:])
+        for c in range(8):
+            idx, w = _corner_index_weight(c, *geom, T)
+            lin = lin + w[..., None] * tables[(idx + level_off[K:]).astype(jnp.int32)]
+        parts.append(lin)
+    out = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=-2)
     return out.reshape(*x01.shape[:-1], L * F)
 
 
@@ -259,38 +289,52 @@ def _onehot_encode(tables, x, cfg, chunk):
     )
     iota_rows = jax.lax.broadcasted_iota(jnp.int32, (1, 1, rows), 2)
     iota_lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 128), 2)
+    K = cfg.hash_nearest_levels
+
+    def lookup(tbl_m_sub, idx_t):  # [Ls,ROWS,F*128], [Ls,C] -> [Ls,C,F]
+        oh_row = (idx_t[:, :, None] >> 7 == iota_rows).astype(cdtype)
+        # Dot output in compute_dtype: EXACT even in bf16 — the one-hot
+        # selects a single already-compute_dtype table value; every
+        # other product is a true zero.  Measured 2.6x over an f32
+        # output (the [L,C,F*128] intermediate halves in bytes).
+        m = jax.lax.dot_general(
+            oh_row,
+            tbl_m_sub,
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=cdtype,
+        )  # [Ls, C, F*128]
+        oh_lane = ((idx_t[:, :, None] & 127) == iota_lane).astype(cdtype)
+        # Per-feature static 128-lane slices (NOT a [L,C,F,128] reshape:
+        # the trailing [2,128] dims force degenerate T(2,128) tiling —
+        # measured 10 ms per pass at this size).
+        return jnp.stack(
+            [
+                jnp.sum(m[:, :, f * 128 : (f + 1) * 128] * oh_lane,
+                        axis=-1, dtype=cdtype)
+                for f in range(F)
+            ],
+            axis=-1,
+        )  # [Ls, C, F] — exact: one nonzero per (sample, level, feature)
 
     def encode_chunk(_, xc):  # [C, 3] -> [C, L*F]
         c_sz = xc.shape[0]
         i0, frac, dense_fits, n1 = _level_geometry(xc, cfg)
-        out = jnp.zeros((L, c_sz, F), jnp.float32)
-        for c in range(8):
-            idx, w = _corner_index_weight(c, i0, frac, dense_fits, n1, T)
-            idx_t = idx.astype(jnp.int32).T  # [L, C]
-            oh_row = (idx_t[:, :, None] >> 7 == iota_rows).astype(cdtype)
-            # Dot output in compute_dtype: EXACT even in bf16 — the one-hot
-            # selects a single already-compute_dtype table value; every
-            # other product is a true zero.  Measured 2.6x over an f32
-            # output (the [L,C,F*128] intermediate halves in bytes).
-            m = jax.lax.dot_general(
-                oh_row,
-                tbl_m,
-                dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-                preferred_element_type=cdtype,
-            )  # [L, C, F*128]
-            oh_lane = ((idx_t[:, :, None] & 127) == iota_lane).astype(cdtype)
-            # Per-feature static 128-lane slices (NOT a [L,C,F,128] reshape:
-            # the trailing [2,128] dims force degenerate T(2,128) tiling —
-            # measured 10 ms per pass at this size).
-            val = jnp.stack(
-                [
-                    jnp.sum(m[:, :, f * 128 : (f + 1) * 128] * oh_lane,
-                            axis=-1, dtype=cdtype)
-                    for f in range(F)
-                ],
-                axis=-1,
-            )  # [L, C, F] — exact: one nonzero per (sample, level, feature)
-            out = out + w.T[:, :, None] * val.astype(jnp.float32)
+        parts = []
+        if K:  # nearest coarse levels: ONE corner product instead of 8
+            idxn = _nearest_index(
+                i0[..., :K, :], frac[..., :K, :], dense_fits[:K], n1[:K], T
+            )
+            parts.append(lookup(tbl_m[:K], idxn.astype(jnp.int32).T)
+                         .astype(jnp.float32))
+        if K < L:
+            out = jnp.zeros((L - K, c_sz, F), jnp.float32)
+            geom = (i0[..., K:, :], frac[..., K:, :], dense_fits[K:], n1[K:])
+            for c in range(8):
+                idx, w = _corner_index_weight(c, *geom, T)
+                val = lookup(tbl_m[K:], idx.astype(jnp.int32).T)
+                out = out + w.T[:, :, None] * val.astype(jnp.float32)
+            parts.append(out)
+        out = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=0)
         return None, out.transpose(1, 0, 2).reshape(c_sz, L * F)
 
     _, y = _chunk_iter(x, chunk, encode_chunk, None)
@@ -313,31 +357,44 @@ def _onehot_encode_bwd(cfg, chunk, x, g):
     cdtype = _onehot_dtypes(cfg)
     iota_rows = jax.lax.broadcasted_iota(jnp.int32, (1, 1, rows), 2)
     iota_lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 128), 2)
+    K = cfg.hash_nearest_levels
+
+    def outer(idx_t, wg):  # [Ls,C] idx, [Ls,C,F] f32 cot -> [Ls,ROWS,F*128]
+        oh_row = (idx_t[:, :, None] >> 7 == iota_rows).astype(cdtype)
+        oh_lane = ((idx_t[:, :, None] & 127) == iota_lane).astype(cdtype)
+        # Build [Ls, C, F*128] by per-feature concat of [Ls,C,128] tiles
+        # (a [L,C,F,128] broadcast-reshape lowers to T(2,128) tiling:
+        # 10 ms per fusion at this size, 82 ms/step total).
+        G2 = jnp.concatenate(
+            [wg[:, :, f : f + 1].astype(cdtype) * oh_lane for f in range(F)],
+            axis=-1,
+        )  # [Ls, C, F*128]
+        return jax.lax.dot_general(
+            oh_row,
+            G2,
+            dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )  # [Ls, ROWS, F*128]
 
     def bwd_chunk(acc, inp):
         xc, gc = inp  # [C,3], [C, L*F]
         c_sz = xc.shape[0]
         i0, frac, dense_fits, n1 = _level_geometry(xc, cfg)
         g3 = gc.reshape(c_sz, L, F).transpose(1, 0, 2)  # [L, C, F] f32
-        for c in range(8):
-            idx, w = _corner_index_weight(c, i0, frac, dense_fits, n1, T)
-            idx_t = idx.astype(jnp.int32).T  # [L, C]
-            oh_row = (idx_t[:, :, None] >> 7 == iota_rows).astype(cdtype)
-            oh_lane = ((idx_t[:, :, None] & 127) == iota_lane).astype(cdtype)
-            wg = w.T[:, :, None] * g3  # [L, C, F] f32
-            # Build [L, C, F*128] by per-feature concat of [L,C,128] tiles
-            # (a [L,C,F,128] broadcast-reshape lowers to T(2,128) tiling:
-            # 10 ms per fusion at this size, 82 ms/step total).
-            G2 = jnp.concatenate(
-                [wg[:, :, f : f + 1].astype(cdtype) * oh_lane for f in range(F)],
-                axis=-1,
-            )  # [L, C, F*128]
-            acc = acc + jax.lax.dot_general(
-                oh_row,
-                G2,
-                dimension_numbers=(((1,), (1,)), ((0,), (0,))),
-                preferred_element_type=jnp.float32,
-            )  # [L, ROWS, F*128]
+        if K:  # nearest coarse levels: weight 1, one corner
+            idxn = _nearest_index(
+                i0[..., :K, :], frac[..., :K, :], dense_fits[:K], n1[:K], T
+            )
+            acc = acc.at[:K].add(outer(idxn.astype(jnp.int32).T, g3[:K]))
+        if K < L:
+            lin = jnp.zeros((L - K, rows, F * 128), jnp.float32)
+            geom = (i0[..., K:, :], frac[..., K:, :], dense_fits[K:], n1[K:])
+            for c in range(8):
+                idx, w = _corner_index_weight(c, *geom, T)
+                lin = lin + outer(
+                    idx.astype(jnp.int32).T, w.T[:, :, None] * g3[K:]
+                )
+            acc = acc.at[K:].add(lin)
         return acc, None
 
     dtbl_m, _ = _chunk_iter(
