@@ -157,7 +157,12 @@ def apply_hashgrid(
             f"hash_nearest_levels={cfg.hash_nearest_levels} must be in "
             f"[0, hash_levels={cfg.hash_levels}]"
         )
-    if (mode or resolve_gather_mode(cfg)) == "onehot":
+    m = mode or resolve_gather_mode(cfg)
+    if m == "pallas":
+        from tnerf.fields.pallas_hash import apply_hashgrid_pallas
+
+        return apply_hashgrid_pallas(params, x01, cfg)
+    if m == "onehot":
         return apply_hashgrid_onehot(params, x01, cfg)
     return apply_hashgrid_gather(params, x01, cfg)
 
