@@ -231,3 +231,44 @@ def test_hard_scene_training_improves(tmp_path):
     lines = [_json.loads(l) for l in open(tmp_path / "hard" / "metrics.jsonl")]
     losses = [l["loss"] for l in lines if "loss" in l]
     assert losses[-1] < losses[0] * 0.7
+
+
+def test_run_training_sample_parallel(tmp_path, scene):
+    """run_training with the sample axis sharded: ParallelConfig
+    sample_parallel consumed end-to-end on a ("data", "sample") mesh."""
+    import jax
+
+    assert len(jax.devices()) >= 8
+    cfg = _cfg(str(tmp_path / "sp_run")).apply_overrides([
+        "render.pipeline=grid_intervals",
+        "grid.max_hits=8", "sampler.samples_per_interval=4",
+        "parallel.data_parallel=2", "parallel.sample_parallel=4",
+        "train.steps=12", "train.eval_every=6", "train.checkpoint_every=0",
+    ])
+    m = run_training(cfg, datasets=scene)
+    assert np.isfinite(m["psnr_test"])
+
+
+def test_run_training_table_parallel(tmp_path, scene):
+    """run_training with hash-grid tables level-sharded: ParallelConfig
+    table_parallel consumed end-to-end on a ("data", "model") mesh."""
+    import jax
+
+    assert len(jax.devices()) >= 8
+    cfg = _cfg(str(tmp_path / "tp_run")).apply_overrides([
+        "field_.encoding=hashgrid", "field_.hash_levels=8",
+        "field_.hash_log2_table_size=12", "field_.hash_max_resolution=64",
+        "field_.hash_gather_mode=gather",
+        "parallel.data_parallel=2", "parallel.table_parallel=4",
+        "train.steps=12", "train.eval_every=6", "train.checkpoint_every=0",
+    ])
+    m = run_training(cfg, datasets=scene)
+    assert np.isfinite(m["psnr_test"])
+
+
+def test_run_training_sp_requires_intervals(tmp_path, scene):
+    cfg = _cfg(str(tmp_path / "sp_bad")).apply_overrides([
+        "parallel.sample_parallel=4",
+    ])
+    with pytest.raises(ValueError, match="grid_intervals"):
+        run_training(cfg, datasets=scene)

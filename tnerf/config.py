@@ -272,6 +272,20 @@ class ParallelConfig:
     # Data-parallel axis over rays; -1 = all available devices.
     data_parallel: int = -1
     axis_name: str = "data"
+    # Sample-parallel axis: shards the samples-per-ray quadrature of the
+    # grid_intervals pipeline across chips (segmented compositing with
+    # per-ray transmittance offsets — tnerf/parallel/sample_parallel.py).
+    # Composes with DP on a ("data", "sample") mesh; the total device
+    # count is data_parallel * sample_parallel.
+    sample_parallel: int = 1
+    sample_axis_name: str = "sample"
+    # Table-parallel axis: shards the hash-grid LEVEL tables (and their
+    # optimizer state) across chips, megatron-embedding style — each
+    # chip stores/updates L/n tables; only the small feature matrix is
+    # gathered (tnerf/parallel/table_parallel.py).  Requires the
+    # hashgrid encoding (gather formulation) with hash_nearest_levels=0.
+    table_parallel: int = 1
+    table_axis_name: str = "model"
 
 
 @dataclass(frozen=True)

@@ -23,7 +23,7 @@ Two architectures:
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -56,6 +56,19 @@ class NeRFField:
     grid: GridConfig
     arch: str = "fused5d"  # fused5d | twobranch
     density_act: str = "softplus"
+    # (mesh, axis_name) to shard the hash-grid level tables across a
+    # mesh axis (tnerf/parallel/table_parallel.py); None = local tables.
+    table_parallel: Optional[tuple] = None
+
+    def _apply_hashgrid(self, params: dict, xn01: jnp.ndarray) -> jnp.ndarray:
+        if self.table_parallel is not None:
+            from tnerf.parallel.table_parallel import tp_apply_hashgrid
+
+            mesh, ax = self.table_parallel
+            return tp_apply_hashgrid(params, xn01, self.config, mesh, ax)
+        from tnerf.fields.hashgrid import apply_hashgrid
+
+        return apply_hashgrid(params, xn01, self.config)
 
     # ---- geometry helpers --------------------------------------------------
     def normalize_positions(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -134,10 +147,8 @@ class NeRFField:
         """positions [..., 3], viewdirs [..., 2|3] -> (rgb [..., 3], sigma [...])."""
         dtype = jnp.bfloat16 if self.config.compute_dtype == "bfloat16" else jnp.float32
         if self.config.encoding == "hashgrid":
-            from tnerf.fields.hashgrid import apply_hashgrid
-
             xn01 = 0.5 * (self.normalize_positions(positions) + 1.0)
-            pos_enc = apply_hashgrid(params["hashgrid"], xn01, self.config)
+            pos_enc = self._apply_hashgrid(params["hashgrid"], xn01)
         else:
             pos_enc = self._encode_pos(positions)
         view_enc = self._encode_view(viewdirs)
@@ -168,10 +179,8 @@ class NeRFField:
         apply() for twobranch; same cost for fused5d)."""
         if self.arch == "twobranch":
             if self.config.encoding == "hashgrid":
-                from tnerf.fields.hashgrid import apply_hashgrid
-
                 xn01 = 0.5 * (self.normalize_positions(positions) + 1.0)
-                pos_enc = apply_hashgrid(params["hashgrid"], xn01, self.config)
+                pos_enc = self._apply_hashgrid(params["hashgrid"], xn01)
             else:
                 pos_enc = self._encode_pos(positions)
             dtype = jnp.bfloat16 if self.config.compute_dtype == "bfloat16" else jnp.float32

@@ -331,6 +331,11 @@ def apply_hashgrid_pallas(
             f"{cfg.hash_log2_table_size}"
         )
     L, F = cfg.hash_levels, cfg.hash_features_per_level
+    if L * F > LANES:
+        raise ValueError(
+            f"pallas gather mode packs features into one {LANES}-lane "
+            f"row; hash_levels*hash_features_per_level = {L * F} > {LANES}"
+        )
     tables = params["tables"]
     batch_shape = x01.shape[:-1]
     x = x01.reshape(-1, 3).astype(jnp.float32)

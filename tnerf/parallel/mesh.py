@@ -9,14 +9,18 @@ gradient all-reduce over ICI automatically from the sharding constraints
 (jit + NamedSharding — the "How to Scale Your Model" recipe: pick a mesh,
 annotate, let XLA place collectives).
 
-TP/PP/SP/EP are N/A for a 128-wide MLP workload (documented out of scope,
-matching the reference's capability set — SURVEY §2.4); the "long axis"
-analog, samples-per-ray, is bounded and tiled in VMEM instead (SURVEY §5).
+Beyond DP, two further axes exist where the workload has real scale:
+sample-parallel (the samples-per-ray quadrature of grid_intervals,
+tnerf/parallel/sample_parallel.py) and table-parallel (the hash-grid
+level tables, tnerf/parallel/table_parallel.py), both composing with DP
+on a 2-D mesh.  PP is N/A (a 2-8 layer MLP has no pipeline depth) and
+EP is N/A (no sparse expert routing in the model family) — documented
+out of scope, matching the reference's capability set (SURVEY §2.4).
 """
 
 from __future__ import annotations
 
-
+from typing import Optional
 
 import jax
 import numpy as np
@@ -25,14 +29,26 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from tnerf.train import RayBatch
 
 
-def make_mesh(n_devices: int = -1, axis_name: str = "data") -> Mesh:
-    """1-D device mesh over the ray (data) axis."""
+def make_mesh(
+    n_devices: int = -1,
+    axis_name: str = "data",
+    extra_axis: Optional[str] = None,
+    n_extra: int = 1,
+) -> Mesh:
+    """Device mesh over the ray (data) axis, optionally with a second
+    axis (sample- or table-parallel): shape (n_devices, n_extra)."""
     devs = jax.devices()
     if n_devices == -1:
-        n_devices = len(devs)
-    if n_devices > len(devs):
-        raise ValueError(f"requested {n_devices} devices, have {len(devs)}")
-    return Mesh(np.asarray(devs[:n_devices]), (axis_name,))
+        n_devices = len(devs) // max(n_extra, 1)
+    total = n_devices * max(n_extra, 1)
+    if total > len(devs):
+        raise ValueError(f"requested {total} devices, have {len(devs)}")
+    if extra_axis is None or n_extra <= 1:
+        return Mesh(np.asarray(devs[:n_devices]), (axis_name,))
+    return Mesh(
+        np.asarray(devs[:total]).reshape(n_devices, n_extra),
+        (axis_name, extra_axis),
+    )
 
 
 def replicate(tree, mesh: Mesh):
@@ -52,6 +68,7 @@ def make_dp_train_step(
     mesh: Mesh,
     axis_name: str = "data",
     with_occupancy: bool = False,
+    state_sharding=None,
 ):
     """Wrap a (state, batch, key[, occupancy]) train step with data-parallel
     sharding constraints: state/key/occupancy replicated, batch sharded on
@@ -60,14 +77,20 @@ def make_dp_train_step(
     The gradient psum over the "data" axis is inserted by XLA: each chip
     computes grads on its ray shard; the replicated-params output
     constraint forces an all-reduce over ICI.
+
+    state_sharding: optional pytree of NamedShardings matching the train
+    state, for states that are NOT fully replicated (table-parallel
+    shards the hash tables + their optimizer state — see
+    table_parallel.tp_state_sharding); the output state keeps it.
     """
     repl = NamedSharding(mesh, P())
     shard = NamedSharding(mesh, P(axis_name))
-    in_sh = (repl, shard, repl) + ((repl,) if with_occupancy else ())
+    st = repl if state_sharding is None else state_sharding
+    in_sh = (st, shard, repl) + ((repl,) if with_occupancy else ())
     return jax.jit(
         train_step.__wrapped__ if hasattr(train_step, "__wrapped__") else train_step,
         in_shardings=in_sh,
-        out_shardings=(repl, repl),
+        out_shardings=(st, repl),
     )
 
 

@@ -1,0 +1,118 @@
+"""Table-parallel (TP) hash-grid encoding: shard the level tables.
+
+The hash-grid's parameters are L level tables of T entries (tcnn
+HashGrid role, /root/reference/main.cu:35-69 schema).  At production
+NGP scales (T=2^19+, many scenes, optimizer state x3) the tables — not
+the MLP — are the parameter memory; this module shards the LEVEL axis
+across a mesh axis so each chip stores and updates only L/n tables.
+
+The encode is embarrassingly parallel over levels: positions are
+replicated (they are activations, tiny next to the tables), each device
+computes the features of ITS levels from purely local table rows, and
+the per-level features concatenate on the feature axis.  The only
+collective XLA inserts is the all-gather of the [N, L*F] FEATURE matrix
+(and its reduce-scatter transpose in the backward) — never the tables
+themselves.  This is the reduce-scatter/all-gather pattern of
+megatron-style embedding sharding, riding ICI.
+
+Gradients: table cotangents stay local to each shard (the scatter-add
+of the gather VJP runs on-device); position cotangents psum across
+shards.  Optimizer state shards with the tables for free under jit —
+the round-trip is tested on the virtual mesh (tests/test_table_parallel.py).
+
+Restriction: hash_nearest_levels must be 0 in TP mode — the nearest /
+trilinear split is a per-level STATIC choice, and shard_map traces one
+program for all shards.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import shard_map
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from tnerf.config import FieldConfig
+from tnerf.fields.hashgrid import _corner_index_weight, level_resolutions
+
+
+def _local_encode(tables_l, res_l, dense_l, n1_l, x01, *, T, F):
+    """Gather-formulation encode for a LOCAL level block (runs inside
+    shard_map).  tables_l [Ls*T, F]; res_l/dense_l/n1_l [Ls] per-level
+    geometry as arrays (traced — the shard decides its levels at run
+    time, one program for all shards)."""
+    Ls = res_l.shape[0]
+    resf = res_l.astype(jnp.float32)
+    pos = x01[..., None, :] * resf[:, None]
+    pos = jnp.clip(pos, 0.0, (resf[:, None] - 1e-4))
+    i0f = jnp.floor(pos)
+    frac = pos - i0f
+    i0 = i0f.astype(jnp.uint32)
+    level_off = jnp.arange(Ls, dtype=jnp.uint32) * jnp.uint32(T)
+
+    out = jnp.zeros((*x01.shape[:-1], Ls, F), tables_l.dtype)
+    for c in range(8):
+        idx, w = _corner_index_weight(c, i0, frac, dense_l, n1_l, T)
+        out = out + w[..., None] * tables_l[(idx + level_off).astype(jnp.int32)]
+    return out.reshape(*x01.shape[:-1], Ls * F)
+
+
+def tp_apply_hashgrid(
+    params: dict,
+    x01: jnp.ndarray,
+    cfg: FieldConfig,
+    mesh: Mesh,
+    axis_name: str = "model",
+) -> jnp.ndarray:
+    """apply_hashgrid with the level axis sharded over `axis_name`:
+    x01 [..., 3] replicated -> features [..., L*F] (feature axis sharded
+    by level block; downstream consumers' sharding constraints insert
+    the all-gather)."""
+    L, F = cfg.hash_levels, cfg.hash_features_per_level
+    T = 1 << cfg.hash_log2_table_size
+    n = mesh.shape[axis_name]
+    if L % n != 0:
+        raise ValueError(
+            f"hash_levels={L} must divide over {n} '{axis_name}' devices"
+        )
+    if cfg.hash_nearest_levels:
+        raise ValueError(
+            "hash_nearest_levels is a static per-level choice; it is not "
+            "supported under table parallelism (set it to 0)"
+        )
+    res = level_resolutions(cfg)
+    res_j = jnp.asarray(res, jnp.int32)
+    dense = jnp.asarray((res + 1) ** 3 <= T)
+    n1 = jnp.asarray(res + 1, jnp.uint32)
+
+    fn = shard_map(
+        lambda tbl, r, dn, n1_, x: _local_encode(tbl, r, dn, n1_, x, T=T, F=F),
+        mesh=mesh,
+        in_specs=(P(axis_name, None), P(axis_name), P(axis_name), P(axis_name), P()),
+        out_specs=P(*((None,) * (x01.ndim - 1)), axis_name),
+        check_vma=False,
+    )
+    return fn(params["tables"], res_j, dense, n1, x01)
+
+
+def tp_state_sharding(tree, mesh: Mesh, axis_name: str = "model"):
+    """Sharding pytree for a train state under table parallelism: every
+    [L*T, F] leaf living under a 'tables' key (the tables AND their
+    optimizer-state mirrors — Adam's mu/nu copy the param tree) shards
+    level-major over `axis_name`; everything else replicates."""
+
+    def spec_for(path, leaf):
+        keys = {getattr(k, "key", getattr(k, "name", None)) for k in path}
+        if "tables" in keys and getattr(leaf, "ndim", 0) == 2:
+            return NamedSharding(mesh, P(axis_name, None))
+        return NamedSharding(mesh, P())
+
+    return jax.tree_util.tree_map_with_path(spec_for, tree)
+
+
+def shard_hashgrid_params(params: dict, mesh: Mesh, axis_name: str = "model"):
+    """Place the [L*T, F] tables level-sharded on the mesh (contiguous
+    row blocks == whole levels because the layout is level-major)."""
+    s = NamedSharding(mesh, P(axis_name, None))
+    return {**params, "tables": jax.device_put(params["tables"], s)}

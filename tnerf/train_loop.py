@@ -8,6 +8,7 @@ checkpointing/resume, metrics, render output (SURVEY §7.4).
 
 from __future__ import annotations
 
+import dataclasses
 import os
 from typing import Dict, Optional
 
@@ -131,14 +132,70 @@ def run_training(
         train_ds.width, train_ds.height, train_ds.focal,
     )
 
+    # --- device mesh (SURVEY §2.4: shard rays, replicate params, XLA
+    # all-reduces grads over ICI from the sharding constraints; optional
+    # second axis shards samples-per-ray or the hash tables) ------------
+    n_avail = len(jax.devices())
+    n_sp = cfg.parallel.sample_parallel
+    n_tp = cfg.parallel.table_parallel
+    if n_sp > 1 and n_tp > 1:
+        raise ValueError(
+            "sample_parallel and table_parallel are separate mesh layouts; "
+            "enable at most one"
+        )
+    if n_sp > 1 and cfg.render.pipeline != "grid_intervals":
+        raise ValueError(
+            "parallel.sample_parallel shards the grid_intervals sample "
+            f"axis; render.pipeline={cfg.render.pipeline!r}"
+        )
+    if n_tp > 1 and cfg.field_.encoding != "hashgrid":
+        raise ValueError(
+            "parallel.table_parallel shards hash-grid level tables; "
+            f"field_.encoding={cfg.field_.encoding!r}"
+        )
+    extra_axis, n_extra = None, 1
+    if n_sp > 1:
+        extra_axis, n_extra = cfg.parallel.sample_axis_name, n_sp
+    elif n_tp > 1:
+        extra_axis, n_extra = cfg.parallel.table_axis_name, n_tp
+    n_dp = cfg.parallel.data_parallel
+    n_dp = max(1, n_avail // n_extra) if n_dp == -1 else n_dp
+    mesh = None
+    if n_dp > 1 or n_extra > 1:
+        if cfg.train.batch_size % n_dp != 0:
+            raise ValueError(
+                f"train.batch_size={cfg.train.batch_size} not divisible by "
+                f"parallel.data_parallel={n_dp}"
+            )
+        mesh = make_mesh(n_dp, cfg.parallel.axis_name, extra_axis, n_extra)
+        log.info("mesh: %s", dict(mesh.shape))
+    # SP/TP embed their sharding via shard_map inside the renderer/field;
+    # the dp render wrapper's replicated-params constraint would fight
+    # the table sharding, so eval passes mesh only for pure DP.
+    eval_mesh = mesh if (n_sp == 1 and n_tp == 1) else None
+
     field = build_field(cfg)
+    if n_tp > 1:
+        field = dataclasses.replace(
+            field, table_parallel=(mesh, cfg.parallel.table_axis_name)
+        )
     # Dense variant while the occupancy grid is still mostly occupied
     # (compaction capacity would overflow and silently drop samples);
     # compacted variant once the grid has pruned below the capacity with
     # headroom — training AND eval switch together (see the switch in
     # the step loop).
-    renderer_dense = build_renderer(cfg, field, compact=False)
-    renderer_compact = build_renderer(cfg, field, compact=True)
+    if n_sp > 1:
+        from tnerf.parallel.sample_parallel import make_sp_interval_renderer
+
+        renderer_dense = make_sp_interval_renderer(
+            field, cfg.grid, cfg.sampler, cfg.render, mesh,
+            data_axis=cfg.parallel.axis_name,
+            sample_axis=cfg.parallel.sample_axis_name,
+        )
+        renderer_compact = renderer_dense  # SP path has no compaction
+    else:
+        renderer_dense = build_renderer(cfg, field, compact=False)
+        renderer_compact = build_renderer(cfg, field, compact=True)
     renderer = renderer_dense
     optimizer = create_optimizer(cfg.train)
     state = init_train_state(field, optimizer, cfg.train.seed)
@@ -162,32 +219,25 @@ def run_training(
                 state = payload
             log.info("resumed from step %d", start_step)
 
-    # --- data-parallel mesh (SURVEY §2.4: shard rays, replicate params,
-    # XLA all-reduces grads over ICI from the sharding constraints) -------
-    n_avail = len(jax.devices())
-    n_dp = cfg.parallel.data_parallel
-    n_dp = n_avail if n_dp == -1 else n_dp
-    mesh = None
-    if n_dp > 1:
-        if cfg.train.batch_size % n_dp != 0:
-            raise ValueError(
-                f"train.batch_size={cfg.train.batch_size} not divisible by "
-                f"parallel.data_parallel={n_dp}"
-            )
-        mesh = make_mesh(n_dp, cfg.parallel.axis_name)
-        log.info("data-parallel over %d devices (axis=%s)", n_dp,
-                 cfg.parallel.axis_name)
+    state_sharding = None
+    if mesh is not None and n_tp > 1:
+        from tnerf.parallel.table_parallel import tp_state_sharding
+
+        state_sharding = tp_state_sharding(
+            state, mesh, cfg.parallel.table_axis_name
+        )
 
     sampler = PixelSampler(train_ds, cfg.scene.scene_scale, cfg.scene.white_background)
     step_dense = make_train_step(renderer_dense, optimizer, remat=cfg.train.remat)
     step_compact = (
         make_train_step(renderer_compact, optimizer, remat=cfg.train.remat)
-        if use_grid and cfg.render.compact
+        if use_grid and cfg.render.compact and n_sp == 1
         else step_dense
     )
     if mesh is not None:
         dp = lambda s: make_dp_train_step(
-            s, mesh, cfg.parallel.axis_name, with_occupancy=use_grid
+            s, mesh, cfg.parallel.axis_name, with_occupancy=use_grid,
+            state_sharding=state_sharding,
         )
         wrapped_dense = dp(step_dense)
         step_compact = wrapped_dense if step_compact is step_dense else dp(step_compact)
@@ -209,9 +259,14 @@ def run_training(
 
     key = jax.random.PRNGKey(cfg.train.seed + 1)
     if mesh is not None:
-        # Params/opt-state/occupancy/keys replicated across the mesh; the
-        # only sharded axis is rays (per-step shard_batch below).
-        state = replicate(state, mesh)
+        # Params/opt-state/occupancy/keys replicated across the mesh
+        # (table-parallel: the tables + their optimizer mirrors shard
+        # level-major instead); the ray axis shards per-step below.
+        state = (
+            jax.device_put(state, state_sharding)
+            if state_sharding is not None
+            else replicate(state, mesh)
+        )
         key = replicate(key, mesh)
         if occ is not None:
             occ = replicate(occ, mesh)
@@ -278,7 +333,7 @@ def run_training(
             if cfg.train.eval_every and (step + 1) % cfg.train.eval_every == 0:
                 final_metrics.update(
                     _eval(cfg, renderer, state, occ, datasets, step, log, metrics,
-                          mesh=mesh)
+                          mesh=eval_mesh)
                 )
 
             if cfg.train.checkpoint_every and (step + 1) % cfg.train.checkpoint_every == 0:
@@ -289,7 +344,7 @@ def run_training(
     save_checkpoint(ckpt_dir, cfg.train.steps, payload)
     final_metrics.update(
         _eval(cfg, renderer, state, occ, datasets, cfg.train.steps, log, metrics,
-              save_images=True, mesh=mesh)
+              save_images=True, mesh=eval_mesh)
     )
     metrics.close()
     return final_metrics
