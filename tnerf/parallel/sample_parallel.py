@@ -152,12 +152,20 @@ def make_sp_interval_renderer(
         check_vma=False,
     )
 
+    n_dp = mesh.shape[data_axis] if data_axis is not None else 1
+
     def render(
         params: dict,
         rays: Rays,
         key: Optional[jax.Array] = None,
         occupancy: Optional[jnp.ndarray] = None,
     ) -> RenderResult:
+        if rays.origins.shape[0] % n_dp != 0:
+            raise ValueError(
+                f"ray batch {rays.origins.shape[0]} must divide over "
+                f"{n_dp} '{data_axis}' devices (check train.batch_size / "
+                "render.chunk_size)"
+            )
         occ3 = None
         if occupancy is not None:
             r = grid_cfg.resolution
