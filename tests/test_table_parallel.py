@@ -51,6 +51,24 @@ def test_tp_forward_parity(setup, mesh):
     np.testing.assert_allclose(np.asarray(ref), np.asarray(got), atol=1e-9)
 
 
+def test_tp_forward_parity_data_sharded(setup, mesh):
+    # Composing with DP: the leading batch axis shards over "data" so
+    # each chip encodes only its ray shard (500 % 2 == 0 -> sharded path).
+    cfg, params, ps, x = setup
+    ref = apply_hashgrid_gather(params, x, cfg)
+    got = jax.jit(
+        lambda p, xx: tp_apply_hashgrid(p, xx, cfg, mesh, data_axis="data")
+    )(ps, x)
+    np.testing.assert_allclose(np.asarray(ref), np.asarray(got), atol=1e-9)
+    # Indivisible leading dim falls back to replicated positions.
+    x_odd = x[:333]
+    ref_o = apply_hashgrid_gather(params, x_odd, cfg)
+    got_o = jax.jit(
+        lambda p, xx: tp_apply_hashgrid(p, xx, cfg, mesh, data_axis="data")
+    )(ps, x_odd)
+    np.testing.assert_allclose(np.asarray(ref_o), np.asarray(got_o), atol=1e-9)
+
+
 def test_tp_gradient_parity(setup, mesh):
     cfg, params, ps, x = setup
     g = jax.random.normal(jax.random.PRNGKey(2), (x.shape[0], 16))

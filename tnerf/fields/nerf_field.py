@@ -56,16 +56,19 @@ class NeRFField:
     grid: GridConfig
     arch: str = "fused5d"  # fused5d | twobranch
     density_act: str = "softplus"
-    # (mesh, axis_name) to shard the hash-grid level tables across a
-    # mesh axis (tnerf/parallel/table_parallel.py); None = local tables.
+    # (mesh, axis_name, data_axis | None) to shard the hash-grid level
+    # tables across a mesh axis (tnerf/parallel/table_parallel.py);
+    # None = local tables.
     table_parallel: Optional[tuple] = None
 
     def _apply_hashgrid(self, params: dict, xn01: jnp.ndarray) -> jnp.ndarray:
         if self.table_parallel is not None:
             from tnerf.parallel.table_parallel import tp_apply_hashgrid
 
-            mesh, ax = self.table_parallel
-            return tp_apply_hashgrid(params, xn01, self.config, mesh, ax)
+            mesh, ax, data_ax = self.table_parallel
+            return tp_apply_hashgrid(
+                params, xn01, self.config, mesh, ax, data_axis=data_ax
+            )
         from tnerf.fields.hashgrid import apply_hashgrid
 
         return apply_hashgrid(params, xn01, self.config)

@@ -96,7 +96,13 @@ def make_dp_train_step(
 
 def dp_render_sharded(renderer, mesh: Mesh, axis_name: str = "data"):
     """Shard full-image rendering across chips: rays split over the mesh,
-    pixels gathered back (the eval-time analog of DP training)."""
+    pixels gathered back (the eval-time analog of DP training).
+
+    Params inherit their committed sharding (None = respect placement)
+    rather than being forced replicated: under pure DP they arrive
+    replicated anyway, and under table parallelism the level-sharded
+    hash tables keep their layout while rays still spread over the data
+    axis."""
     repl = NamedSharding(mesh, P())
     shard = NamedSharding(mesh, P(axis_name))
 
@@ -105,6 +111,6 @@ def dp_render_sharded(renderer, mesh: Mesh, axis_name: str = "data"):
 
     return jax.jit(
         fn,
-        in_shardings=(repl, shard, repl, repl),
+        in_shardings=(None, shard, repl, repl),
         out_shardings=shard,
     )

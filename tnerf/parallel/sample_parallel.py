@@ -33,7 +33,7 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
 
 from tnerf.cameras import Rays
@@ -187,9 +187,3 @@ def make_sp_interval_renderer(
         )
 
     return render
-
-
-def shard_sp_batch(batch, mesh: Mesh, data_axis: str = "data"):
-    """Shard a ray batch over the data axis of a 2-D (data, sample)
-    mesh (sample-axis replication is implicit)."""
-    return jax.device_put(batch, NamedSharding(mesh, P(data_axis)))

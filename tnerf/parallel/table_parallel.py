@@ -64,11 +64,19 @@ def tp_apply_hashgrid(
     cfg: FieldConfig,
     mesh: Mesh,
     axis_name: str = "model",
+    data_axis: str | None = None,
 ) -> jnp.ndarray:
     """apply_hashgrid with the level axis sharded over `axis_name`:
-    x01 [..., 3] replicated -> features [..., L*F] (feature axis sharded
-    by level block; downstream consumers' sharding constraints insert
-    the all-gather)."""
+    x01 [..., 3] -> features [..., L*F] (feature axis sharded by level
+    block; downstream consumers' sharding constraints insert the
+    all-gather).
+
+    data_axis: composing with DP, the leading batch axis of x01 shards
+    over it (each chip encodes only its ray shard — without this every
+    chip would all-gather the positions and redo the full-batch encode).
+    Falls back to replicated positions when the leading dim does not
+    divide (e.g. odd compacted-sample capacities) — correct either way.
+    """
     L, F = cfg.hash_levels, cfg.hash_features_per_level
     T = 1 << cfg.hash_log2_table_size
     n = mesh.shape[axis_name]
@@ -86,11 +94,21 @@ def tp_apply_hashgrid(
     dense = jnp.asarray((res + 1) ** 3 <= T)
     n1 = jnp.asarray(res + 1, jnp.uint32)
 
+    lead = None
+    if (
+        data_axis is not None
+        and x01.ndim >= 2
+        and x01.shape[0] % mesh.shape[data_axis] == 0
+    ):
+        lead = data_axis
     fn = shard_map(
         lambda tbl, r, dn, n1_, x: _local_encode(tbl, r, dn, n1_, x, T=T, F=F),
         mesh=mesh,
-        in_specs=(P(axis_name, None), P(axis_name), P(axis_name), P(axis_name), P()),
-        out_specs=P(*((None,) * (x01.ndim - 1)), axis_name),
+        in_specs=(
+            P(axis_name, None), P(axis_name), P(axis_name), P(axis_name),
+            P(lead, *((None,) * (x01.ndim - 1))),
+        ),
+        out_specs=P(lead, *((None,) * (x01.ndim - 2)), axis_name),
         check_vma=False,
     )
     return fn(params["tables"], res_j, dense, n1, x01)

@@ -167,17 +167,29 @@ def run_training(
                 f"train.batch_size={cfg.train.batch_size} not divisible by "
                 f"parallel.data_parallel={n_dp}"
             )
+        if n_sp > 1 and cfg.render.chunk_size % n_dp != 0:
+            # Fail at config time, not at the first mid-training eval:
+            # render_image feeds the SP renderer fixed chunk_size blocks.
+            raise ValueError(
+                f"render.chunk_size={cfg.render.chunk_size} not divisible "
+                f"by parallel.data_parallel={n_dp} (the sample-parallel "
+                "renderer shards eval chunks over the data axis)"
+            )
         mesh = make_mesh(n_dp, cfg.parallel.axis_name, extra_axis, n_extra)
         log.info("mesh: %s", dict(mesh.shape))
-    # SP/TP embed their sharding via shard_map inside the renderer/field;
-    # the dp render wrapper's replicated-params constraint would fight
-    # the table sharding, so eval passes mesh only for pure DP.
-    eval_mesh = mesh if (n_sp == 1 and n_tp == 1) else None
+    # SP embeds BOTH axes via shard_map inside the renderer (its in_specs
+    # split rays over "data" already), so eval must not re-wrap it; DP
+    # and TP use the dp render wrapper (params inherit their committed
+    # sharding there, so level-sharded tables survive TP eval).
+    eval_mesh = mesh if n_sp == 1 else None
 
     field = build_field(cfg)
     if n_tp > 1:
         field = dataclasses.replace(
-            field, table_parallel=(mesh, cfg.parallel.table_axis_name)
+            field,
+            table_parallel=(
+                mesh, cfg.parallel.table_axis_name, cfg.parallel.axis_name
+            ),
         )
     # Dense variant while the occupancy grid is still mostly occupied
     # (compaction capacity would overflow and silently drop samples);
@@ -251,11 +263,19 @@ def run_training(
     update_occ = None
     if use_grid:
 
-        @jax.jit
-        def update_occ(occ_state, params, key):
+        def _update_occ(occ_state, params, key):
             return update_occupancy(
                 occ_state, lambda x: field.density(params, x), cfg.grid, key
             )
+
+        # Occupancy state is logically replicated; pin the output so XLA
+        # cannot hand back a data-sharded bitfield (the eval render
+        # wrapper and the next train step constrain it replicated).
+        occ_out = (
+            None if mesh is None
+            else jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec())
+        )
+        update_occ = jax.jit(_update_occ, out_shardings=occ_out)
 
     key = jax.random.PRNGKey(cfg.train.seed + 1)
     if mesh is not None:
