@@ -415,7 +415,8 @@ def bench_hashgrid_train(res=64, samples=128, batch=8192, log2T=14) -> dict:
     # from BOTH timings, but asymmetrically skews the encoding cost):
     # measure the occupied-sample count of this exact workload.
     from tnerf.grid.traversal import (
-        march_samples_t, occupancy_lookup, ray_aabb, tightened_range,
+        make_coarse_occupancy, march_samples_t, occupancy_lookup, ray_aabb,
+        tightened_range,
     )
     from tnerf.sampling import sample_positions
 
@@ -423,9 +424,16 @@ def bench_hashgrid_train(res=64, samples=128, batch=8192, log2T=14) -> dict:
     te = jnp.maximum(te, cfg.sampler.near)
     tx = jnp.maximum(tx, te)
     if cfg.sampler.tighten:
-        te, tx = tightened_range(o, d, te, tx, occ, cfg.grid,
+        # Mirror the timed renderer's quadrature: it tightens on the
+        # tighten_res POOLED grid (kernel path), not the fine grid —
+        # sample positions (and thus the occupied count) differ.
+        t_res = min(cfg.sampler.tighten_res or res, res)
+        occ_t = occ if t_res == res else make_coarse_occupancy(occ, res // t_res)
+        te, tx = tightened_range(o, d, te, tx, occ_t, cfg.grid,
                                  probes=cfg.sampler.tighten_probes)
     t, _ = march_samples_t(te, tx, samples)
+    # Per-sample mask: fine lookup (occupancy_mask_res=0 -> res) at the
+    # pooled-tightened positions, matching the renderer's refine stage.
     smask = (tx[:, None] > te[:, None]) & occupancy_lookup(
         sample_positions(o, d, t), occ, cfg.grid
     )

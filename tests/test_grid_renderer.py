@@ -299,3 +299,66 @@ def test_ray_keep_fraction_mirrors_keep_rule():
     assert k_empty == 0.0
     assert abs(k_full - hit_frac) < 1e-6
     assert 0.0 < k_blob < k_fat < k_full
+
+
+def test_ray_compact_guard_res_is_pipeline_aware():
+    """The cli capacity guard must probe at the POOLING the active
+    pipeline's keep rule uses — fused pools at min(16, res) regardless
+    of sampler.tighten_res; march pools at tighten_res but only on the
+    kernel-eligible configs; pipelines that never compact get no guard
+    (a spurious warning trains users to ignore the real one)."""
+    from tnerf.cli import _ray_compact_guard_res
+
+    base = [
+        "grid.resolution=64", "render.ray_compact=true",
+        "sampler.tighten=true", "sampler.tighten_res=32",
+        "sampler.occupancy_mask_res=0",
+    ]
+    mk = lambda *ov: Config().apply_overrides(base + list(ov))
+
+    # fused: always the kernel's res_c = min(16, res), not tighten_res
+    assert _ray_compact_guard_res(mk("render.pipeline=fused")) == 16
+    # fused without tighten never compacts
+    assert _ray_compact_guard_res(
+        mk("render.pipeline=fused", "render.fused_tighten=false")) is None
+    # march on the kernel-eligible config: tighten_res pooling
+    assert _ray_compact_guard_res(mk("render.pipeline=grid_march")) == 32
+    # march without tighten never takes the compacted path
+    assert _ray_compact_guard_res(
+        mk("render.pipeline=grid_march", "sampler.tighten=false")) is None
+    # march with a fine tighten_res (kernel ineligible, t_res > 32)
+    assert _ray_compact_guard_res(
+        mk("render.pipeline=grid_march", "sampler.tighten_res=64")) is None
+    # ray_compact off: no guard for any pipeline
+    assert _ray_compact_guard_res(
+        mk("render.pipeline=fused", "render.ray_compact=false")) is None
+
+
+def test_ray_keep_fraction_pool_res_override():
+    """pool_res must override sampler.tighten_res (the fused guard
+    probes at 16 even when the march config says 32): coarser pooling
+    keeps at least as many rays."""
+    from tnerf.render.grid_renderer import ray_keep_fraction
+
+    res = 32
+    cfg = Config().apply_overrides([
+        f"grid.resolution={res}", "sampler.samples_per_ray=32",
+        "sampler.near=0.05", "scene.scene_scale=1.0",
+        "sampler.tighten_res=32",
+    ])
+    rng = np.random.default_rng(7)
+    o = rng.uniform(-1, 1, (96, 3))
+    o = o / np.linalg.norm(o, axis=-1, keepdims=True) * 3.0
+    d = -o / np.linalg.norm(o, axis=-1, keepdims=True)
+    d = jnp.asarray(d + rng.normal(0, 0.3, d.shape), jnp.float32)
+    rays = Rays(origins=jnp.asarray(o, jnp.float32), directions=d,
+                viewdirs_tp=viewdirs_to_thetaphi(d))
+    blob = jnp.asarray(np.pad(np.ones((5, 5, 5), bool),
+                              ((2, 25), (13, 14), (13, 14))))
+    k_fine = ray_keep_fraction(rays, blob, cfg.grid, cfg.sampler)
+    k_8 = ray_keep_fraction(rays, blob, cfg.grid, cfg.sampler, pool_res=8)
+    k_explicit = ray_keep_fraction(rays, blob, cfg.grid, cfg.sampler,
+                                   pool_res=32)
+    assert k_8 >= k_fine          # coarser pooling is a superset rule
+    assert k_explicit == k_fine   # explicit == configured resolution
+    assert 0.0 < k_fine < 1.0

@@ -28,6 +28,35 @@ def _load_cfg(args) -> Config:
     return cfg
 
 
+def _ray_compact_guard_res(cfg: Config):
+    """Pooling resolution the capacity guard must probe at, or None when
+    the configured pipeline never takes the ray-compacted path.
+
+    The keep rule is PIPELINE-specific: the fused renderer pools at
+    min(16, res) (pallas_fused2 res_c) whenever tighten is on; the march
+    renderer pools at sampler.tighten_res but only compacts on the
+    kernel-eligible configs (eval-time tighten with t_res <= 32 and a
+    mask resolution no coarser — grid_renderer use_kernel).  Guarding
+    with the wrong pooling either misses real over-capacity drops or
+    warns for a path that never runs."""
+    if not cfg.render.ray_compact:
+        return None
+    res = cfg.grid.resolution
+    t_res = min(cfg.sampler.tighten_res or res, res)
+    m_res = min(cfg.sampler.occupancy_mask_res or res, res)
+    if cfg.render.pipeline == "fused" and cfg.render.fused_tighten:
+        return min(16, res)
+    if (
+        cfg.render.pipeline == "grid_march"
+        and cfg.sampler.tighten
+        and m_res >= t_res
+        and t_res < res
+        and t_res <= 32
+    ):
+        return t_res
+    return None
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="tnerf", description=__doc__)
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -116,11 +145,18 @@ def main(argv=None) -> int:
         cfg.scene.kind, cfg.scene.name, root=cfg.scene.root,
         srgb_to_linear=cfg.scene.srgb_to_linear, downscale=cfg.scene.downscale,
     )
-    if cfg.render.ray_compact and bits is not None and step > 0:
-        # Capacity guard: the keep fraction depends on the RESTORED
-        # occupancy (trained EMA grids are much fatter than analytic
-        # ones); kept rays beyond ray_compact_fraction silently render
-        # as background.  One cheap XLA pass over a probe view.
+    # Capacity guard: the keep fraction depends on the RESTORED
+    # occupancy (trained EMA grids are much fatter than analytic
+    # ones); kept rays beyond ray_compact_fraction silently render
+    # as background.  One cheap XLA pass over a probe view.  The keep
+    # rule is pipeline-specific: fused always pools at min(16, res)
+    # (pallas_fused2 res_c); march pools at sampler.tighten_res but
+    # only takes the compacted path on the kernel-eligible configs —
+    # for anything else the renderer never compacts, so no guard.
+    guard_res = (
+        _ray_compact_guard_res(cfg) if bits is not None and step > 0 else None
+    )
+    if guard_res is not None:
         from tnerf.cameras import camera_rays
         from tnerf.render.grid_renderer import ray_keep_fraction
 
@@ -129,7 +165,9 @@ def main(argv=None) -> int:
             jax.numpy.asarray(ds0.poses[0]), ds0.width, ds0.height,
             ds0.focal, cfg.scene.scene_scale,
         )
-        kf = ray_keep_fraction(probe_rays, bits, cfg.grid, cfg.sampler)
+        kf = ray_keep_fraction(
+            probe_rays, bits, cfg.grid, cfg.sampler, pool_res=guard_res
+        )
         if kf > cfg.render.ray_compact_fraction:
             print(
                 f"WARNING: ray-compaction keep fraction {kf:.3f} on the "

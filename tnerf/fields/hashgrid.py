@@ -133,14 +133,24 @@ def resolve_gather_mode(cfg: FieldConfig) -> str:
             _warned_gather_downgrade = True
             import logging
 
+            if T > (1 << 15):
+                constraint = (
+                    "exceeds the MXU one-hot path's limit (T <= 2^15); "
+                    "set field_.hash_log2_table_size<=15 (T=2^14 measured "
+                    "40.9 dB on the hard gate — see "
+                    "configs/lego_800_hashgrid.json)"
+                )
+            else:
+                constraint = (
+                    "is below the MXU one-hot path's minimum (T >= 128 = "
+                    "one full 128-lane row per level); set "
+                    "field_.hash_log2_table_size>=7"
+                )
             logging.getLogger("tnerf").warning(
-                "hash_gather_mode=auto: table size T=2^%d exceeds the MXU "
-                "one-hot path's limit (T <= 2^15); falling back to the XLA "
-                "gather path, ~6-9x slower on TPU. Set "
-                "field_.hash_log2_table_size<=15 (T=2^14 measured 40.9 dB "
-                "on the hard gate — see configs/lego_800_hashgrid.json) or "
-                "silence this by setting hash_gather_mode=gather explicitly.",
-                cfg.hash_log2_table_size,
+                "hash_gather_mode=auto: table size T=2^%d %s; falling back "
+                "to the XLA gather path, ~6-9x slower on TPU — or silence "
+                "this by setting hash_gather_mode=gather explicitly.",
+                cfg.hash_log2_table_size, constraint,
             )
     return "gather"
 

@@ -296,6 +296,40 @@ def traverse_grid_pallas(
 # of pallas_fused2._coarse_mask), ~1000x cheaper.
 # --------------------------------------------------------------------------
 
+def _probe_tighten(o_xyz, d_xyz, te, tx, occ_test, *, probes, pad_diag):
+    """Shared tighten probe phase of _tighten_kernel and
+    _tighten_mask_kernel, parameterized by the in-kernel occupancy test
+    `occ_test(x, y, z) -> bool` (identical-rows words vs row-selected
+    words — the only place the two kernels legitimately differ).
+
+    Match the XLA tightened_range arithmetic op-for-op (association
+    included): positions must agree bit-for-bit with the train-time
+    path or boundary samples flip masks.  Any parity fix lands here
+    ONCE and both kernels inherit it."""
+    f32 = jnp.float32
+    o_x, o_y, o_z = o_xyz
+    d_x, d_y, d_z = d_xyz
+    span = jnp.maximum(tx - te, 0.0)
+    step = span / f32(probes)
+    big = f32(3.0e38)
+
+    def probe(i, carry):
+        tf, tl = carry
+        t = te + span * ((i.astype(f32) + 0.5) / f32(probes))
+        occ = occ_test(o_x + d_x * t, o_y + d_y * t, o_z + d_z * t) & (span > 0)
+        tf = jnp.minimum(tf, jnp.where(occ, t, big))
+        tl = jnp.maximum(tl, jnp.where(occ, t, -big))
+        return tf, tl
+
+    init = (jnp.full_like(te, big), jnp.full_like(te, -big))
+    tf, tl = jax.lax.fori_loop(0, probes, probe, init)
+    hit = tl >= tf
+    pad = step + f32(pad_diag)
+    t0 = jnp.where(hit, jnp.maximum(tf - pad, te), te)
+    t1 = jnp.where(hit, jnp.minimum(tl + pad, tx), tx)
+    return t0, t1
+
+
 def _tighten_kernel(
     ox, oy, oz, dx, dy, dz, te_ref, tx_ref, words_ref,
     t0_out, t1_out,
@@ -305,40 +339,22 @@ def _tighten_kernel(
     i32 = jnp.int32
     lox, loy, loz = (f32(v) for v in lo)
     inv_cx, inv_cy, inv_cz = (f32(1.0 / v) for v in cell_c)
-    o_x, o_y, o_z = ox[:], oy[:], oz[:]
-    d_x, d_y, d_z = dx[:], dy[:], dz[:]
-    te = te_ref[:]
-    tx = tx_ref[:]
     words = words_ref[:]
-    span = jnp.maximum(tx - te, 0.0)
-    # Match the XLA tightened_range arithmetic op-for-op (association
-    # included): positions must agree bit-for-bit with the train-time
-    # path or boundary samples flip masks.
-    step = span / f32(probes)
-    big = f32(3.0e38)
 
-    def probe(i, carry):
-        tf, tl = carry
-        t = te + span * ((i.astype(f32) + 0.5) / f32(probes))
-        x = o_x + d_x * t
-        y = o_y + d_y * t
-        z = o_z + d_z * t
+    def occ_test(x, y, z):
         ci = jnp.clip(jnp.floor((x - lox) * inv_cx).astype(i32), 0, res_c - 1)
         cj = jnp.clip(jnp.floor((y - loy) * inv_cy).astype(i32), 0, res_c - 1)
         ck = jnp.clip(jnp.floor((z - loz) * inv_cz).astype(i32), 0, res_c - 1)
         cflat = (ci * res_c + cj) * res_c + ck
         w = jnp.take_along_axis(words, cflat >> 5, axis=1)
-        occ = (((w >> (cflat & 31)) & 1) > 0) & (span > 0)
-        tf = jnp.minimum(tf, jnp.where(occ, t, big))
-        tl = jnp.maximum(tl, jnp.where(occ, t, -big))
-        return tf, tl
+        return ((w >> (cflat & 31)) & 1) > 0
 
-    init = (jnp.full_like(te, big), jnp.full_like(te, -big))
-    tf, tl = jax.lax.fori_loop(0, probes, probe, init)
-    hit = tl >= tf
-    pad = step + f32(pad_diag)
-    t0_out[:] = jnp.where(hit, jnp.maximum(tf - pad, te), te)
-    t1_out[:] = jnp.where(hit, jnp.minimum(tl + pad, tx), tx)
+    t0, t1 = _probe_tighten(
+        (ox[:], oy[:], oz[:]), (dx[:], dy[:], dz[:]), te_ref[:], tx_ref[:],
+        occ_test, probes=probes, pad_diag=pad_diag,
+    )
+    t0_out[:] = t0
+    t1_out[:] = t1
 
 
 def pack_words_rows(occ_coarse: jnp.ndarray) -> jnp.ndarray:
@@ -395,33 +411,18 @@ def _tighten_mask_kernel(
     f32 = jnp.float32
     o_x, o_y, o_z = ox[:], oy[:], oz[:]
     d_x, d_y, d_z = dx[:], dy[:], dz[:]
-    te = te_ref[:]
-    tx = tx_ref[:]
     words = words_ref[:]
-    span = jnp.maximum(tx - te, 0.0)
-    # Match the XLA tightened_range arithmetic op-for-op (association
-    # included): positions must agree bit-for-bit with the train-time
-    # path or boundary samples flip masks.
-    step = span / f32(probes)
-    big = f32(3.0e38)
 
-    def probe(i, carry):
-        tf, tl = carry
-        t = te + span * ((i.astype(f32) + 0.5) / f32(probes))
-        occ = _occ_bit_rows(
-            o_x + d_x * t, o_y + d_y * t, o_z + d_z * t, words,
+    def occ_test(x, y, z):
+        return _occ_bit_rows(
+            x, y, z, words,
             res_c=res_c, rows_used=rows_used, lo=lo, cell_c=cell_c,
-        ) & (span > 0)
-        tf = jnp.minimum(tf, jnp.where(occ, t, big))
-        tl = jnp.maximum(tl, jnp.where(occ, t, -big))
-        return tf, tl
+        )
 
-    init = (jnp.full_like(te, big), jnp.full_like(te, -big))
-    tf, tl = jax.lax.fori_loop(0, probes, probe, init)
-    hit = tl >= tf
-    pad = step + f32(pad_diag)
-    t0 = jnp.where(hit, jnp.maximum(tf - pad, te), te)
-    t1 = jnp.where(hit, jnp.minimum(tl + pad, tx), tx)
+    t0, t1 = _probe_tighten(
+        (o_x, o_y, o_z), (d_x, d_y, d_z), te_ref[:], tx_ref[:],
+        occ_test, probes=probes, pad_diag=pad_diag,
+    )
     t0_out[:] = t0
     t1_out[:] = t1
 

@@ -92,3 +92,36 @@ def _feature_permutation(cfg: FieldConfig) -> np.ndarray:
             perm += [base + k, base + L2 + k]
     return np.asarray(perm, np.int64)
 
+
+
+def compact_rows(keep, rows, cap: int):
+    """RAY-compaction pass: pack the kept rows of `rows` [B, K] into a
+    static [cap, K] buffer, rank-ordered by position.
+
+    The shared protocol of the march (grid_renderer) and fused
+    (pallas_fused2) renderers — one semantics, maintained once:
+    - widx[i] = rank of ray i among kept rays, or `cap` for dropped rays;
+    - the scatter targets a [cap+1, K] buffer: dropped rays land on the
+      sacrificial row `cap` (discarded by the [:cap] slice) and kept rays
+      beyond `cap` scatter OUT OF BOUNDS, which JAX drops — over-capacity
+      rays therefore read back as background at scatter_back (size `cap`
+      well above the scene's object-pixel fraction; see
+      RenderConfig.ray_compact_fraction and cli's ray_keep_fraction guard).
+
+    Returns (buf [cap, K], widx [B])."""
+    import jax.numpy as jnp
+
+    widx = jnp.where(keep, jnp.cumsum(keep) - 1, cap)
+    buf = jnp.zeros((cap + 1, rows.shape[1]), rows.dtype).at[widx].set(rows)[:cap]
+    return buf, widx
+
+
+def scatter_back(out_rows, widx, bg_row):
+    """Inverse of compact_rows for the per-ray outputs: out_rows [cap, K]
+    rendered from the compacted buffer, bg_row [1, K] the background
+    row -> [B, K].  Dropped (widx == cap) and over-capacity (widx > cap)
+    rays both clamp onto the appended background row."""
+    import jax.numpy as jnp
+
+    cap = out_rows.shape[0]
+    return jnp.concatenate([out_rows, bg_row], axis=0)[jnp.minimum(widx, cap)]

@@ -37,6 +37,7 @@ from tnerf.grid.traversal import (
     traverse_grid,
 )
 from tnerf.render.composite import RenderResult, composite
+from tnerf.render.fused_common import compact_rows, scatter_back
 from tnerf.sampling import interval_samples, sample_positions
 
 
@@ -157,6 +158,7 @@ def ray_keep_fraction(
     occupancy: jnp.ndarray,
     grid_cfg: GridConfig,
     sampler_cfg: SamplerConfig,
+    pool_res: Optional[int] = None,
 ) -> float:
     """Fraction of rays the ray-compaction keep rule retains — the XLA
     mirror of the kernel's pass-1 pooled tighten+mask (shared-semantics
@@ -166,10 +168,16 @@ def ray_keep_fraction(
     background, and the keep fraction depends on the occupancy GRID —
     a trained EMA grid is much fatter than an analytic one (measured
     0.65-0.70 at 16^3 pooling on the hard-gate march checkpoint vs
-    ~0.45 analytic; docs/KERNEL_NOTES.md round-3 addendum)."""
+    ~0.45 analytic; docs/KERNEL_NOTES.md round-3 addendum).
+
+    `pool_res` overrides the pooling resolution: the keep rule's pooling
+    is PIPELINE-specific (march pools at sampler.tighten_res; the fused
+    renderer always pools at min(16, res) — pallas_fused2 res_c), so
+    callers guarding a fused render must pass the fused pooling, not
+    inherit the march default."""
     res = grid_cfg.resolution
     occ3 = occupancy.reshape(res, res, res)
-    t_res = min(sampler_cfg.tighten_res or res, res)
+    t_res = min(pool_res or sampler_cfg.tighten_res or res, res)
     occ_t = occ3 if t_res == res else make_coarse_occupancy(occ3, res // t_res)
     o = rays.origins.reshape(-1, 3)
     d = rays.directions.reshape(-1, 3)
@@ -316,7 +324,6 @@ def make_grid_renderer(
                         rays.origins, rays.directions, t_enter, t_exit
                     )
                     keep = jnp.any(mask_a, axis=1)
-                    widx = jnp.where(keep, jnp.cumsum(keep) - 1, cap)
                     packed = jnp.concatenate(
                         [
                             rays.origins, rays.directions, rays.viewdirs_tp,
@@ -324,10 +331,7 @@ def make_grid_renderer(
                         ],
                         axis=1,
                     )  # [B, 10]
-                    buf = (
-                        jnp.zeros((cap + 1, 10), packed.dtype)
-                        .at[widx].set(packed)[:cap]
-                    )
+                    buf, widx = compact_rows(keep, packed, cap)
                     o_c, d_c, v_c = buf[:, 0:3], buf[:, 3:6], buf[:, 6:8]
                     te_c, tx_c = buf[:, 8], buf[:, 9]
                     t0_c, t1_c, smask_c = kernel(o_c, d_c, te_c, tx_c)
@@ -340,9 +344,7 @@ def make_grid_renderer(
                     )  # [cap, 5]
                     bgv = 1.0 if render_cfg.white_background else 0.0
                     bg_row = jnp.array([[bgv, bgv, bgv, 0.0, 0.0]], jnp.float32)
-                    out_full = jnp.concatenate([out_pack, bg_row], axis=0)[
-                        jnp.minimum(widx, cap)
-                    ]
+                    out_full = scatter_back(out_pack, widx, bg_row)
                     empty = jnp.zeros((B, 0), jnp.float32)
                     return RenderResult(
                         rgb=out_full[:, 0:3], acc=out_full[:, 3],

@@ -59,6 +59,8 @@ from tnerf.render.fused_common import (
     _encoding_matrices,
     _feature_permutation,
     _norm_affine,
+    compact_rows,
+    scatter_back,
 )
 
 SC = 128  # samples per chunk == lane width: per-sample scalars 1 lane each
@@ -891,11 +893,10 @@ def make_fused_pipeline_renderer_v2(
             keep = jnp.any(kmask, axis=1)
             Bp = o.shape[0]
             cap = -(-max(1, int(Bp * render_cfg.ray_compact_fraction)) // unit) * unit
-            widx = jnp.where(keep, jnp.cumsum(keep) - 1, cap)
             pk = jnp.concatenate(
                 [o, d, tp, te[:, None], tx[:, None]], axis=1
             )  # [Bp, 10]
-            buf = jnp.zeros((cap + 1, 10), pk.dtype).at[widx].set(pk)[:cap]
+            buf, widx = compact_rows(keep, pk, cap)
             rgb_c, acc_c, dep_c = core(
                 params, buf[:, 0:3], buf[:, 3:6], buf[:, 6:8],
                 buf[:, 8], buf[:, 9], words, occupancy,
@@ -903,9 +904,11 @@ def make_fused_pipeline_renderer_v2(
             outp = jnp.concatenate(
                 [rgb_c, acc_c[:, None], dep_c[:, None]], axis=1
             )
-            out_full = jnp.concatenate(
-                [outp, jnp.zeros((1, 5), jnp.float32)], axis=0
-            )[jnp.minimum(widx, cap)][:B]
+            # bg row is all-zeros (acc=0): white background is applied
+            # AFTER scatter-back via rgb + (1 - acc).
+            out_full = scatter_back(
+                outp, widx, jnp.zeros((1, 5), jnp.float32)
+            )[:B]
             rgb, acc, depth = out_full[:, 0:3], out_full[:, 3], out_full[:, 4]
         else:
             if occupancy is not None and tighten:
