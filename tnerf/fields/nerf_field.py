@@ -60,8 +60,20 @@ class NeRFField:
     # tables across a mesh axis (tnerf/parallel/table_parallel.py);
     # None = local tables.
     table_parallel: Optional[tuple] = None
+    # (axis_name, n_shards): apply() is being traced INSIDE a shard_map
+    # whose mapped axes include axis_name, with params["hashgrid"]["tables"]
+    # already this shard's local level block — encode via
+    # tp_encode_local's in-shard_map collectives instead of wrapping a
+    # (non-nestable) shard_map of our own.  Set by the sample-parallel
+    # renderer when composing SP x TP on a 3-axis mesh.
+    tp_inline: Optional[tuple] = None
 
     def _apply_hashgrid(self, params: dict, xn01: jnp.ndarray) -> jnp.ndarray:
+        if self.tp_inline is not None:
+            from tnerf.parallel.table_parallel import tp_encode_local
+
+            ax, n = self.tp_inline
+            return tp_encode_local(params["tables"], xn01, self.config, ax, n)
         if self.table_parallel is not None:
             from tnerf.parallel.table_parallel import tp_apply_hashgrid
 

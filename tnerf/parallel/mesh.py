@@ -12,8 +12,12 @@ annotate, let XLA place collectives).
 Beyond DP, two further axes exist where the workload has real scale:
 sample-parallel (the samples-per-ray quadrature of grid_intervals,
 tnerf/parallel/sample_parallel.py) and table-parallel (the hash-grid
-level tables, tnerf/parallel/table_parallel.py), both composing with DP
-on a 2-D mesh.  PP is N/A (a 2-8 layer MLP has no pipeline depth) and
+level tables, tnerf/parallel/table_parallel.py), each composing with DP
+on a 2-D mesh — and with EACH OTHER on a 3-axis
+("data", "sample", "model") mesh, where the SP renderer folds the
+table-sharded encode into its single shard_map (shard_maps do not
+nest; see sample_parallel.make_sp_interval_renderer's model_axis).
+PP is N/A (a 2-8 layer MLP has no pipeline depth) and
 EP is N/A (no sparse expert routing in the model family) — documented
 out of scope, matching the reference's capability set (SURVEY §2.4).
 """
@@ -34,20 +38,29 @@ def make_mesh(
     axis_name: str = "data",
     extra_axis: Optional[str] = None,
     n_extra: int = 1,
+    extra_axis2: Optional[str] = None,
+    n_extra2: int = 1,
 ) -> Mesh:
     """Device mesh over the ray (data) axis, optionally with a second
-    axis (sample- or table-parallel): shape (n_devices, n_extra)."""
+    and third axis (sample- and/or table-parallel): shape
+    (n_devices, n_extra[, n_extra2])."""
     devs = jax.devices()
+    axes = [(axis_name, n_devices)]
+    if extra_axis is not None and n_extra > 1:
+        axes.append((extra_axis, n_extra))
+    if extra_axis2 is not None and n_extra2 > 1:
+        axes.append((extra_axis2, n_extra2))
+    n_rest = int(np.prod([s for _, s in axes[1:]])) if len(axes) > 1 else 1
     if n_devices == -1:
-        n_devices = len(devs) // max(n_extra, 1)
-    total = n_devices * max(n_extra, 1)
+        axes[0] = (axis_name, len(devs) // n_rest)
+    total = axes[0][1] * n_rest
     if total > len(devs):
         raise ValueError(f"requested {total} devices, have {len(devs)}")
-    if extra_axis is None or n_extra <= 1:
-        return Mesh(np.asarray(devs[:n_devices]), (axis_name,))
+    if len(axes) == 1:
+        return Mesh(np.asarray(devs[:total]), (axis_name,))
     return Mesh(
-        np.asarray(devs[:total]).reshape(n_devices, n_extra),
-        (axis_name, extra_axis),
+        np.asarray(devs[:total]).reshape([s for _, s in axes]),
+        tuple(n for n, _ in axes),
     )
 
 

@@ -103,6 +103,7 @@ def make_sp_interval_renderer(
     data_axis: Optional[str] = "data",
     sample_axis: str = "sample",
     max_hits: Optional[int] = None,
+    model_axis: Optional[str] = None,
 ):
     """`grid_intervals` renderer with the sample axis sharded over
     `sample_axis` (and rays over `data_axis`, if given): traversal and
@@ -112,6 +113,14 @@ def make_sp_interval_renderer(
     The sample axis S = max_hits * samples_per_interval must divide by
     the sample-axis size.  Same call contract as make_grid_renderer's
     render(params, rays, key=None, occupancy=None).
+
+    `model_axis` composes TABLE parallelism into the same shard_map
+    (3-axis data x sample x model mesh): the hash-grid level tables
+    enter level-sharded over `model_axis` and the encode runs via
+    tp_encode_local (local levels + a tiled feature all_gather), so one
+    shard_map carries all three axes — shard_maps do not nest, and this
+    is the only way SP and TP coexist.  Requires a hashgrid field; the
+    MLP params stay replicated.
     """
     n_sp = mesh.shape[sample_axis]
     H = max_hits if max_hits is not None else grid_cfg.effective_max_hits
@@ -125,32 +134,69 @@ def make_sp_interval_renderer(
     dp = data_axis if data_axis is not None else None
     white = render_cfg.white_background
 
+    inner_field = field
+    if model_axis is not None:
+        if field.config.encoding != "hashgrid":
+            raise ValueError(
+                "model_axis shards hash-grid level tables; "
+                f"field encoding is {field.config.encoding!r}"
+            )
+        import dataclasses
+
+        inner_field = dataclasses.replace(
+            field,
+            table_parallel=None,
+            tp_inline=(model_axis, mesh.shape[model_axis]),
+        )
+
     def inner(params, pts, vtp, t, deltas, smask):
-        rgb, sigma = field.apply(params, pts, vtp[..., None, :])
+        rgb, sigma = inner_field.apply(params, pts, vtp[..., None, :])
         return sp_composite_local(
             rgb, sigma, deltas, t, smask, sample_axis, white_background=white
         )
 
-    inner_sharded = shard_map(
-        inner,
-        mesh=mesh,
-        in_specs=(
-            P(),                      # params replicated
-            P(dp, sample_axis, None),  # positions [B, S, 3]
-            P(dp, None),               # viewdirs [B, V]
-            P(dp, sample_axis),        # t
-            P(dp, sample_axis),        # deltas
-            P(dp, sample_axis),        # mask
-        ),
-        out_specs=RenderResult(
-            rgb=P(dp, None),
-            acc=P(dp),
-            depth=P(dp),
-            weights=P(dp, sample_axis),
-            transmittance=P(dp, sample_axis),
-        ),
-        check_vma=False,
-    )
+    def params_specs(params):
+        """Per-leaf in_specs for the param tree: hash tables level-shard
+        over model_axis, everything else replicates."""
+        if model_axis is None:
+            return P()
+
+        def spec_for(path, leaf):
+            keys = {getattr(k, "key", getattr(k, "name", None)) for k in path}
+            if "tables" in keys and getattr(leaf, "ndim", 0) == 2:
+                return P(model_axis, None)
+            return P()
+
+        return jax.tree_util.tree_map_with_path(spec_for, params)
+
+    _cache: dict = {}
+
+    def inner_sharded(params, *args):
+        key = jax.tree_util.tree_structure(params)
+        fn = _cache.get(key)
+        if fn is None:
+            fn = shard_map(
+                inner,
+                mesh=mesh,
+                in_specs=(
+                    params_specs(params),      # see above
+                    P(dp, sample_axis, None),  # positions [B, S, 3]
+                    P(dp, None),               # viewdirs [B, V]
+                    P(dp, sample_axis),        # t
+                    P(dp, sample_axis),        # deltas
+                    P(dp, sample_axis),        # mask
+                ),
+                out_specs=RenderResult(
+                    rgb=P(dp, None),
+                    acc=P(dp),
+                    depth=P(dp),
+                    weights=P(dp, sample_axis),
+                    transmittance=P(dp, sample_axis),
+                ),
+                check_vma=False,
+            )
+            _cache[key] = fn
+        return fn(params, *args)
 
     n_dp = mesh.shape[data_axis] if data_axis is not None else 1
 

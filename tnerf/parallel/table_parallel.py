@@ -114,6 +114,48 @@ def tp_apply_hashgrid(
     return fn(params["tables"], res_j, dense, n1, x01)
 
 
+def tp_encode_local(
+    tables_local: jnp.ndarray,
+    x01: jnp.ndarray,
+    cfg: FieldConfig,
+    axis_name: str,
+    n_shards: int,
+) -> jnp.ndarray:
+    """Level-sharded hash encode for use INSIDE an existing shard_map —
+    the composition primitive for 3-axis (data, sample, model) meshes,
+    where nesting tp_apply_hashgrid's own shard_map is not possible.
+
+    `tables_local` is this shard's [L/n * T, F] level-major block (the
+    in_spec must shard the level axis over `axis_name`); `x01` the local
+    [..., 3] positions in [0, 1].  Returns the FULL [..., L*F] feature
+    matrix via a tiled all_gather over `axis_name` — the same megatron
+    pattern as tp_apply_hashgrid (features move, tables never do; the
+    all_gather's VJP reduce-scatters the feature cotangents so table
+    gradients stay shard-local)."""
+    L, F = cfg.hash_levels, cfg.hash_features_per_level
+    T = 1 << cfg.hash_log2_table_size
+    if L % n_shards != 0:
+        raise ValueError(
+            f"hash_levels={L} must divide over {n_shards} '{axis_name}' devices"
+        )
+    if cfg.hash_nearest_levels:
+        raise ValueError(
+            "hash_nearest_levels is a static per-level choice; it is not "
+            "supported under table parallelism (set it to 0)"
+        )
+    Ls = L // n_shards
+    res = level_resolutions(cfg)
+    res_full = jnp.asarray(res, jnp.int32)
+    dense_full = jnp.asarray((res + 1) ** 3 <= T)
+    n1_full = jnp.asarray(res + 1, jnp.uint32)
+    start = jax.lax.axis_index(axis_name) * Ls
+    res_l = jax.lax.dynamic_slice_in_dim(res_full, start, Ls)
+    dense_l = jax.lax.dynamic_slice_in_dim(dense_full, start, Ls)
+    n1_l = jax.lax.dynamic_slice_in_dim(n1_full, start, Ls)
+    feats = _local_encode(tables_local, res_l, dense_l, n1_l, x01, T=T, F=F)
+    return jax.lax.all_gather(feats, axis_name, axis=feats.ndim - 1, tiled=True)
+
+
 def tp_state_sharding(tree, mesh: Mesh, axis_name: str = "model"):
     """Sharding pytree for a train state under table parallelism: every
     [L*T, F] leaf living under a 'tables' key (the tables AND their

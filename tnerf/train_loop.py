@@ -138,11 +138,6 @@ def run_training(
     n_avail = len(jax.devices())
     n_sp = cfg.parallel.sample_parallel
     n_tp = cfg.parallel.table_parallel
-    if n_sp > 1 and n_tp > 1:
-        raise ValueError(
-            "sample_parallel and table_parallel are separate mesh layouts; "
-            "enable at most one"
-        )
     if n_sp > 1 and cfg.render.pipeline != "grid_intervals":
         raise ValueError(
             "parallel.sample_parallel shards the grid_intervals sample "
@@ -153,15 +148,22 @@ def run_training(
             "parallel.table_parallel shards hash-grid level tables; "
             f"field_.encoding={cfg.field_.encoding!r}"
         )
+    # SP and TP compose on a 3-axis (data, sample, model) mesh: the SP
+    # renderer folds the table-sharded encode into its own shard_map
+    # (model_axis below) — possible only on the grid_intervals + hashgrid
+    # combination, which the two checks above already enforce.
     extra_axis, n_extra = None, 1
+    extra_axis2, n_extra2 = None, 1
     if n_sp > 1:
         extra_axis, n_extra = cfg.parallel.sample_axis_name, n_sp
+        if n_tp > 1:
+            extra_axis2, n_extra2 = cfg.parallel.table_axis_name, n_tp
     elif n_tp > 1:
         extra_axis, n_extra = cfg.parallel.table_axis_name, n_tp
     n_dp = cfg.parallel.data_parallel
-    n_dp = max(1, n_avail // n_extra) if n_dp == -1 else n_dp
+    n_dp = max(1, n_avail // (n_extra * n_extra2)) if n_dp == -1 else n_dp
     mesh = None
-    if n_dp > 1 or n_extra > 1:
+    if n_dp > 1 or n_extra > 1 or n_extra2 > 1:
         if cfg.train.batch_size % n_dp != 0:
             raise ValueError(
                 f"train.batch_size={cfg.train.batch_size} not divisible by "
@@ -175,7 +177,10 @@ def run_training(
                 f"by parallel.data_parallel={n_dp} (the sample-parallel "
                 "renderer shards eval chunks over the data axis)"
             )
-        mesh = make_mesh(n_dp, cfg.parallel.axis_name, extra_axis, n_extra)
+        mesh = make_mesh(
+            n_dp, cfg.parallel.axis_name, extra_axis, n_extra,
+            extra_axis2, n_extra2,
+        )
         log.info("mesh: %s", dict(mesh.shape))
     # SP embeds BOTH axes via shard_map inside the renderer (its in_specs
     # split rays over "data" already), so eval must not re-wrap it; DP
@@ -203,6 +208,7 @@ def run_training(
             field, cfg.grid, cfg.sampler, cfg.render, mesh,
             data_axis=cfg.parallel.axis_name,
             sample_axis=cfg.parallel.sample_axis_name,
+            model_axis=cfg.parallel.table_axis_name if n_tp > 1 else None,
         )
         renderer_compact = renderer_dense  # SP path has no compaction
     else:
