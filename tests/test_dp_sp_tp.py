@@ -155,3 +155,37 @@ def test_run_training_dp_sp_tp(tmp_path):
     ])
     m = run_training(cfg, datasets=scene)
     assert np.isfinite(m["psnr_test"])
+
+
+def test_tp_checkpoint_resume_reshards(tmp_path):
+    """Checkpoint/resume round-trip under table parallelism: the sharded
+    train state gathers to a host npz at save, restores replicated, and
+    the DP train-step's in_shardings re-shard the tables on the first
+    resumed step — the flow a real multi-chip user hits."""
+    from tnerf.data.procedural import generate_procedural_scene
+    from tnerf.train_loop import run_training
+
+    assert len(jax.devices()) >= 8
+    scene = generate_procedural_scene(
+        width=24, height=24, n_train=4, n_val=1, n_test=1, n_samples=64
+    )
+    out = str(tmp_path / "tp_ckpt_run")
+    base = [
+        "scene.kind=procedural", "scene.scene_scale=1.0",
+        "render.pipeline=grid_march",
+        "grid.resolution=8", "grid.warmup_steps=5", "grid.update_every=5",
+        "sampler.samples_per_ray=32", "sampler.near=2.0", "sampler.far=5.5",
+        "field_.encoding=hashgrid", "field_.hash_levels=8",
+        "field_.hash_log2_table_size=12", "field_.hash_max_resolution=64",
+        "field_.hash_gather_mode=gather",
+        "parallel.data_parallel=2", "parallel.table_parallel=4",
+        "train.batch_size=256", "train.steps=10", "train.eval_every=0",
+        "train.checkpoint_every=10", "train.log_every=5",
+        f"logging.out_dir={out}", "render.chunk_size=1024",
+    ]
+    run_training(Config().apply_overrides(base), datasets=scene)
+    cfg2 = Config().apply_overrides(base + [
+        "train.resume=true", "train.steps=16",
+    ])
+    m = run_training(cfg2, datasets=scene)
+    assert np.isfinite(m["psnr_test"])
