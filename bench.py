@@ -582,6 +582,34 @@ def gate_metrics() -> dict:
             out[f"{name}_psnr_test"] = round(last["psnr_test"], 2)
             if "psnr_test_min" in last:
                 out[f"{name}_psnr_test_min"] = round(last["psnr_test_min"], 2)
+
+    # Same-checkpoint march-vs-fused parity (north-star clause): the
+    # committed artifact tools/render_parity.py writes — full test split
+    # at gate resolution through BOTH renderers.
+    ppath = os.path.join(here, "runs/hard_r3_fused_rpc2/render_parity.json")
+    if os.path.exists(ppath):
+        try:
+            with open(ppath) as fh:
+                par = json.load(fh)
+            out["fused_march_parity_db"] = par["parity_db"]
+            out["fused_march_parity_march_psnr"] = par["march"]["psnr_test"]
+        except (json.JSONDecodeError, KeyError):
+            pass
+
+    # Loader throughput from the 800x800 dress rehearsal (real reader +
+    # native threaded PNG decode; tools/dress_rehearsal.py).
+    lpath = os.path.join(here, "runs/dress_rehearsal/loader_bench.json")
+    if os.path.exists(lpath):
+        try:
+            with open(lpath) as fh:
+                lb = json.load(fh)
+            for scene_name, rec in lb.items():
+                if isinstance(rec, dict) and "images_per_sec" in rec:
+                    out[f"loader_{scene_name}_images_per_sec"] = rec[
+                        "images_per_sec"
+                    ]
+        except json.JSONDecodeError:
+            pass
     return out
 
 
