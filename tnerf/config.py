@@ -137,6 +137,13 @@ class FieldConfig:
     # Viewing-direction parameterization: "thetaphi" matches the reference
     # (optixPrograms.cu:71-73); "unit" uses the normalized 3-vector.
     view_param: str = "thetaphi"
+    # View-direction encoding: "frequency" (reference parity — frequency
+    # encoding over the view dims, main.cu:47-59) or "sh" (real spherical
+    # harmonics over the unit direction, sh_degree bands = sh_degree^2
+    # features — the role of tcnn's SphericalHarmonics / the standard
+    # Instant-NGP view branch).
+    view_encoding: str = "frequency"
+    sh_degree: int = 4
     hidden_width: int = 128
     hidden_layers: int = 8
     # Hash-grid (Instant-NGP) settings, used when encoding == "hashgrid".

@@ -30,7 +30,12 @@ import jax.numpy as jnp
 
 from tnerf.cameras import thetaphi_to_unit
 from tnerf.config import FieldConfig, GridConfig
-from tnerf.fields.encodings import frequency_encoding, frequency_encoding_dim
+from tnerf.fields.encodings import (
+    frequency_encoding,
+    frequency_encoding_dim,
+    sh_encoding,
+    sh_encoding_dim,
+)
 from tnerf.fields.mlp import apply_mlp, init_mlp
 
 GEO_FEATURES = 15  # geometry feature width for the twobranch color head
@@ -102,6 +107,16 @@ class NeRFField:
 
     def _encode_view(self, viewdirs: jnp.ndarray) -> jnp.ndarray:
         """viewdirs: [..., 2] (theta, phi) or [..., 3] unit vector."""
+        if self.config.view_encoding == "sh":
+            # spherical harmonics need the unit 3-vector regardless of
+            # view_param (sh_encoding normalizes internally)
+            if viewdirs.shape[-1] == 2:
+                viewdirs = thetaphi_to_unit(viewdirs)
+            return sh_encoding(viewdirs, self.config.sh_degree)
+        if self.config.view_encoding != "frequency":
+            raise ValueError(
+                f"unknown view_encoding {self.config.view_encoding!r}"
+            )
         if viewdirs.shape[-1] == 3 and self.config.view_param == "thetaphi":
             from tnerf.cameras import viewdirs_to_thetaphi
 
@@ -124,6 +139,8 @@ class NeRFField:
 
     @property
     def _view_enc_dim(self) -> int:
+        if self.config.view_encoding == "sh":
+            return sh_encoding_dim(self.config.sh_degree)
         d = 2 if self.config.view_param == "thetaphi" else 3
         return frequency_encoding_dim(d, self.config.n_frequencies_view)
 

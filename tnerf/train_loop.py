@@ -92,6 +92,13 @@ def build_renderer(
                 "render.pipeline=grid_march (hashgrid runs as MXU one-hot "
                 "matmuls there — see configs/procedural_hard_hashgrid.json)"
             )
+        if cfg.field_.view_encoding != "frequency":
+            raise ValueError(
+                "render.pipeline=fused bakes the frequency VIEW encoding "
+                "into the kernel (gamma/beta algebra); "
+                f"field_.view_encoding={cfg.field_.view_encoding!r} needs "
+                "render.pipeline=grid_march"
+            )
         from tnerf.render.pallas_fused2 import make_fused_pipeline_renderer_v2
 
         return make_fused_pipeline_renderer_v2(
