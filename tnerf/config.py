@@ -119,6 +119,19 @@ class SamplerConfig:
     # mask into the Pallas kernel.  Train-time masking uses the XLA
     # lookup against the same pooled grid (exact at jittered positions).
     occupancy_mask_res: int = 16
+    # Sample PLACEMENT inside the (tightened) span, march pipeline only:
+    # "uniform" = equal strata (march_samples_t); "occupancy_cdf" =
+    # inverse-CDF stratified placement over cdf_bins occupancy probes
+    # (sampling.cdf_ray_samples) — concentrates the budget on occupied
+    # sub-segments (only ~16% of tightened-span samples hit occupied
+    # cells on the hard gate; docs/KERNEL_NOTES.md).  Part of the
+    # quadrature contract: train and eval must use the same placement.
+    placement: str = "uniform"  # uniform | occupancy_cdf
+    cdf_bins: int = 64
+    # Weight added to every CDF bin (occupied bins weigh 1): keeps
+    # support everywhere the conservative occupancy mask might err and
+    # bounds the mass spent on empty space at floor*P/(K + floor*P).
+    cdf_floor: float = 0.01
 
 
 @dataclass(frozen=True)

@@ -38,7 +38,7 @@ from tnerf.grid.traversal import (
 )
 from tnerf.render.composite import RenderResult, composite
 from tnerf.render.fused_common import compact_rows, scatter_back
-from tnerf.sampling import interval_samples, sample_positions
+from tnerf.sampling import cdf_ray_samples, interval_samples, sample_positions
 
 
 def _segmented_cumsum(x: jnp.ndarray, seg_start: jnp.ndarray) -> jnp.ndarray:
@@ -272,6 +272,37 @@ def make_grid_renderer(
             pool = lambda occ, r: (
                 occ if r == res else make_coarse_occupancy(occ, res // r)
             )
+            # Occupancy-CDF placement (sampler.placement="occupancy_cdf"):
+            # inverse-CDF stratified samples over per-bin occupancy
+            # weights probed on the SAME pooled m_res grid the mask
+            # uses, so train (jittered) and eval (midpoint) share one
+            # quadrature contract.  Falls back to uniform without a
+            # grid (constant weights = the identity warp).
+            use_cdf = (
+                sampler_cfg.placement == "occupancy_cdf" and occ3 is not None
+            )
+
+            def cdf_place(o_, d_, t0_, t1_, key_=None):
+                P = sampler_cfg.cdf_bins
+                occ_m = pool(occ3, m_res)
+                tb = t0_[..., None] + (
+                    (jnp.arange(P, dtype=jnp.float32) + 0.5) / P
+                ) * (t1_ - t0_)[..., None]
+                wb = occupancy_lookup_fast(
+                    sample_positions(o_, d_, tb), occ_m, grid_cfg
+                ).astype(jnp.float32)
+                jit_ = (
+                    jax.random.uniform(key_, (*t0_.shape, S), jnp.float32)
+                    if key_ is not None
+                    else None
+                )
+                s = cdf_ray_samples(
+                    t0_, t1_, S, wb, floor=sampler_cfg.cdf_floor, jitter=jit_
+                )
+                m_ = s.mask & occupancy_lookup_fast(
+                    sample_positions(o_, d_, s.t), occ_m, grid_cfg
+                )
+                return s.t, s.deltas, m_
             # Fused Pallas tighten+mask kernel: eval-time (midpoint
             # quadrature, key is None) with both stages on one pooled
             # bitfield <= 32^3 — replaces the XLA probe gathers (~21% of
@@ -335,8 +366,11 @@ def make_grid_renderer(
                     o_c, d_c, v_c = buf[:, 0:3], buf[:, 3:6], buf[:, 6:8]
                     te_c, tx_c = buf[:, 8], buf[:, 9]
                     t0_c, t1_c, smask_c = kernel(o_c, d_c, te_c, tx_c)
-                    smask_c = refine(smask_c, o_c, d_c, t0_c, t1_c)
-                    t_c, deltas_c = march_samples_t(t0_c, t1_c, S)
+                    if use_cdf:
+                        t_c, deltas_c, smask_c = cdf_place(o_c, d_c, t0_c, t1_c)
+                    else:
+                        smask_c = refine(smask_c, o_c, d_c, t0_c, t1_c)
+                        t_c, deltas_c = march_samples_t(t0_c, t1_c, S)
                     res_c = shade(o_c, d_c, v_c, t_c, deltas_c, smask_c)
                     out_pack = jnp.concatenate(
                         [res_c.rgb, res_c.acc[:, None], res_c.depth[:, None]],
@@ -354,9 +388,14 @@ def make_grid_renderer(
                 t_enter, t_exit, smask = kernel(
                     rays.origins, rays.directions, t_enter, t_exit
                 )
-                smask = refine(smask, rays.origins, rays.directions,
-                               t_enter, t_exit)
-                t, deltas = march_samples_t(t_enter, t_exit, S)
+                if use_cdf:
+                    t, deltas, smask = cdf_place(
+                        rays.origins, rays.directions, t_enter, t_exit
+                    )
+                else:
+                    smask = refine(smask, rays.origins, rays.directions,
+                                   t_enter, t_exit)
+                    t, deltas = march_samples_t(t_enter, t_exit, S)
             else:
                 if occ3 is not None and sampler_cfg.tighten:
                     t_enter, t_exit = tightened_range(
@@ -364,18 +403,23 @@ def make_grid_renderer(
                         pool(occ3, t_res), grid_cfg,
                         probes=sampler_cfg.tighten_probes,
                     )
-                jitter = (
-                    jax.random.uniform(key, (*t_enter.shape, S), jnp.float32)
-                    if key is not None
-                    else None
-                )
-                t, deltas = march_samples_t(t_enter, t_exit, S, jitter=jitter)
-                smask = t_exit[..., None] > t_enter[..., None]
-                if occ3 is not None:
-                    pts_probe = sample_positions(rays.origins, rays.directions, t)
-                    smask = smask & occupancy_lookup_fast(
-                        pts_probe, pool(occ3, m_res), grid_cfg
+                if use_cdf:
+                    t, deltas, smask = cdf_place(
+                        rays.origins, rays.directions, t_enter, t_exit, key
                     )
+                else:
+                    jitter = (
+                        jax.random.uniform(key, (*t_enter.shape, S), jnp.float32)
+                        if key is not None
+                        else None
+                    )
+                    t, deltas = march_samples_t(t_enter, t_exit, S, jitter=jitter)
+                    smask = t_exit[..., None] > t_enter[..., None]
+                    if occ3 is not None:
+                        pts_probe = sample_positions(rays.origins, rays.directions, t)
+                        smask = smask & occupancy_lookup_fast(
+                            pts_probe, pool(occ3, m_res), grid_cfg
+                        )
 
         return shade(rays.origins, rays.directions, rays.viewdirs_tp,
                      t, deltas, smask)

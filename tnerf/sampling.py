@@ -129,3 +129,78 @@ def interval_samples(
 def sample_positions(origins: jnp.ndarray, directions: jnp.ndarray, t: jnp.ndarray) -> jnp.ndarray:
     """o + t*d: [..., 3], [..., 3], [..., S] -> [..., S, 3]."""
     return origins[..., None, :] + directions[..., None, :] * t[..., :, None]
+
+
+def cdf_ray_samples(
+    t_enter: jnp.ndarray,
+    t_exit: jnp.ndarray,
+    n_samples: int,
+    bin_weights: jnp.ndarray,
+    floor: float = 0.01,
+    jitter: Optional[jnp.ndarray] = None,
+) -> RaySamples:
+    """Inverse-CDF stratified placement of S samples over each ray's
+    [t_enter, t_exit] span from per-bin weights (occupancy-importance
+    sampling; `sampler.placement="occupancy_cdf"`).
+
+    Uniform midpoint marching wastes its fixed budget on empty space:
+    on the trained hard-gate grid only ~16% of TIGHTENED-span samples
+    land in occupied cells (docs/KERNEL_NOTES.md) — the occupancy mask
+    zeroes the rest.  Placing samples by the inverse CDF of per-bin
+    occupancy weights concentrates the same budget on the occupied
+    sub-segments instead.
+
+    Construction (stratified importance sampling, per ray):
+      - bin_weights [..., P] >= 0 get `floor` added (every bin keeps
+        support: the occupancy grid is a conservative mask, and a ray
+        with no occupied probe must not divide by zero), normalized to
+        a pmf/CDF over u in [0, 1];
+      - sample s sits at stratum center u_s = (s + 0.5)/S in the warped
+        coordinate (`jitter` [..., S] in [0,1) places it uniformly
+        within its stratum instead — the stratified mode) and maps
+        through the piecewise-linear inverse CDF to t_s (monotone in s);
+      - the quadrature step is the POINT Jacobian of the warp at the
+        sample's own bin: delta_s = (span/P) / (pmf_b(s) * S).  NOT the
+        stratum-edge t-difference: a stratum straddling an occupancy
+        boundary would smear its empty-space extent into an occupied
+        sample's tau = sigma*delta (measured +0.03 rgb bias at S=8 on a
+        slab scene), while the point Jacobian charges each sample
+        exactly its own bin's density.  Masked (empty-bin) samples get
+        LARGE deltas (1/floor-ish) — callers must intersect the
+        returned mask with their occupancy mask so those samples are
+        excluded from compositing, which they do anyway by contract.
+
+    With constant weights this reduces exactly to march_samples_t
+    (uniform bins -> identity warp, delta = span/S).  Returns
+    RaySamples with mask = span > 0; callers intersect with their
+    occupancy mask at the returned positions."""
+    P = bin_weights.shape[-1]
+    span = jnp.maximum(t_exit - t_enter, 0.0)
+    w = bin_weights.astype(jnp.float32) + jnp.float32(floor)
+    csum = jnp.cumsum(w, axis=-1)
+    total = csum[..., -1:]
+    pmf = w / total                                            # [..., P]
+    cdf = jnp.concatenate(
+        [jnp.zeros_like(total), csum / total], axis=-1
+    )                                                          # [..., P+1]
+
+    if jitter is not None:
+        u_pts = (jnp.arange(n_samples, dtype=jnp.float32) + jitter) / n_samples
+    else:
+        u_pts = jnp.broadcast_to(
+            (jnp.arange(n_samples, dtype=jnp.float32) + 0.5) / n_samples,
+            (*span.shape, n_samples),
+        )
+
+    # bin index of each query: #{p : cdf[p+1] < u}, in [0, P-1]
+    idx = jnp.sum(
+        cdf[..., 1:-1][..., None, :] < u_pts[..., :, None], axis=-1
+    ).astype(jnp.int32)
+    c0 = jnp.take_along_axis(cdf, idx, axis=-1)
+    pmf_s = jnp.take_along_axis(pmf, idx, axis=-1)
+    frac = (u_pts - c0) / jnp.maximum(pmf_s, 1e-12)
+    x = (idx.astype(jnp.float32) + frac) / P
+    t = t_enter[..., None] + x * span[..., None]
+    deltas = (span[..., None] / P) / (pmf_s * n_samples)
+    mask = jnp.broadcast_to((span > 0)[..., None], t.shape)
+    return RaySamples(t=t, deltas=deltas, mask=mask)

@@ -67,6 +67,13 @@ def build_renderer(
             "the renderer adds — set both to the same value"
         )
     p = cfg.render.pipeline
+    if cfg.sampler.placement != "uniform" and p != "grid_march":
+        raise ValueError(
+            f"sampler.placement={cfg.sampler.placement!r} is a grid_march "
+            f"quadrature (render.pipeline={p!r}): the fused kernel bakes "
+            "uniform dt into its gamma/beta algebra and grid_intervals "
+            "places samples per traversal interval"
+        )
     if p == "uniform":
         return make_uniform_renderer(field, cfg.sampler, cfg.render)
     do_compact = cfg.render.compact if compact is None else compact
