@@ -108,3 +108,45 @@ def test_loader_uses_native_path(tmp_path):
     Image.fromarray(arr, "RGBA").save(p)
     out = read_png(p, channels=4)
     np.testing.assert_allclose(out, arr.astype(np.float32) / 255.0)
+
+
+# ---- native encoder (the stb_image_write role, main.cu:19-21) ----
+
+def test_encode_roundtrip_rgb_and_rgba(tmp_path):
+    _require_native()
+    rng = np.random.default_rng(7)
+    for c, name in ((3, "enc_rgb"), (4, "enc_rgba")):
+        arr = rng.integers(0, 256, (41, 29, c), dtype=np.uint8)
+        arr[:10] = np.linspace(0, 255, 29, dtype=np.uint8)[None, :, None]
+        path = str(tmp_path / f"{name}.png")
+        assert native_png.encode(path, arr)
+        want = arr if c == 4 else np.concatenate(
+            [arr, np.full((41, 29, 1), 255, np.uint8)], axis=-1
+        )
+        # PIL is the independent oracle; the native decoder cross-checks
+        np.testing.assert_array_equal(
+            np.asarray(Image.open(path).convert("RGBA")), want
+        )
+        np.testing.assert_array_equal(native_png.decode(path), want)
+
+
+def test_encode_batch_threaded(tmp_path):
+    _require_native()
+    rng = np.random.default_rng(8)
+    imgs = rng.integers(0, 256, (9, 32, 48, 4), dtype=np.uint8)
+    paths = [str(tmp_path / f"b{i}.png") for i in range(9)]
+    assert native_png.encode_batch(paths, imgs, num_threads=3)
+    got = native_png.decode_batch(paths)
+    np.testing.assert_array_equal(got, imgs)
+
+
+def test_write_png_prefers_native_and_roundtrips(tmp_path):
+    _require_native()
+    from tnerf.data.png_io import read_png, write_png
+
+    img = np.linspace(0, 1, 24 * 24 * 3, dtype=np.float32).reshape(24, 24, 3)
+    path = str(tmp_path / "f.png")
+    write_png(path, img)
+    back = read_png(path, channels=3)
+    # float -> u8 quantization is the only loss
+    assert np.abs(back - img).max() <= 0.5 / 255 + 1e-6

@@ -58,10 +58,19 @@ def write_png(path: str, image: np.ndarray) -> None:
 
     The reference includes stb_image_write.h (main.cu:19-21) but never
     calls it — the intended render-output capability, implemented here.
+    Prefers the native C++ encoder (tnerf.native.png) and falls back to
+    PIL, mirroring read_png.
     """
-    from PIL import Image
-
     arr = np.asarray(image)
     if arr.dtype != np.uint8:
         arr = (np.clip(arr, 0.0, 1.0) * 255.0 + 0.5).astype(np.uint8)
+    try:
+        from tnerf.native import png as native_png
+
+        if native_png.encode(path, arr):
+            return
+    except Exception:
+        pass
+    from PIL import Image
+
     Image.fromarray(arr).save(path)

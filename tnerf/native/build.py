@@ -6,7 +6,7 @@ import os
 import subprocess
 import sys
 
-SRC = ["src/png_decoder.cpp"]
+SRC = ["src/png_decoder.cpp", "src/png_encoder.cpp"]
 OUT = "libtnerf_native.so"
 
 

@@ -15,6 +15,7 @@ import numpy as np
 
 _LIB = None
 _TRIED = False
+_REBUILT = False
 
 # Reject absurd header dimensions before allocating (a corrupt/malicious
 # IHDR could otherwise trigger a multi-GB np.empty before any validation).
@@ -22,12 +23,13 @@ MAX_DIM = 32768
 
 
 def _lib():
-    global _LIB, _TRIED
+    global _LIB, _TRIED, _REBUILT
     if _TRIED:
         return _LIB
     _TRIED = True
     so = os.path.join(os.path.dirname(__file__), "libtnerf_native.so")
-    if not os.path.exists(so):
+
+    def _rebuild() -> bool:
         # Build on first use (the .so is deliberately not checked in);
         # failure is fine — callers fall back to PIL.
         try:
@@ -35,9 +37,11 @@ def _lib():
 
             build(verbose=False)
         except Exception:
-            return None
-        if not os.path.exists(so):
-            return None
+            return False
+        return os.path.exists(so)
+
+    if not os.path.exists(so) and not _rebuild():
+        return None
     try:
         lib = ctypes.CDLL(so)
         lib.tnerf_png_info.argtypes = [
@@ -63,7 +67,36 @@ def _lib():
             ctypes.POINTER(ctypes.c_int),
         ]
         lib.tnerf_png_decode_batch.restype = ctypes.c_int
+        lib.tnerf_png_encode.argtypes = [
+            ctypes.c_char_p,
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.c_uint32,
+            ctypes.c_uint32,
+            ctypes.c_int,
+            ctypes.c_int,
+        ]
+        lib.tnerf_png_encode.restype = ctypes.c_int
+        lib.tnerf_png_encode_batch.argtypes = [
+            ctypes.POINTER(ctypes.c_char_p),
+            ctypes.c_int,
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.c_uint32,
+            ctypes.c_uint32,
+            ctypes.c_int,
+            ctypes.c_int,
+            ctypes.c_int,
+            ctypes.POINTER(ctypes.c_int),
+        ]
+        lib.tnerf_png_encode_batch.restype = ctypes.c_int
         _LIB = lib
+    except AttributeError:
+        # A stale .so built before a symbol existed: rebuild once and
+        # retry (ctypes raises on first access to the missing symbol).
+        _LIB = None
+        if not _REBUILT and _rebuild():
+            _REBUILT = True
+            _TRIED = False
+            return _lib()
     except OSError:
         _LIB = None
     return _LIB
@@ -92,6 +125,52 @@ def decode(path: str) -> Optional[np.ndarray]:
         h.value,
     )
     return out if rc == 0 else None
+
+
+def encode(path: str, image: np.ndarray, level: int = -1) -> bool:
+    """Write [H, W, 3|4] uint8 as PNG. False -> caller falls back to PIL.
+
+    An older libtnerf_native.so built before the encoder existed lacks
+    the symbol; _lib() registers it at load, so that raises AttributeError
+    here and we fall back (rebuild with python -m tnerf.native.build)."""
+    lib = _lib()
+    if lib is None:
+        return False
+    arr = np.ascontiguousarray(image)
+    if arr.dtype != np.uint8 or arr.ndim != 3 or arr.shape[2] not in (3, 4):
+        return False
+    h, w, c = arr.shape
+    rc = lib.tnerf_png_encode(
+        path.encode(),
+        arr.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        w, h, c, level,
+    )
+    return rc == 0
+
+
+def encode_batch(
+    paths: List[str], images: np.ndarray, num_threads: int = 0,
+    level: int = -1,
+) -> bool:
+    """Write [N, H, W, 3|4] uint8 frames in parallel. False -> fall back."""
+    lib = _lib()
+    if lib is None or not paths:
+        return False
+    arr = np.ascontiguousarray(images)
+    if (
+        arr.dtype != np.uint8 or arr.ndim != 4
+        or arr.shape[0] != len(paths) or arr.shape[3] not in (3, 4)
+    ):
+        return False
+    n, h, w, c = arr.shape
+    cpaths = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
+    statuses = (ctypes.c_int * n)()
+    rc = lib.tnerf_png_encode_batch(
+        cpaths, n,
+        arr.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        w, h, c, num_threads, level, statuses,
+    )
+    return rc == 0
 
 
 def decode_batch(
