@@ -244,3 +244,35 @@ def test_renderer_cdf_placement_trains_with_jitter():
     out_m = np.asarray(r(params, rays, None, jnp.asarray(occ)).rgb)
     assert np.all(np.isfinite(out_j))
     assert np.abs(out_j - out_m).mean() < 0.05
+
+
+def test_cdf_occupied_sample_fraction_closed_form():
+    """Slab grid: each hitting ray's fraction must equal the occupied-bin
+    mass K(1+f)/(K(1+f)+(P-K)f) with K measured from the same probes."""
+    from tnerf.cameras import Rays, viewdirs_to_thetaphi
+    from tnerf.config import Config
+    from tnerf.render.grid_renderer import cdf_occupied_sample_fraction
+
+    cfg = Config().apply_overrides([
+        "sampler.near=0.05", "grid.resolution=16",
+        "sampler.tighten=false", "sampler.occupancy_mask_res=16",
+        "sampler.cdf_bins=32", "sampler.cdf_floor=0.01",
+    ])
+    occ = np.zeros((16, 16, 16), bool)
+    occ[:, :, 8:10] = True  # z-slab: 1/8 of the box
+    n = 16
+    o = np.stack([np.linspace(-0.5, 0.5, n), np.zeros(n), np.full(n, -3.0)],
+                 -1).astype(np.float32)
+    d = np.tile(np.array([[0, 0, 1.0]], np.float32), (n, 1))
+    rays = Rays(origins=jnp.asarray(o), directions=jnp.asarray(d),
+                viewdirs_tp=viewdirs_to_thetaphi(jnp.asarray(d)))
+    got = float(cdf_occupied_sample_fraction(
+        rays, jnp.asarray(occ), cfg.grid, cfg.sampler
+    ))
+    # full span [0.05?, box]: rays enter at z=-1 exit z=+1, slab is
+    # 2/16 of that span -> K = 32 * (2/16) = 4 occupied bins
+    K, P, f = 4, 32, 0.01
+    expect = K * (1 + f) / (K * (1 + f) + (P - K) * f)
+    np.testing.assert_allclose(got, expect, rtol=0.15)
+    # and it is far above the cell-occupancy proxy (1/8)
+    assert got > 0.8

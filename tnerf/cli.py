@@ -156,15 +156,25 @@ def main(argv=None) -> int:
     guard_res = (
         _ray_compact_guard_res(cfg) if bits is not None and step > 0 else None
     )
-    if guard_res is not None:
+    cdf_guard = (
+        bits is not None
+        and step > 0
+        and cfg.sampler.placement == "occupancy_cdf"
+        and cfg.render.compact
+        and cfg.render.pipeline == "grid_march"
+    )
+    if guard_res is not None or cdf_guard:
         from tnerf.cameras import camera_rays
-        from tnerf.render.grid_renderer import ray_keep_fraction
 
         ds0 = next(iter(datasets.values()))
         probe_rays = camera_rays(
             jax.numpy.asarray(ds0.poses[0]), ds0.width, ds0.height,
             ds0.focal, cfg.scene.scene_scale,
         )
+    kf = 1.0
+    if guard_res is not None:
+        from tnerf.render.grid_renderer import ray_keep_fraction
+
         kf = ray_keep_fraction(
             probe_rays, bits, cfg.grid, cfg.sampler, pool_res=guard_res
         )
@@ -175,6 +185,25 @@ def main(argv=None) -> int:
                 f"{cfg.render.ray_compact_fraction} — over-capacity rays "
                 f"will render as background. Raise the fraction (or set "
                 f"render.ray_compact=false).",
+                file=sys.stderr,
+            )
+    if cdf_guard:
+        # Sample-compaction capacity under occupancy-CDF placement: the
+        # occupied-SAMPLE fraction is by design much higher than the
+        # cell occupancy the uniform presets sized compact_fraction for.
+        from tnerf.render.grid_renderer import cdf_occupied_sample_fraction
+
+        sf = float(cdf_occupied_sample_fraction(
+            probe_rays, bits, cfg.grid, cfg.sampler
+        ))
+        needed = sf / max(kf, 1e-6) if guard_res is not None else sf
+        if needed > cfg.render.compact_fraction:
+            print(
+                f"WARNING: occupancy-CDF occupied-sample fraction "
+                f"{needed:.3f} (probe view, per kept ray) exceeds "
+                f"render.compact_fraction={cfg.render.compact_fraction}"
+                f" — over-capacity samples will be dropped. Raise the "
+                f"fraction (or set render.compact=false).",
                 file=sys.stderr,
             )
 

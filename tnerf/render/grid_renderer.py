@@ -193,6 +193,55 @@ def ray_keep_fraction(
     return float(jnp.any(m, axis=1).mean())
 
 
+def cdf_occupied_sample_fraction(
+    rays: Rays,
+    occupancy: jnp.ndarray,
+    grid_cfg: GridConfig,
+    sampler_cfg: SamplerConfig,
+) -> jnp.ndarray:
+    """Expected fraction of occupancy-CDF-placed samples landing in
+    occupied bins — the capacity-planning number for the dense->compact
+    switch when sampler.placement == "occupancy_cdf".  The cell-occupancy
+    proxy the uniform switch uses is meaningless there: CDF placement
+    concentrates samples in occupied cells BY DESIGN, so the occupied-
+    SAMPLE fraction tracks each ray's occupied-bin mass
+    K(1+floor)/(K(1+floor) + (P-K)floor), not the grid's cell count.
+
+    Mirrors cdf_place's quadrature (tighten at tighten_res, P=cdf_bins
+    probes on the pooled occupancy_mask_res grid).  Returns a scalar
+    jnp array; callers jit it (one [B, P] lookup per occupancy update).
+    """
+    res = grid_cfg.resolution
+    occ3 = occupancy.reshape(res, res, res)
+    t_res = min(sampler_cfg.tighten_res or res, res)
+    m_res = min(sampler_cfg.occupancy_mask_res or res, res)
+    pool = lambda occ, r: (
+        occ if r == res else make_coarse_occupancy(occ, res // r)
+    )
+    o = rays.origins.reshape(-1, 3)
+    d = rays.directions.reshape(-1, 3)
+    te, tx = ray_aabb(o, d, grid_cfg.aabb_min, grid_cfg.aabb_max)
+    te = jnp.maximum(te, sampler_cfg.near)
+    tx = jnp.maximum(tx, te)
+    if sampler_cfg.tighten:
+        te, tx = tightened_range(
+            o, d, te, tx, pool(occ3, t_res), grid_cfg,
+            probes=sampler_cfg.tighten_probes,
+        )
+    P = sampler_cfg.cdf_bins
+    tb = te[:, None] + (
+        (jnp.arange(P, dtype=jnp.float32) + 0.5) / P
+    ) * (tx - te)[:, None]
+    wb = occupancy_lookup_fast(
+        sample_positions(o, d, tb), pool(occ3, m_res), grid_cfg
+    ) & (tx[:, None] > te[:, None])
+    K = wb.sum(axis=-1).astype(jnp.float32)
+    fl = jnp.float32(sampler_cfg.cdf_floor)
+    mass_occ = K * (1.0 + fl)
+    frac = jnp.where(K > 0, mass_occ / (mass_occ + (P - K) * fl), 0.0)
+    return frac.mean()
+
+
 def make_grid_renderer(
     field: NeRFField,
     grid_cfg: GridConfig,

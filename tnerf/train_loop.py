@@ -276,9 +276,27 @@ def run_training(
         step_dense = wrapped_dense
     train_step = step_dense
     # switch to the compacted step once occupied cells fit the capacity
-    # with ~40% headroom (sample hit-rate tracks cell occupancy loosely)
+    # with ~40% headroom (sample hit-rate tracks cell occupancy loosely).
+    # Under occupancy-CDF placement the cell proxy is meaningless
+    # (samples concentrate in occupied cells by design) — plan capacity
+    # from the measured occupied-SAMPLE fraction instead.
     compact_switch_frac = cfg.render.compact_fraction * 0.6
     occ_frac_host = 1.0
+    switch_frac_host = 1.0
+    cdf_frac_fn = None
+    if (
+        use_grid
+        and cfg.render.compact
+        and n_sp == 1
+        and cfg.sampler.placement == "occupancy_cdf"
+    ):
+        from tnerf.render.grid_renderer import cdf_occupied_sample_fraction
+
+        cdf_frac_fn = jax.jit(
+            lambda r, bits: cdf_occupied_sample_fraction(
+                r, bits, cfg.grid, cfg.sampler
+            )
+        )
 
     update_occ = None
     if use_grid:
@@ -339,7 +357,12 @@ def run_training(
                 ):
                     occ = update_occ(occ, state.params, k_occ)
                     occ_frac_host = float(occupancy_fraction(occ))
-                    compacted = occ_frac_host < compact_switch_frac
+                    switch_frac_host = (
+                        float(cdf_frac_fn(batch.rays, occ.bitfield))
+                        if cdf_frac_fn is not None
+                        else occ_frac_host
+                    )
+                    compacted = switch_frac_host < compact_switch_frac
                     train_step = step_compact if compacted else step_dense
                     # Eval follows the same switch: once the pruned grid
                     # fits the compaction capacity, compacted rendering
