@@ -74,3 +74,23 @@ def write_png(path: str, image: np.ndarray) -> None:
     from PIL import Image
 
     Image.fromarray(arr).save(path)
+
+
+def write_png_batch(paths, images) -> None:
+    """Write same-sized frames ([N, H, W, 3|4] float in [0,1] or uint8)
+    in parallel through the native threaded encoder; falls back to a
+    write_png loop.  The production export path for eval renders and
+    dataset dress-rehearsal exports (deflate-bound, parallel across
+    files)."""
+    arr = np.asarray(images)
+    if arr.dtype != np.uint8:
+        arr = (np.clip(arr, 0.0, 1.0) * 255.0 + 0.5).astype(np.uint8)
+    try:
+        from tnerf.native import png as native_png
+
+        if native_png.encode_batch(list(paths), arr):
+            return
+    except Exception:
+        pass
+    for p, im in zip(paths, arr):
+        write_png(p, im)

@@ -356,14 +356,17 @@ def export_llff_format(
     conversion in llff.load_llff_scene — so reader+writer pin each other.
     (The reference's LLFF branch is dead code, loader/data_loader.cpp:
     140-148 defect D15; this is the real capability.)"""
-    from tnerf.data.png_io import write_png
+    from tnerf.data.png_io import write_png_batch
 
     img_dir = os.path.join(scene_dir, "images")
     os.makedirs(img_dir, exist_ok=True)
     n = len(ds)
+    write_png_batch(
+        [os.path.join(img_dir, f"image{i:03d}.png") for i in range(n)],
+        ds.images,
+    )
     pb = np.zeros((n, 17), np.float64)
     for i in range(n):
-        write_png(os.path.join(img_dir, f"image{i:03d}.png"), ds.images[i])
         c2w = ds.poses[i]
         raw = np.zeros((3, 5), np.float64)
         raw[:, 0] = -c2w[:3, 1]  # down  = -up
@@ -379,17 +382,20 @@ def export_llff_format(
 def export_nerf_synthetic_format(datasets: Dict[str, ImageDataset], scene_dir: str) -> None:
     """Write a procedural scene to disk in NeRF-synthetic layout so the
     loader (tnerf.data.dataset) can round-trip it."""
-    from tnerf.data.png_io import write_png
+    from tnerf.data.png_io import write_png_batch
 
     os.makedirs(scene_dir, exist_ok=True)
     for split, ds in datasets.items():
         os.makedirs(os.path.join(scene_dir, split), exist_ok=True)
+        write_png_batch(
+            [os.path.join(scene_dir, f"{split}/r_{i}.png")
+             for i in range(len(ds))],
+            ds.images,
+        )
         frames = []
         for i in range(len(ds)):
-            rel = f"./{split}/r_{i}"
-            write_png(os.path.join(scene_dir, f"{split}/r_{i}.png"), ds.images[i])
             frames.append({
-                "file_path": rel,
+                "file_path": f"./{split}/r_{i}",
                 "transform_matrix": ds.poses[i].tolist(),
             })
         meta = {"camera_angle_x": CAMERA_ANGLE_X, "frames": frames}

@@ -90,7 +90,7 @@ def evaluate(
     n = len(dataset) if max_views is None else min(max_views, len(dataset))
     if save_dir:
         os.makedirs(save_dir, exist_ok=True)
-    psnrs, ssims = [], []
+    psnrs, ssims, frames = [], [], []
     for i in range(n):
         pred = render_dataset_view(
             renderer, params, dataset, i, scene_scale, chunk_size,
@@ -99,9 +99,15 @@ def evaluate(
         psnrs.append(psnr(pred, gt[i]))
         ssims.append(ssim(pred, gt[i]))
         if save_dir:
-            from tnerf.data.png_io import write_png
+            frames.append(pred)
+    if save_dir and frames:
+        from tnerf.data.png_io import write_png_batch
 
-            write_png(os.path.join(save_dir, f"{dataset.split}_{i:03d}.png"), pred)
+        write_png_batch(
+            [os.path.join(save_dir, f"{dataset.split}_{i:03d}.png")
+             for i in range(n)],
+            np.stack(frames),
+        )
     return {
         f"psnr_{dataset.split}": float(np.mean(psnrs)),
         f"psnr_{dataset.split}_min": float(np.min(psnrs)),

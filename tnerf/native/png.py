@@ -15,15 +15,33 @@ import numpy as np
 
 _LIB = None
 _TRIED = False
-_REBUILT = False
+_HAS_ENCODE = False
 
 # Reject absurd header dimensions before allocating (a corrupt/malicious
 # IHDR could otherwise trigger a multi-GB np.empty before any validation).
 MAX_DIM = 32768
 
 
+def _stale(so: str) -> bool:
+    """The .so predates a source file — rebuild BEFORE the first dlopen.
+
+    A post-load rebuild cannot help: g++ rewrites the same inode, so a
+    second dlopen of the path returns the already-mapped stale image
+    (confirmed empirically).  Staleness must be decided from mtimes up
+    front."""
+    try:
+        so_m = os.path.getmtime(so)
+        src = os.path.join(os.path.dirname(so), "src")
+        return any(
+            os.path.getmtime(os.path.join(src, f)) > so_m
+            for f in os.listdir(src)
+        )
+    except OSError:
+        return False
+
+
 def _lib():
-    global _LIB, _TRIED, _REBUILT
+    global _LIB, _TRIED, _HAS_ENCODE
     if _TRIED:
         return _LIB
     _TRIED = True
@@ -40,8 +58,11 @@ def _lib():
             return False
         return os.path.exists(so)
 
-    if not os.path.exists(so) and not _rebuild():
-        return None
+    if not os.path.exists(so):
+        if not _rebuild():
+            return None
+    elif _stale(so):
+        _rebuild()  # best-effort: a stale lib still serves its old symbols
     try:
         lib = ctypes.CDLL(so)
         lib.tnerf_png_info.argtypes = [
@@ -67,37 +88,36 @@ def _lib():
             ctypes.POINTER(ctypes.c_int),
         ]
         lib.tnerf_png_decode_batch.restype = ctypes.c_int
-        lib.tnerf_png_encode.argtypes = [
-            ctypes.c_char_p,
-            ctypes.POINTER(ctypes.c_uint8),
-            ctypes.c_uint32,
-            ctypes.c_uint32,
-            ctypes.c_int,
-            ctypes.c_int,
-        ]
-        lib.tnerf_png_encode.restype = ctypes.c_int
-        lib.tnerf_png_encode_batch.argtypes = [
-            ctypes.POINTER(ctypes.c_char_p),
-            ctypes.c_int,
-            ctypes.POINTER(ctypes.c_uint8),
-            ctypes.c_uint32,
-            ctypes.c_uint32,
-            ctypes.c_int,
-            ctypes.c_int,
-            ctypes.c_int,
-            ctypes.POINTER(ctypes.c_int),
-        ]
-        lib.tnerf_png_encode_batch.restype = ctypes.c_int
+        try:
+            # Encoder symbols may be absent from a stale pre-encoder .so
+            # (ctypes raises on first access): degrade to decode-only
+            # rather than losing the whole native path.
+            lib.tnerf_png_encode.argtypes = [
+                ctypes.c_char_p,
+                ctypes.POINTER(ctypes.c_uint8),
+                ctypes.c_uint32,
+                ctypes.c_uint32,
+                ctypes.c_int,
+                ctypes.c_int,
+            ]
+            lib.tnerf_png_encode.restype = ctypes.c_int
+            lib.tnerf_png_encode_batch.argtypes = [
+                ctypes.POINTER(ctypes.c_char_p),
+                ctypes.c_int,
+                ctypes.POINTER(ctypes.c_uint8),
+                ctypes.c_uint32,
+                ctypes.c_uint32,
+                ctypes.c_int,
+                ctypes.c_int,
+                ctypes.c_int,
+                ctypes.POINTER(ctypes.c_int),
+            ]
+            lib.tnerf_png_encode_batch.restype = ctypes.c_int
+            _HAS_ENCODE = True
+        except AttributeError:
+            _HAS_ENCODE = False
         _LIB = lib
-    except AttributeError:
-        # A stale .so built before a symbol existed: rebuild once and
-        # retry (ctypes raises on first access to the missing symbol).
-        _LIB = None
-        if not _REBUILT and _rebuild():
-            _REBUILT = True
-            _TRIED = False
-            return _lib()
-    except OSError:
+    except (OSError, AttributeError):
         _LIB = None
     return _LIB
 
@@ -130,11 +150,11 @@ def decode(path: str) -> Optional[np.ndarray]:
 def encode(path: str, image: np.ndarray, level: int = -1) -> bool:
     """Write [H, W, 3|4] uint8 as PNG. False -> caller falls back to PIL.
 
-    An older libtnerf_native.so built before the encoder existed lacks
-    the symbol; _lib() registers it at load, so that raises AttributeError
-    here and we fall back (rebuild with python -m tnerf.native.build)."""
+    False also when the loaded .so predates the encoder (decode-only
+    degradation; _lib() rebuilds stale libraries by mtime up front, but
+    a build failure leaves the old symbols serving)."""
     lib = _lib()
-    if lib is None:
+    if lib is None or not _HAS_ENCODE:
         return False
     arr = np.ascontiguousarray(image)
     if arr.dtype != np.uint8 or arr.ndim != 3 or arr.shape[2] not in (3, 4):
@@ -154,7 +174,7 @@ def encode_batch(
 ) -> bool:
     """Write [N, H, W, 3|4] uint8 frames in parallel. False -> fall back."""
     lib = _lib()
-    if lib is None or not paths:
+    if lib is None or not _HAS_ENCODE or not paths:
         return False
     arr = np.ascontiguousarray(images)
     if (

@@ -79,10 +79,14 @@ void filter_row(uint8_t f, const uint8_t* row, const uint8_t* prev,
   }
 }
 
+// Mirror of the decoder-side bound (tnerf/native/png.py MAX_DIM): reject
+// absurd dimensions before allocating filter/deflate buffers.
+constexpr uint32_t kMaxDim = 32768;
+
 // Encode data[h][w][channels] u8 into a PNG byte stream. 0 on success.
 int encode_png(const uint8_t* data, uint32_t w, uint32_t h, int channels,
                int level, std::vector<uint8_t>* out) {
-  if (!data || w == 0 || h == 0) return -1;
+  if (!data || w == 0 || h == 0 || w > kMaxDim || h > kMaxDim) return -1;
   if (channels != 3 && channels != 4) return -2;
   const size_t stride = size_t(w) * channels;
 
@@ -115,6 +119,7 @@ int encode_png(const uint8_t* data, uint32_t w, uint32_t h, int channels,
   if (compress2(zbuf.data(), &zcap, filt.data(), uLong(filt.size()),
                 level) != Z_OK)
     return -3;
+  if (zcap > 0x7fffffffu) return -7;  // one IDAT chunk: length is u32
 
   out->clear();
   out->reserve(zcap + 64);
@@ -147,11 +152,17 @@ extern "C" {
 // level: zlib 0-9 (-1 = default). 0 on success.
 int tnerf_png_encode(const char* path, const uint8_t* data, uint32_t w,
                      uint32_t h, int channels, int level) {
-  std::vector<uint8_t> buf;
-  int rc = encode_png(data, w, h, channels,
-                      level < 0 ? Z_DEFAULT_COMPRESSION : level, &buf);
-  if (rc != 0) return rc;
-  return write_file(path, buf);
+  // No C++ exception may cross the C ABI (ctypes callers / pool
+  // threads would std::terminate): turn bad_alloc etc. into a status.
+  try {
+    std::vector<uint8_t> buf;
+    int rc = encode_png(data, w, h, channels,
+                        level < 0 ? Z_DEFAULT_COMPRESSION : level, &buf);
+    if (rc != 0) return rc;
+    return write_file(path, buf);
+  } catch (...) {
+    return -6;
+  }
 }
 
 // Encode n same-sized frames data[n*w*h*channels] on a thread pool.

@@ -260,6 +260,13 @@ def make_grid_renderer(
     """
     if strategy not in ("march", "intervals"):
         raise ValueError(f"unknown grid render strategy {strategy!r}")
+    if sampler_cfg.placement not in ("uniform", "occupancy_cdf"):
+        # a typo must not silently render the uniform quadrature — the
+        # placement is part of the train/eval quadrature contract
+        raise ValueError(
+            f"sampler.placement must be 'uniform' or 'occupancy_cdf', "
+            f"got {sampler_cfg.placement!r}"
+        )
 
     def render(
         params: dict,

@@ -174,6 +174,11 @@ def cdf_ray_samples(
     (uniform bins -> identity warp, delta = span/S).  Returns
     RaySamples with mask = span > 0; callers intersect with their
     occupancy mask at the returned positions."""
+    if not floor > 0.0:
+        raise ValueError(
+            f"cdf floor must be > 0 (got {floor}): a ray whose probes are "
+            "all empty would otherwise divide 0/0 into NaN positions"
+        )
     P = bin_weights.shape[-1]
     span = jnp.maximum(t_exit - t_enter, 0.0)
     w = bin_weights.astype(jnp.float32) + jnp.float32(floor)
