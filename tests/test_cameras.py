@@ -78,3 +78,30 @@ def test_thetaphi_roundtrip_and_reference_convention():
     tp_x = viewdirs_to_thetaphi(jnp.asarray([[1.0, 0.0, 0.0]]))
     assert abs(float(tp_x[0, 0]) - math.pi / 2) < 1e-6
     assert abs(float(tp_x[0, 1])) < 1e-6
+
+
+def test_orbit_poses_geometry():
+    """Orbit cameras sit at the requested radius/elevation, look at the
+    origin (-z column points from eye to origin), uniform azimuth."""
+    import numpy as np
+
+    from tnerf.data.procedural import orbit_poses
+
+    n, r, e = 8, 3.5, 0.4
+    poses = orbit_poses(n, radius=r, elevation=e)
+    assert poses.shape == (n, 4, 4)
+    eyes = poses[:, :3, 3]
+    np.testing.assert_allclose(np.linalg.norm(eyes, axis=1), r, rtol=1e-5)
+    np.testing.assert_allclose(eyes[:, 2], r * np.sin(e), rtol=1e-5)
+    # camera -z axis points at the origin
+    z = poses[:, :3, 2]
+    np.testing.assert_allclose(z, eyes / np.linalg.norm(eyes, axis=1, keepdims=True), atol=1e-5)
+    # uniform azimuth: consecutive angular gaps equal
+    az = np.arctan2(eyes[:, 1], eyes[:, 0])
+    gaps = np.diff(np.unwrap(az))
+    np.testing.assert_allclose(gaps, 2 * np.pi / n, rtol=1e-4)
+    # rotations are orthonormal
+    R = poses[:, :3, :3]
+    np.testing.assert_allclose(
+        np.einsum("nij,nkj->nik", R, R), np.broadcast_to(np.eye(3), (n, 3, 3)), atol=1e-5
+    )

@@ -78,6 +78,16 @@ def main(argv=None) -> int:
     sp.add_argument("--pose-index", type=int, default=0)
     sp.add_argument("--split", default="test")
     sp.add_argument("--out", default="render.png")
+    sp.add_argument(
+        "--orbit", type=int, default=0, metavar="N",
+        help="render N novel views on a circular orbit instead of a "
+        "dataset pose; --out becomes a directory of orbit_###.png frames",
+    )
+    sp.add_argument(
+        "--orbit-elevation", type=float, default=None, metavar="RAD",
+        help="orbit elevation in radians (default: the dataset cameras' "
+        "mean elevation)",
+    )
 
     sp = sub.add_parser("eval", help="PSNR over the test split from a checkpoint")
     common(sp)
@@ -222,6 +232,46 @@ def main(argv=None) -> int:
         from tnerf.eval import render_dataset_view
 
         ds = datasets[args.split]
+        if args.orbit > 0:
+            import numpy as np
+
+            from tnerf.cameras import camera_rays
+            from tnerf.data.png_io import write_png_batch
+            from tnerf.data.procedural import orbit_poses
+            from tnerf.render.renderer import render_image
+
+            # orbit at the dataset cameras' mean radius/elevation so the
+            # novel path stays inside the trained view distribution
+            eyes = np.asarray(ds.poses)[:, :3, 3]
+            radius = float(np.linalg.norm(eyes, axis=1).mean())
+            elev = (
+                args.orbit_elevation
+                if args.orbit_elevation is not None
+                else float(np.arcsin(
+                    np.clip(eyes[:, 2] / np.maximum(
+                        np.linalg.norm(eyes, axis=1), 1e-9), -1, 1)
+                ).mean())
+            )
+            os.makedirs(args.out, exist_ok=True)
+            frames = []
+            for pose in orbit_poses(args.orbit, radius, elev):
+                rays = camera_rays(
+                    jax.numpy.asarray(pose), ds.width, ds.height, ds.focal,
+                    cfg.scene.scene_scale,
+                )
+                res = render_image(
+                    renderer, state.params, rays,
+                    chunk_size=cfg.render.chunk_size, occupancy=bits,
+                    mesh=mesh,
+                )
+                frames.append(np.asarray(jax.device_get(res.rgb)))
+            paths = [
+                os.path.join(args.out, f"orbit_{i:03d}.png")
+                for i in range(args.orbit)
+            ]
+            write_png_batch(paths, np.stack(frames))
+            print(f"wrote {args.orbit} orbit frames to {args.out}/")
+            return 0
         img = render_dataset_view(
             renderer, state.params, ds, args.pose_index, cfg.scene.scene_scale,
             chunk_size=cfg.render.chunk_size, occupancy=bits, mesh=mesh,

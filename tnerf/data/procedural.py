@@ -174,6 +174,26 @@ def sphere_poses(n: int, radius: float = 3.5, seed: int = 0,
     return np.stack(poses)
 
 
+def orbit_poses(
+    n: int, radius: float = 3.5, elevation: float = 0.5
+) -> np.ndarray:
+    """n camera poses on a circular orbit (fixed elevation, uniform
+    azimuth) looking at the origin — novel-view / turntable frames for
+    `tnerf.cli render --orbit` (a capability the reference lacks
+    entirely: it never renders at all).  [n, 4, 4]."""
+    poses = []
+    for a in np.linspace(0.0, 2.0 * np.pi, n, endpoint=False):
+        eye = radius * np.array(
+            [np.cos(a) * np.cos(elevation),
+             np.sin(a) * np.cos(elevation),
+             np.sin(elevation)], dtype=np.float32
+        )
+        poses.append(_look_at_pose(
+            eye, np.zeros(3, np.float32), np.array([0, 0, 1.0], np.float32)
+        ))
+    return np.stack(poses)
+
+
 @partial(jax.jit, static_argnames=("width", "height", "n_samples", "white_background", "field_name"))
 def _render_gt_image(
     pose: jnp.ndarray,
