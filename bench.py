@@ -563,6 +563,11 @@ def gate_metrics() -> dict:
         "gate_fused": "runs/hard_r3_fused_rpc2",
         "gate_hashgrid": "runs/hard_r3_hashgrid",
         "gate_fused_turbo": "runs/hard_r3_fused_rpc4",
+        # queued TPU experiments (present once the tunnel-outage queue
+        # drains; absent dirs are skipped):
+        "gate_hashgrid_k6": "runs/hard_r3_hashgrid_k6",
+        "gate_hashgrid_cdf": "runs/hard_r3_hashgrid_cdf",
+        "gate_march_cdf": "runs/hard_r3_march_cdf",
     }
     here = os.path.dirname(os.path.abspath(__file__))
     for name, rel in gates.items():
