@@ -683,6 +683,29 @@ def main():
             "render.compact_fraction=0.25",
         ),
     )
+    # Occupancy-CDF placement variant (runs/hard_r3_hashgrid_cdf, the
+    # queued TPU experiment): HALF the sample budget (S=24) importance-
+    # placed on fine-grid occupied bins; knobs mirror the training
+    # overrides (quadrature contract), capacity raised to the measured
+    # ~0.95 occupied-sample fraction per kept ray.  Skipped until the
+    # gate run exists.
+    import os as _os
+
+    hg_cdf_render = None
+    if _os.path.exists("runs/hard_r3_hashgrid_cdf/checkpoints"):
+        hg_cdf_render = attempt(
+            bench_render, samples=24, res=128, strided=True, compact=True,
+            scene_field="hard",
+            config_file="configs/procedural_hard_hashgrid.json",
+            ckpt_run="runs/hard_r3_hashgrid_cdf",
+            overrides=(
+                "field_.encoding=hashgrid", "field_.hash_levels=12",
+                "sampler.placement=occupancy_cdf", "sampler.cdf_bins=64",
+                "render.ray_compact=true",
+                "render.ray_compact_fraction=0.65",
+                "render.compact_fraction=0.95",
+            ),
+        )
     fused = attempt(bench_fused_render)
     train = attempt(bench_fused_train)
     hg = attempt(bench_hashgrid_train)
@@ -699,6 +722,8 @@ def main():
     put(render_fine, "fps_800x800", "fps_800x800_finemask")
     put(hg_render, "render_mrays_per_sec", "hashgrid_render_mrays_per_sec")
     put(hg_render, "fps_800x800", "hashgrid_fps_800x800")
+    put(hg_cdf_render, "render_mrays_per_sec", "hashgrid_cdf_render_mrays_per_sec")
+    put(hg_cdf_render, "fps_800x800", "hashgrid_cdf_fps_800x800")
     put(fused, "fused_mrays_per_sec", "fused_render_mrays_per_sec")
     put(fused, "fused_fps_800x800")
     put(fused, "fused_hq_mrays_per_sec")
