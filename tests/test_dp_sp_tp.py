@@ -189,3 +189,26 @@ def test_tp_checkpoint_resume_reshards(tmp_path):
     ])
     m = run_training(cfg2, datasets=scene)
     assert np.isfinite(m["psnr_test"])
+
+
+def test_dp_sp_tp_render_parity_nearest_levels(setup, mesh):
+    """hash_nearest_levels under the 3-axis mesh: tp_encode_local's
+    branchless snapped-frac nearest matches the single-device renderer
+    (whose encode takes the static 1-corner path)."""
+    cfg0, _, params, rays, occ, _ = setup
+    cfg = cfg0.apply_overrides(["field_.hash_nearest_levels=4"])
+    field = NeRFField(cfg.field_, cfg.grid, arch="twobranch")
+    ref_r = make_grid_renderer(
+        field, cfg.grid, cfg.sampler, cfg.render,
+        strategy="intervals", compact=False,
+    )
+    sp_r = make_sp_interval_renderer(
+        field, cfg.grid, cfg.sampler, cfg.render, mesh,
+        data_axis="data", sample_axis="sample", model_axis="model",
+    )
+    ref = jax.jit(lambda p, r, oc: ref_r(p, r, None, oc))(params, rays, occ)
+    got = jax.jit(lambda p, r, oc: sp_r(p, r, None, oc))(
+        _sharded(params, mesh), rays, occ
+    )
+    np.testing.assert_allclose(np.asarray(ref.rgb), np.asarray(got.rgb), atol=5e-5)
+    np.testing.assert_allclose(np.asarray(ref.acc), np.asarray(got.acc), atol=5e-5)

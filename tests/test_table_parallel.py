@@ -143,5 +143,27 @@ def test_tp_validates(setup, mesh):
     cfg, params, ps, x = setup
     with pytest.raises(ValueError, match="divide"):
         tp_apply_hashgrid(ps, x, _cfg(hash_levels=6), mesh)
-    with pytest.raises(ValueError, match="nearest"):
-        tp_apply_hashgrid(ps, x, _cfg(hash_nearest_levels=2), mesh)
+
+
+def test_tp_nearest_levels_parity(setup, mesh):
+    """Nearest-interpolated coarse levels under TP: the branchless
+    snapped-frac formulation must match the single-device encode (which
+    takes the static 1-corner fetch path) bit-for-bit, features AND
+    table gradients."""
+    _, params, ps, x = setup
+    cfg = _cfg(hash_nearest_levels=3)
+    ref = apply_hashgrid_gather(params, x, cfg)
+    got = jax.jit(lambda p, xx: tp_apply_hashgrid(p, xx, cfg, mesh))(ps, x)
+    np.testing.assert_allclose(np.asarray(ref), np.asarray(got), atol=1e-9)
+
+    g = jax.random.normal(jax.random.PRNGKey(3), ref.shape)
+    dref = jax.grad(
+        lambda t, xx: (apply_hashgrid_gather({"tables": t}, xx, cfg) * g).sum()
+    )(params["tables"], x)
+    dgot = jax.jit(
+        jax.grad(
+            lambda t, xx: (tp_apply_hashgrid({"tables": t}, xx, cfg, mesh) * g).sum()
+        ),
+        in_shardings=(NamedSharding(mesh, P("model", None)), None),
+    )(ps["tables"], x)
+    np.testing.assert_allclose(np.asarray(dref), np.asarray(dgot), atol=1e-6)

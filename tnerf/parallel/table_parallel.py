@@ -20,9 +20,16 @@ of the gather VJP runs on-device); position cotangents psum across
 shards.  Optimizer state shards with the tables for free under jit —
 the round-trip is tested on the virtual mesh (tests/test_table_parallel.py).
 
-Restriction: hash_nearest_levels must be 0 in TP mode — the nearest /
-trilinear split is a per-level STATIC choice, and shard_map traces one
-program for all shards.
+hash_nearest_levels under TP: the nearest/trilinear split is static
+per level in the single-device encode, but shard_map traces ONE program
+for all shards — so TP expresses nearest interpolation BRANCHLESSLY by
+snapping the fractional coordinates of nearest levels to {0, 1}
+(frac >= 0.5, matching hashgrid._nearest_index).  The trilinear corner
+weights then become exactly one-hot: seven corners contribute 0.0 and
+the chosen corner is i0 + (frac >= 0.5) — the same vertex, bit-equal
+features, same table cotangents.  (No FLOP saving, unlike the
+single-device 1-corner fetch — TP is about parameter scale, not encode
+FLOPs.)
 """
 
 from __future__ import annotations
@@ -37,17 +44,24 @@ from tnerf.config import FieldConfig
 from tnerf.fields.hashgrid import _corner_index_weight, level_resolutions
 
 
-def _local_encode(tables_l, res_l, dense_l, n1_l, x01, *, T, F):
+def _local_encode(tables_l, res_l, dense_l, n1_l, x01, *, T, F,
+                  nearest_l=None):
     """Gather-formulation encode for a LOCAL level block (runs inside
     shard_map).  tables_l [Ls*T, F]; res_l/dense_l/n1_l [Ls] per-level
     geometry as arrays (traced — the shard decides its levels at run
-    time, one program for all shards)."""
+    time, one program for all shards).  nearest_l [Ls] bool marks
+    nearest-interpolated levels: their fracs snap to {0,1} so the
+    corner weights are one-hot (see module docstring)."""
     Ls = res_l.shape[0]
     resf = res_l.astype(jnp.float32)
     pos = x01[..., None, :] * resf[:, None]
     pos = jnp.clip(pos, 0.0, (resf[:, None] - 1e-4))
     i0f = jnp.floor(pos)
     frac = pos - i0f
+    if nearest_l is not None:
+        frac = jnp.where(
+            nearest_l[:, None], (frac >= 0.5).astype(frac.dtype), frac
+        )
     i0 = i0f.astype(jnp.uint32)
     level_off = jnp.arange(Ls, dtype=jnp.uint32) * jnp.uint32(T)
 
@@ -84,15 +98,11 @@ def tp_apply_hashgrid(
         raise ValueError(
             f"hash_levels={L} must divide over {n} '{axis_name}' devices"
         )
-    if cfg.hash_nearest_levels:
-        raise ValueError(
-            "hash_nearest_levels is a static per-level choice; it is not "
-            "supported under table parallelism (set it to 0)"
-        )
     res = level_resolutions(cfg)
     res_j = jnp.asarray(res, jnp.int32)
     dense = jnp.asarray((res + 1) ** 3 <= T)
     n1 = jnp.asarray(res + 1, jnp.uint32)
+    nearest = jnp.asarray(np.arange(L) < cfg.hash_nearest_levels)
 
     lead = None
     if (
@@ -102,16 +112,19 @@ def tp_apply_hashgrid(
     ):
         lead = data_axis
     fn = shard_map(
-        lambda tbl, r, dn, n1_, x: _local_encode(tbl, r, dn, n1_, x, T=T, F=F),
+        lambda tbl, r, dn, n1_, nr, x: _local_encode(
+            tbl, r, dn, n1_, x, T=T, F=F, nearest_l=nr
+        ),
         mesh=mesh,
         in_specs=(
             P(axis_name, None), P(axis_name), P(axis_name), P(axis_name),
+            P(axis_name),
             P(lead, *((None,) * (x01.ndim - 1))),
         ),
         out_specs=P(lead, *((None,) * (x01.ndim - 2)), axis_name),
         check_vma=False,
     )
-    return fn(params["tables"], res_j, dense, n1, x01)
+    return fn(params["tables"], res_j, dense, n1, nearest, x01)
 
 
 def tp_encode_local(
@@ -138,21 +151,20 @@ def tp_encode_local(
         raise ValueError(
             f"hash_levels={L} must divide over {n_shards} '{axis_name}' devices"
         )
-    if cfg.hash_nearest_levels:
-        raise ValueError(
-            "hash_nearest_levels is a static per-level choice; it is not "
-            "supported under table parallelism (set it to 0)"
-        )
     Ls = L // n_shards
     res = level_resolutions(cfg)
     res_full = jnp.asarray(res, jnp.int32)
     dense_full = jnp.asarray((res + 1) ** 3 <= T)
     n1_full = jnp.asarray(res + 1, jnp.uint32)
+    nearest_full = jnp.asarray(np.arange(L) < cfg.hash_nearest_levels)
     start = jax.lax.axis_index(axis_name) * Ls
     res_l = jax.lax.dynamic_slice_in_dim(res_full, start, Ls)
     dense_l = jax.lax.dynamic_slice_in_dim(dense_full, start, Ls)
     n1_l = jax.lax.dynamic_slice_in_dim(n1_full, start, Ls)
-    feats = _local_encode(tables_local, res_l, dense_l, n1_l, x01, T=T, F=F)
+    nearest_l = jax.lax.dynamic_slice_in_dim(nearest_full, start, Ls)
+    feats = _local_encode(
+        tables_local, res_l, dense_l, n1_l, x01, T=T, F=F, nearest_l=nearest_l
+    )
     return jax.lax.all_gather(feats, axis_name, axis=feats.ndim - 1, tiled=True)
 
 
