@@ -130,6 +130,10 @@ def test_cdf_concentrates_on_occupied_bins():
     )
     assert np.all(d > 0)
     assert np.all(np.diff(t) > -1e-6)  # monotone
+    # support masking: floor-placed samples in empty bins are masked,
+    # in-bin samples are not
+    m = np.asarray(s.mask[0])
+    assert m[inside].all() and not m[~inside].any()
 
 
 def test_cdf_jittered_points_monotone_and_midpoint_consistent():

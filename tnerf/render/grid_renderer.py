@@ -355,10 +355,9 @@ def make_grid_renderer(
                 s = cdf_ray_samples(
                     t0_, t1_, S, wb, floor=sampler_cfg.cdf_floor, jitter=jit_
                 )
-                m_ = s.mask & occupancy_lookup_fast(
-                    sample_positions(o_, d_, s.t), occ_m, grid_cfg
-                )
-                return s.t, s.deltas, m_
+                # s.mask is already the bin-support mask (each sample's
+                # own probed bin) — no second per-sample lookup needed
+                return s.t, s.deltas, s.mask
             # Fused Pallas tighten+mask kernel: eval-time (midpoint
             # quadrature, key is None) with both stages on one pooled
             # bitfield <= 32^3 — replaces the XLA probe gathers (~21% of

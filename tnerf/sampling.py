@@ -172,8 +172,14 @@ def cdf_ray_samples(
 
     With constant weights this reduces exactly to march_samples_t
     (uniform bins -> identity warp, delta = span/S).  Returns
-    RaySamples with mask = span > 0; callers intersect with their
-    occupancy mask at the returned positions."""
+    RaySamples with mask = (span > 0) & (the sample's own bin has
+    nonzero PRE-floor weight) — the importance distribution's support,
+    gathered from the bins already probed (one within-row lane gather);
+    callers need no second per-sample occupancy lookup, and the mask
+    rule is exactly what cdf_occupied_sample_fraction capacity-plans
+    for.  Bins are finer along the ray than a fine grid cell at
+    production settings (span/64 vs 2/res), so support masking loses
+    no resolution versus a positional lookup."""
     if not floor > 0.0:
         raise ValueError(
             f"cdf floor must be > 0 (got {floor}): a ray whose probes are "
@@ -207,5 +213,8 @@ def cdf_ray_samples(
     x = (idx.astype(jnp.float32) + frac) / P
     t = t_enter[..., None] + x * span[..., None]
     deltas = (span[..., None] / P) / (pmf_s * n_samples)
-    mask = jnp.broadcast_to((span > 0)[..., None], t.shape)
+    in_support = jnp.take_along_axis(
+        bin_weights.astype(jnp.float32), idx, axis=-1
+    ) > 0
+    mask = (span > 0)[..., None] & in_support
     return RaySamples(t=t, deltas=deltas, mask=mask)
