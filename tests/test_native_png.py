@@ -150,3 +150,18 @@ def test_write_png_prefers_native_and_roundtrips(tmp_path):
     back = read_png(path, channels=3)
     # float -> u8 quantization is the only loss
     assert np.abs(back - img).max() <= 0.5 / 255 + 1e-6
+
+
+def test_write_png_batch_falls_back_without_native(tmp_path, monkeypatch):
+    """When the native encoder declines (stale lib / bad input), the
+    batch writer must still produce every file via the PIL loop."""
+    import tnerf.data.png_io as png_io
+    from tnerf.native import png as npng
+
+    monkeypatch.setattr(npng, "encode_batch", lambda *a, **k: False)
+    imgs = np.linspace(0, 1, 2 * 8 * 8 * 3, dtype=np.float32).reshape(2, 8, 8, 3)
+    paths = [str(tmp_path / f"fb{i}.png") for i in range(2)]
+    png_io.write_png_batch(paths, imgs)
+    for p, im in zip(paths, imgs):
+        back = png_io.read_png(p, channels=3)
+        assert np.abs(back - im).max() <= 0.5 / 255 + 1e-6
