@@ -272,3 +272,34 @@ def test_run_training_sp_requires_intervals(tmp_path, scene):
     ])
     with pytest.raises(ValueError, match="grid_intervals"):
         run_training(cfg, datasets=scene)
+
+
+def test_acceptance_gate_raises_on_low_min_view():
+    """train.assert_test_psnr_min: an undertrained run must fail the
+    gate AFTER saving its checkpoint and metrics."""
+    import os
+    import tempfile
+
+    import pytest
+
+    from tnerf.config import Config
+    from tnerf.data.procedural import generate_procedural_scene
+    from tnerf.train_loop import run_training
+
+    scene = generate_procedural_scene(
+        width=16, height=16, n_train=2, n_val=0, n_test=1, n_samples=32
+    )
+    with tempfile.TemporaryDirectory() as tmp:
+        cfg = Config().apply_overrides([
+            "field_.hidden_width=16", "field_.hidden_layers=2",
+            "field_.n_frequencies=2", "sampler.samples_per_ray=8",
+            "grid.resolution=8", "train.batch_size=64", "train.steps=2",
+            "train.eval_every=0", "train.checkpoint_every=0",
+            "train.log_every=1", "train.assert_test_psnr_min=30",
+            "render.chunk_size=256", f"logging.out_dir={tmp}",
+        ])
+        with pytest.raises(RuntimeError, match="acceptance gate"):
+            run_training(cfg, datasets=scene)
+        # evidence survives the failed gate
+        assert os.path.exists(os.path.join(tmp, "checkpoints"))
+        assert os.path.exists(os.path.join(tmp, "metrics.jsonl"))

@@ -283,6 +283,11 @@ class TrainConfig:
     # recompute FLOPs for activation memory -> larger ray batches.
     remat: bool = False
     log_every: int = 50
+    # Acceptance gate on the FINAL eval's worst test view (0 = off): a
+    # run whose psnr_test_min lands below this raises after saving its
+    # checkpoint/metrics — the mean can hide a regressing view
+    # (round-2 verdict weak-#9; the hard-gate configs assert 30).
+    assert_test_psnr_min: float = 0.0
 
 
 @dataclass(frozen=True)

@@ -410,6 +410,18 @@ def run_training(
               save_images=True, mesh=eval_mesh)
     )
     metrics.close()
+    # Acceptance gate on the WORST final test view (checkpoint/metrics
+    # are already on disk — the raise marks the run failed, it does not
+    # destroy its evidence).
+    floor = cfg.train.assert_test_psnr_min
+    if floor > 0 and "psnr_test_min" in final_metrics:
+        got = final_metrics["psnr_test_min"]
+        if got < floor:
+            raise RuntimeError(
+                f"acceptance gate failed: psnr_test_min={got:.2f} dB < "
+                f"train.assert_test_psnr_min={floor} (mean "
+                f"{final_metrics.get('psnr_test', float('nan')):.2f})"
+            )
     return final_metrics
 
 
