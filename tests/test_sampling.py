@@ -280,3 +280,47 @@ def test_cdf_occupied_sample_fraction_closed_form():
     np.testing.assert_allclose(got, expect, rtol=0.15)
     # and it is far above the cell-occupancy proxy (1/8)
     assert got > 0.8
+
+
+def test_cdf_compacted_shade_matches_dense():
+    """Sample compaction must be exact under CDF quadrature too: the
+    compacted hashgrid render (nonuniform deltas, support mask) equals
+    the dense-masked render on a sparse grid."""
+    from tnerf.cameras import Rays, viewdirs_to_thetaphi
+    from tnerf.config import Config
+    from tnerf.fields.nerf_field import NeRFField
+    from tnerf.render.grid_renderer import make_grid_renderer
+
+    cfg = Config().apply_overrides([
+        "field_.encoding=hashgrid", "field_.hash_levels=4",
+        "field_.hash_log2_table_size=10", "field_.hash_max_resolution=64",
+        "field_.hash_gather_mode=gather", "field_.compute_dtype=float32",
+        "sampler.samples_per_ray=16", "sampler.near=0.05",
+        "grid.resolution=16", "sampler.tighten_res=8",
+        "sampler.occupancy_mask_res=16",
+        "sampler.placement=occupancy_cdf", "sampler.cdf_bins=32",
+    ])
+    field = NeRFField(cfg.field_, cfg.grid, arch="twobranch")
+    params = field.init(jax.random.PRNGKey(0))
+    occ = np.zeros((16, 16, 16), bool)
+    occ[:, :, 8:10] = True
+    n = 48
+    rng = np.random.default_rng(4)
+    o = np.stack([rng.uniform(-.5, .5, n), rng.uniform(-.5, .5, n),
+                  np.full(n, -3.0)], -1).astype(np.float32)
+    d = np.tile(np.array([[0, 0, 1.0]], np.float32), (n, 1))
+    rays = Rays(origins=jnp.asarray(o), directions=jnp.asarray(d),
+                viewdirs_tp=viewdirs_to_thetaphi(jnp.asarray(d)))
+    outs = {}
+    for compact in (False, True):
+        r = make_grid_renderer(
+            field, cfg.grid, cfg.sampler, cfg.render, strategy="march",
+            compact=compact, compact_fraction=1.0,
+        )
+        outs[compact] = r(params, rays, None, jnp.asarray(occ))
+    np.testing.assert_allclose(
+        np.asarray(outs[False].rgb), np.asarray(outs[True].rgb), atol=2e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(outs[False].acc), np.asarray(outs[True].acc), atol=2e-5
+    )
