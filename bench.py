@@ -134,15 +134,18 @@ def bench_ray_march(width=800, height=800, res=8, inner=(4, 36)) -> dict:
 
 
 def _restore_gate(field, cfg, ckpt_run):
-    """Restore (params, occ3 bool array, True) from a committed gate run,
-    or (None, None, False) when absent (fresh clone without runs/)."""
+    """Restore (params, occupancy payload as [res]^3 array, True) from a
+    committed gate run, or (None, None, False) when absent (fresh clone
+    without runs/).  The payload dtype follows cfg.sampler.placement
+    (bool bitfield, or f32 density EMA for density_cdf) — see
+    occupancy.renderer_payload."""
     import os
 
     import numpy as np
 
     if not (ckpt_run and os.path.isdir(os.path.join(ckpt_run, "checkpoints"))):
         return None, None, False
-    from tnerf.grid.occupancy import init_occupancy
+    from tnerf.grid.occupancy import init_occupancy, renderer_payload
     from tnerf.train import create_optimizer, init_train_state
     from tnerf.utils.checkpoint import restore_checkpoint
 
@@ -155,7 +158,8 @@ def _restore_gate(field, cfg, ckpt_run):
         return None, None, False
     _, (state, occ0) = restored
     res = cfg.grid.resolution
-    return state.params, np.asarray(occ0.bitfield).reshape(res, res, res), True
+    payload = np.asarray(renderer_payload(occ0, cfg.sampler))
+    return state.params, payload.reshape(res, res, res), True
 
 
 def bench_render(width=800, height=800, res=64, samples=128, overrides=(),
@@ -206,7 +210,10 @@ def bench_render(width=800, height=800, res=64, samples=128, overrides=(),
     if occ is None:
         _, sigma = FIELDS[scene_field](cell_centers(cfg.grid).reshape(-1, 3))
         occ = (np.asarray(sigma) > 0.5).reshape(res, res, res)
-    occ_frac = float(occ.mean())
+    occ_frac = float(
+        occ.mean() if occ.dtype == bool
+        else (occ > cfg.grid.density_threshold).mean()
+    )
 
     (o, d, v), = _camera_ray_variants(width, height, n_variants=1)
     n = width * height

@@ -133,7 +133,7 @@ def main(argv=None) -> int:
     import jax
 
     from tnerf.data.dataset import load_data, validate_scene_background
-    from tnerf.grid.occupancy import init_occupancy
+    from tnerf.grid.occupancy import init_occupancy, renderer_payload
     from tnerf.train import create_optimizer, init_train_state
     from tnerf.train_loop import build_field, build_renderer
 
@@ -149,7 +149,10 @@ def main(argv=None) -> int:
         print(f"error: {err}", file=sys.stderr)
         return 1
     print(f"restored step {step} from {ckpt_dir}", file=sys.stderr)
+    # `bits` (bool) feeds the capacity guards; `payload` is what the
+    # renderers consume (density EMA under density_cdf placement).
     bits = occ.bitfield if occ is not None else None
+    payload = renderer_payload(occ, cfg.sampler)
     validate_scene_background(cfg.scene.kind, cfg.scene.name, cfg.scene.white_background)
     datasets = load_data(
         cfg.scene.kind, cfg.scene.name, root=cfg.scene.root,
@@ -169,7 +172,7 @@ def main(argv=None) -> int:
     cdf_guard = (
         bits is not None
         and step > 0
-        and cfg.sampler.placement == "occupancy_cdf"
+        and cfg.sampler.placement in ("occupancy_cdf", "density_cdf")
         and cfg.render.compact
         and cfg.render.pipeline == "grid_march"
     )
@@ -204,7 +207,7 @@ def main(argv=None) -> int:
         from tnerf.render.grid_renderer import cdf_occupied_sample_fraction
 
         sf = float(cdf_occupied_sample_fraction(
-            probe_rays, bits, cfg.grid, cfg.sampler
+            probe_rays, payload, cfg.grid, cfg.sampler
         ))
         needed = sf / max(kf, 1e-6) if guard_res is not None else sf
         if needed > cfg.render.compact_fraction:
@@ -261,7 +264,7 @@ def main(argv=None) -> int:
                 )
                 res = render_image(
                     renderer, state.params, rays,
-                    chunk_size=cfg.render.chunk_size, occupancy=bits,
+                    chunk_size=cfg.render.chunk_size, occupancy=payload,
                     mesh=mesh,
                 )
                 frames.append(np.asarray(jax.device_get(res.rgb)))
@@ -274,7 +277,7 @@ def main(argv=None) -> int:
             return 0
         img = render_dataset_view(
             renderer, state.params, ds, args.pose_index, cfg.scene.scene_scale,
-            chunk_size=cfg.render.chunk_size, occupancy=bits, mesh=mesh,
+            chunk_size=cfg.render.chunk_size, occupancy=payload, mesh=mesh,
         )
         write_png(args.out, img)
         print(f"wrote {args.out}")
@@ -290,7 +293,7 @@ def main(argv=None) -> int:
                 evaluate(
                     renderer, state.params, datasets[split], cfg.scene.scene_scale,
                     white_background=cfg.scene.white_background,
-                    chunk_size=cfg.render.chunk_size, occupancy=bits, mesh=mesh,
+                    chunk_size=cfg.render.chunk_size, occupancy=payload, mesh=mesh,
                 )
             )
     print(json.dumps(out, indent=2))
@@ -340,7 +343,7 @@ def _run_suite(cfg, scenes) -> int:
 
     from tnerf.data.dataset import load_data, validate_scene_background
     from tnerf.eval import evaluate
-    from tnerf.grid.occupancy import init_occupancy
+    from tnerf.grid.occupancy import init_occupancy, renderer_payload
     from tnerf.train import create_optimizer, init_train_state
     from tnerf.train_loop import build_field, build_renderer
 
@@ -372,12 +375,12 @@ def _run_suite(cfg, scenes) -> int:
         if err:
             print(f"{scene}: SKIP ({err})", file=sys.stderr)
             continue
-        bits = occ.bitfield if occ is not None else None
+        payload = renderer_payload(occ, scfg.sampler)
         results[scene] = evaluate(
             renderer, state.params, datasets["test"], scfg.scene.scene_scale,
             white_background=scfg.scene.white_background,
             save_dir=os.path.join(scfg.logging.out_dir, "suite_renders"),
-            chunk_size=scfg.render.chunk_size, occupancy=bits,
+            chunk_size=scfg.render.chunk_size, occupancy=payload,
         )
         print(f"{scene}: {results[scene]}", file=sys.stderr)
     if results:

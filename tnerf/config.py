@@ -124,9 +124,13 @@ class SamplerConfig:
     # inverse-CDF stratified placement over cdf_bins occupancy probes
     # (sampling.cdf_ray_samples) — concentrates the budget on occupied
     # sub-segments (only ~16% of tightened-span samples hit occupied
-    # cells on the hard gate; docs/KERNEL_NOTES.md).  Part of the
-    # quadrature contract: train and eval must use the same placement.
-    placement: str = "uniform"  # uniform | occupancy_cdf
+    # cells on the hard gate; docs/KERNEL_NOTES.md); "density_cdf" =
+    # transmittance-scaled per-bin alphas from the occupancy grid's
+    # density EMA (the classic NeRF coarse-pass hierarchical weighting
+    # at zero field cost — bins behind an opaque surface get almost no
+    # budget; grid_renderer.cdf_bin_weights).  Part of the quadrature
+    # contract: train and eval must use the same placement.
+    placement: str = "uniform"  # uniform | occupancy_cdf | density_cdf
     cdf_bins: int = 64
     # Weight added to every CDF bin (occupied bins weigh 1): keeps
     # support everywhere the conservative occupancy mask might err and

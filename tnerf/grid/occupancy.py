@@ -82,3 +82,19 @@ def update_occupancy(
 
 def occupancy_fraction(state: OccupancyGridState) -> jnp.ndarray:
     return jnp.mean(state.bitfield.astype(jnp.float32))
+
+
+def renderer_payload(state, sampler_cfg):
+    """The `occupancy=` argument for renderers built by this config.
+
+    Renderers dispatch on dtype: a bool payload is the bitfield; an f32
+    payload is the density EMA, from which they derive the bitfield
+    (bits = ema > grid.density_threshold, the exact update_occupancy
+    rule) AND the per-bin weights for density-weighted CDF placement
+    (`sampler.placement="density_cdf"`).  Checkpoints already carry the
+    EMA, so restored runs get the same payload either way."""
+    if state is None:
+        return None
+    if sampler_cfg.placement == "density_cdf":
+        return state.density_ema
+    return state.bitfield

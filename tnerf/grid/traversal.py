@@ -413,6 +413,43 @@ def tightened_range(
     return t0, t1
 
 
+def make_coarse_density(density: jnp.ndarray, factor: int) -> jnp.ndarray:
+    """Max-pool a [res]^3 density grid by `factor` per axis.  Max (not
+    mean) keeps the pooled grid conservative the same way
+    make_coarse_occupancy's any() does: pooled(density) > threshold is
+    exactly the max-pool of the fine bitfield (bits = ema > threshold
+    pointwise, occupancy.py), so support decisions on the pooled density
+    agree bit-for-bit with the pooled bitfield."""
+    res = density.shape[0]
+    if res % factor:
+        raise ValueError(f"resolution {res} not divisible by factor {factor}")
+    c = res // factor
+    return density.reshape(c, factor, c, factor, c, factor).max(axis=(1, 3, 5))
+
+
+def density_lookup(
+    positions: jnp.ndarray,
+    density: jnp.ndarray,
+    grid: GridConfig,
+) -> jnp.ndarray:
+    """Nearest-cell density fetch: [..., 3] -> [...] f32, 0 outside the
+    AABB.  Same floor/clip cell arithmetic as occupancy_lookup, but
+    returning the cell's VALUE (the occupancy grid's density EMA) rather
+    than a bit — the probe for density-weighted CDF sample placement
+    (`sampler.placement="density_cdf"`).  Plain gather: the CDF probes
+    run per-BIN (P per ray, not per sample), the same count the
+    occupancy_cdf probes already pay."""
+    res = density.shape[0] if density.ndim == 3 else grid.resolution
+    lo = jnp.asarray(grid.aabb_min, jnp.float32)
+    hi = jnp.asarray(grid.aabb_max, jnp.float32)
+    ijk = jnp.floor((positions - lo) / ((hi - lo) / res)).astype(jnp.int32)
+    inside = jnp.all((ijk >= 0) & (ijk < res), axis=-1)
+    ijk = jnp.clip(ijk, 0, res - 1)
+    flat = (ijk[..., 0] * res + ijk[..., 1]) * res + ijk[..., 2]
+    vals = jnp.asarray(density).reshape(-1)[flat].astype(jnp.float32)
+    return jnp.where(inside, vals, 0.0)
+
+
 def occupancy_lookup(
     positions: jnp.ndarray,
     occupancy: jnp.ndarray,

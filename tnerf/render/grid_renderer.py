@@ -28,6 +28,8 @@ from tnerf.config import GridConfig, RenderConfig, SamplerConfig
 from tnerf.fields.nerf_field import NeRFField
 from tnerf.grid.pallas_dda import tighten_sample_mask_pallas
 from tnerf.grid.traversal import (
+    density_lookup,
+    make_coarse_density,
     make_coarse_occupancy,
     march_samples_t,
     occupancy_lookup,
@@ -193,6 +195,88 @@ def ray_keep_fraction(
     return float(jnp.any(m, axis=1).mean())
 
 
+def split_occupancy_payload(occupancy, grid_cfg: GridConfig):
+    """Dispatch the renderer `occupancy=` payload on dtype.
+
+    bool  -> (bitfield3, None): occupancy_cdf / uniform placement.
+    float -> (bitfield3, density3): the occupancy grid's density EMA;
+             the bitfield is derived by the exact update_occupancy rule
+             (ema > grid.density_threshold), so every occupancy decision
+             (tighten, masks, kernels) is unchanged, and density-weighted
+             CDF placement additionally sees the values.
+    See occupancy.renderer_payload for the producing side."""
+    if occupancy is None:
+        return None, None
+    r = grid_cfg.resolution
+    arr = jnp.asarray(occupancy).reshape(r, r, r)
+    if jnp.issubdtype(arr.dtype, jnp.bool_):
+        return arr, None
+    dens3 = arr.astype(jnp.float32)
+    return dens3 > grid_cfg.density_threshold, dens3
+
+
+def cdf_bin_weights(
+    origins: jnp.ndarray,      # [B, 3]
+    directions: jnp.ndarray,   # [B, 3]
+    t0: jnp.ndarray,           # [B]
+    t1: jnp.ndarray,           # [B]
+    occ_m: jnp.ndarray,        # pooled bool bitfield (occupancy_mask_res)
+    dens_m: Optional[jnp.ndarray],  # pooled f32 density (density_cdf only)
+    grid_cfg: GridConfig,
+    sampler_cfg: SamplerConfig,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-bin CDF placement weights + support mask, [B, P] each —
+    the ONE definition shared by the renderer's cdf_place and the
+    capacity planner (cdf_occupied_sample_fraction), so the quadrature
+    and its capacity plan can never drift apart.
+
+    occupancy_cdf: weight = support = the bin's occupancy bit (probed at
+    the bin midpoint on the pooled occupancy_mask_res grid).
+
+    density_cdf: the hierarchical-importance weighting of the classic
+    NeRF coarse pass, at zero field cost — the coarse density is the
+    occupancy grid's EMA (the cached result of update_occupancy's probes)
+    instead of a second network: weight = T_b * (1 - exp(-sigma_b*dtb))
+    with T_b the transmittance of the PRECEDING bins, so bins behind an
+    opaque surface get (almost) no sample budget, unlike occupancy_cdf
+    which spends equally on every occupied bin.  Support stays the
+    occupancy BIT (sigma_b > threshold): occluded-but-occupied bins keep
+    their (few) samples composited — compositing itself re-derives exact
+    per-sample transmittance, so placement weights only steer budget,
+    never bias the integral.  Weights are rescaled per ray so support
+    bins average weight 1 (sum w = #support): cdf_floor then bounds the
+    empty-space mass identically across placements, and with constant
+    density the weighting reduces to occupancy_cdf's binary weights
+    (alpha-weighting with T ~= 1), keeping one meaning for the knob.
+    """
+    P = sampler_cfg.cdf_bins
+    span = t1 - t0
+    tb = t0[..., None] + (
+        (jnp.arange(P, dtype=jnp.float32) + 0.5) / P
+    ) * span[..., None]
+    pts = sample_positions(origins, directions, tb)
+    pos_span = (span > 0)[..., None]
+    if sampler_cfg.placement == "density_cdf":
+        if dens_m is None:
+            raise ValueError(
+                "sampler.placement='density_cdf' needs the density-EMA "
+                "payload (pass occupancy=occ.density_ema, see "
+                "occupancy.renderer_payload), got a bool bitfield"
+            )
+        sigma = density_lookup(pts, dens_m, grid_cfg)           # [B, P]
+        support = (sigma > grid_cfg.density_threshold) & pos_span
+        dtb = jnp.maximum(span, 0.0)[..., None] / P
+        tau = sigma * dtb
+        trans = jnp.exp(-(jnp.cumsum(tau, axis=-1) - tau))
+        w = jnp.where(support, trans * (1.0 - jnp.exp(-tau)), 0.0)
+        k = support.sum(axis=-1).astype(jnp.float32)
+        w = w * (k / jnp.maximum(w.sum(axis=-1), 1e-12))[..., None]
+    else:
+        support = occupancy_lookup_fast(pts, occ_m, grid_cfg) & pos_span
+        w = support.astype(jnp.float32)
+    return w, support
+
+
 def cdf_occupied_sample_fraction(
     rays: Rays,
     occupancy: jnp.ndarray,
@@ -208,11 +292,18 @@ def cdf_occupied_sample_fraction(
     K(1+floor)/(K(1+floor) + (P-K)floor), not the grid's cell count.
 
     Mirrors cdf_place's quadrature (tighten at tighten_res, P=cdf_bins
-    probes on the pooled occupancy_mask_res grid).  Returns a scalar
-    jnp array; callers jit it (one [B, P] lookup per occupancy update).
+    probes on the pooled occupancy_mask_res grid) by CONSTRUCTION: the
+    weights come from the same cdf_bin_weights the renderer places with,
+    and the expected in-support sample fraction of stratified inverse-CDF
+    placement is exactly sum_b pmf_b * support_b (for binary weights this
+    reduces to the closed form K(1+floor)/(K(1+floor)+(P-K)floor)).
+
+    `occupancy` is the renderer payload: bool bitfield (occupancy_cdf)
+    or f32 density EMA (density_cdf).  Returns a scalar jnp array;
+    callers jit it (one [B, P] lookup per occupancy update).
     """
     res = grid_cfg.resolution
-    occ3 = occupancy.reshape(res, res, res)
+    occ3, dens3 = split_occupancy_payload(occupancy, grid_cfg)
     t_res = min(sampler_cfg.tighten_res or res, res)
     m_res = min(sampler_cfg.occupancy_mask_res or res, res)
     pool = lambda occ, r: (
@@ -228,18 +319,17 @@ def cdf_occupied_sample_fraction(
             o, d, te, tx, pool(occ3, t_res), grid_cfg,
             probes=sampler_cfg.tighten_probes,
         )
-    P = sampler_cfg.cdf_bins
-    tb = te[:, None] + (
-        (jnp.arange(P, dtype=jnp.float32) + 0.5) / P
-    ) * (tx - te)[:, None]
-    wb = occupancy_lookup_fast(
-        sample_positions(o, d, tb), pool(occ3, m_res), grid_cfg
-    ) & (tx[:, None] > te[:, None])
-    K = wb.sum(axis=-1).astype(jnp.float32)
-    fl = jnp.float32(sampler_cfg.cdf_floor)
-    mass_occ = K * (1.0 + fl)
-    frac = jnp.where(K > 0, mass_occ / (mass_occ + (P - K) * fl), 0.0)
-    return frac.mean()
+    dens_m = None
+    if dens3 is not None and sampler_cfg.placement == "density_cdf":
+        dens_m = (
+            dens3 if m_res == res else make_coarse_density(dens3, res // m_res)
+        )
+    w, support = cdf_bin_weights(
+        o, d, te, tx, pool(occ3, m_res), dens_m, grid_cfg, sampler_cfg
+    )
+    wf = w + jnp.float32(sampler_cfg.cdf_floor)
+    pmf = wf / jnp.sum(wf, axis=-1, keepdims=True)
+    return jnp.sum(pmf * support, axis=-1).mean()
 
 
 def make_grid_renderer(
@@ -260,12 +350,12 @@ def make_grid_renderer(
     """
     if strategy not in ("march", "intervals"):
         raise ValueError(f"unknown grid render strategy {strategy!r}")
-    if sampler_cfg.placement not in ("uniform", "occupancy_cdf"):
+    if sampler_cfg.placement not in ("uniform", "occupancy_cdf", "density_cdf"):
         # a typo must not silently render the uniform quadrature — the
         # placement is part of the train/eval quadrature contract
         raise ValueError(
-            f"sampler.placement must be 'uniform' or 'occupancy_cdf', "
-            f"got {sampler_cfg.placement!r}"
+            f"sampler.placement must be 'uniform', 'occupancy_cdf' or "
+            f"'density_cdf', got {sampler_cfg.placement!r}"
         )
 
     def render(
@@ -274,10 +364,20 @@ def make_grid_renderer(
         key: Optional[jax.Array] = None,
         occupancy: Optional[jnp.ndarray] = None,
     ) -> RenderResult:
-        occ3 = None
-        if occupancy is not None:
-            r = grid_cfg.resolution
-            occ3 = occupancy.reshape(r, r, r)
+        # bool payload = bitfield; f32 payload = density EMA (bitfield
+        # derived, values feed density_cdf placement) — see
+        # split_occupancy_payload / occupancy.renderer_payload.
+        occ3, dens3 = split_occupancy_payload(occupancy, grid_cfg)
+        if (
+            sampler_cfg.placement == "density_cdf"
+            and occ3 is not None
+            and dens3 is None
+        ):
+            raise ValueError(
+                "sampler.placement='density_cdf' renderer was given a bool "
+                "bitfield; pass the density EMA payload "
+                "(occupancy.renderer_payload)"
+            )
 
         def shade(origins, directions, viewdirs_tp, t, deltas, smask):
             """Field eval + compositing on explicit ray/sample arrays
@@ -328,32 +428,39 @@ def make_grid_renderer(
             pool = lambda occ, r: (
                 occ if r == res else make_coarse_occupancy(occ, res // r)
             )
-            # Occupancy-CDF placement (sampler.placement="occupancy_cdf"):
-            # inverse-CDF stratified samples over per-bin occupancy
-            # weights probed on the SAME pooled m_res grid the mask
-            # uses, so train (jittered) and eval (midpoint) share one
-            # quadrature contract.  Falls back to uniform without a
+            # CDF placement (sampler.placement="occupancy_cdf" /
+            # "density_cdf"): inverse-CDF stratified samples over
+            # per-bin weights probed on the SAME pooled m_res grid the
+            # mask uses, so train (jittered) and eval (midpoint) share
+            # one quadrature contract.  Falls back to uniform without a
             # grid (constant weights = the identity warp).
             use_cdf = (
-                sampler_cfg.placement == "occupancy_cdf" and occ3 is not None
+                sampler_cfg.placement in ("occupancy_cdf", "density_cdf")
+                and occ3 is not None
+            )
+            dens_m = (
+                None
+                if dens3 is None or sampler_cfg.placement != "density_cdf"
+                else (
+                    dens3
+                    if m_res == res
+                    else make_coarse_density(dens3, res // m_res)
+                )
             )
 
             def cdf_place(o_, d_, t0_, t1_, key_=None):
-                P = sampler_cfg.cdf_bins
-                occ_m = pool(occ3, m_res)
-                tb = t0_[..., None] + (
-                    (jnp.arange(P, dtype=jnp.float32) + 0.5) / P
-                ) * (t1_ - t0_)[..., None]
-                wb = occupancy_lookup_fast(
-                    sample_positions(o_, d_, tb), occ_m, grid_cfg
-                ).astype(jnp.float32)
+                wb, support = cdf_bin_weights(
+                    o_, d_, t0_, t1_, pool(occ3, m_res), dens_m,
+                    grid_cfg, sampler_cfg,
+                )
                 jit_ = (
                     jax.random.uniform(key_, (*t0_.shape, S), jnp.float32)
                     if key_ is not None
                     else None
                 )
                 s = cdf_ray_samples(
-                    t0_, t1_, S, wb, floor=sampler_cfg.cdf_floor, jitter=jit_
+                    t0_, t1_, S, wb, floor=sampler_cfg.cdf_floor,
+                    jitter=jit_, bin_support=support,
                 )
                 # s.mask is already the bin-support mask (each sample's
                 # own probed bin) — no second per-sample lookup needed

@@ -138,6 +138,7 @@ def cdf_ray_samples(
     bin_weights: jnp.ndarray,
     floor: float = 0.01,
     jitter: Optional[jnp.ndarray] = None,
+    bin_support: Optional[jnp.ndarray] = None,
 ) -> RaySamples:
     """Inverse-CDF stratified placement of S samples over each ray's
     [t_enter, t_exit] span from per-bin weights (occupancy-importance
@@ -172,14 +173,20 @@ def cdf_ray_samples(
 
     With constant weights this reduces exactly to march_samples_t
     (uniform bins -> identity warp, delta = span/S).  Returns
-    RaySamples with mask = (span > 0) & (the sample's own bin has
-    nonzero PRE-floor weight) — the importance distribution's support,
-    gathered from the bins already probed (one within-row lane gather);
-    callers need no second per-sample occupancy lookup, and the mask
-    rule is exactly what cdf_occupied_sample_fraction capacity-plans
-    for.  Bins are finer along the ray than a fine grid cell at
-    production settings (span/64 vs 2/res), so support masking loses
-    no resolution versus a positional lookup."""
+    RaySamples with mask = (span > 0) & (the sample's own bin is in the
+    importance distribution's support) — by default bins with nonzero
+    PRE-floor weight; `bin_support` [..., P] bool overrides the support
+    indicator for weightings whose placement weight and keep rule differ
+    (density_cdf: weight = transmittance-scaled alpha, support = the
+    occupancy bit, so a bin BEHIND an opaque surface keeps its samples
+    composited — with near-zero placement budget — instead of being
+    masked out).  Support is gathered from the bins already probed (one
+    within-row lane gather); callers need no second per-sample occupancy
+    lookup, and the mask rule is exactly what
+    cdf_occupied_sample_fraction capacity-plans for.  Bins are finer
+    along the ray than a fine grid cell at production settings (span/64
+    vs 2/res), so support masking loses no resolution versus a
+    positional lookup."""
     if not floor > 0.0:
         raise ValueError(
             f"cdf floor must be > 0 (got {floor}): a ray whose probes are "
@@ -213,8 +220,11 @@ def cdf_ray_samples(
     x = (idx.astype(jnp.float32) + frac) / P
     t = t_enter[..., None] + x * span[..., None]
     deltas = (span[..., None] / P) / (pmf_s * n_samples)
-    in_support = jnp.take_along_axis(
-        bin_weights.astype(jnp.float32), idx, axis=-1
-    ) > 0
+    support = (
+        bin_weights.astype(jnp.float32) > 0
+        if bin_support is None
+        else bin_support
+    )
+    in_support = jnp.take_along_axis(support, idx, axis=-1)
     mask = (span > 0)[..., None] & in_support
     return RaySamples(t=t, deltas=deltas, mask=mask)

@@ -24,6 +24,7 @@ from tnerf.grid.occupancy import (
     OccupancyGridState,
     init_occupancy,
     occupancy_fraction,
+    renderer_payload,
     update_occupancy,
 )
 from tnerf.parallel.mesh import (
@@ -288,13 +289,13 @@ def run_training(
         use_grid
         and cfg.render.compact
         and n_sp == 1
-        and cfg.sampler.placement == "occupancy_cdf"
+        and cfg.sampler.placement in ("occupancy_cdf", "density_cdf")
     ):
         from tnerf.render.grid_renderer import cdf_occupied_sample_fraction
 
         cdf_frac_fn = jax.jit(
-            lambda r, bits: cdf_occupied_sample_fraction(
-                r, bits, cfg.grid, cfg.sampler
+            lambda r, payload: cdf_occupied_sample_fraction(
+                r, payload, cfg.grid, cfg.sampler
             )
         )
 
@@ -347,7 +348,7 @@ def run_training(
                     batch = sampler.sample(k_batch, rays_per_step)
                 if mesh is not None:
                     batch = shard_batch(batch, mesh, cfg.parallel.axis_name)
-                bits = occ.bitfield if occ is not None else None
+                bits = renderer_payload(occ, cfg.sampler)
                 step_args = (state, batch, k_render) + ((bits,) if use_grid else ())
                 state, aux = train_step(*step_args)
                 if (
@@ -358,7 +359,7 @@ def run_training(
                     occ = update_occ(occ, state.params, k_occ)
                     occ_frac_host = float(occupancy_fraction(occ))
                     switch_frac_host = (
-                        float(cdf_frac_fn(batch.rays, occ.bitfield))
+                        float(cdf_frac_fn(batch.rays, renderer_payload(occ, cfg.sampler)))
                         if cdf_frac_fn is not None
                         else occ_frac_host
                     )
@@ -428,7 +429,7 @@ def run_training(
 def _eval(cfg, renderer, state, occ, datasets, step, log, metrics,
           save_images=False, mesh=None):
     out: Dict[str, float] = {}
-    bits = occ.bitfield if occ is not None else None
+    bits = renderer_payload(occ, cfg.sampler)
     for split in ("val", "test"):
         if split not in datasets or len(datasets[split]) == 0:
             continue

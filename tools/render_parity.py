@@ -38,7 +38,7 @@ def main(argv=None) -> int:
     from tnerf.config import Config
     from tnerf.data.dataset import load_data
     from tnerf.eval import evaluate
-    from tnerf.grid.occupancy import init_occupancy
+    from tnerf.grid.occupancy import init_occupancy, renderer_payload
     from tnerf.train import create_optimizer, init_train_state
     from tnerf.train_loop import build_field, build_renderer
 
@@ -70,7 +70,8 @@ def main(argv=None) -> int:
             renderer, state.params, test, c.scene.scene_scale,
             white_background=c.scene.white_background,
             max_views=args.max_views,
-            chunk_size=c.render.chunk_size, occupancy=occ.bitfield,
+            chunk_size=c.render.chunk_size,
+            occupancy=renderer_payload(occ, c.sampler),
         )
         out[tag] = {k: round(v, 4) for k, v in m.items()}
         out[f"{tag}_step"] = step
