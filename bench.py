@@ -575,6 +575,8 @@ def gate_metrics() -> dict:
         "gate_hashgrid_k6": "runs/hard_r3_hashgrid_k6",
         "gate_hashgrid_cdf": "runs/hard_r3_hashgrid_cdf",
         "gate_march_cdf": "runs/hard_r3_march_cdf",
+        "gate_march_dcdf": "runs/hard_r3_march_dcdf",
+        "gate_hashgrid_dcdf": "runs/hard_r3_hashgrid_dcdf",
     }
     here = os.path.dirname(os.path.abspath(__file__))
     for name, rel in gates.items():
