@@ -269,6 +269,34 @@ def test_density_cdf_jittered_path_near_midpoint():
     assert np.abs(out_j - out_m).mean() < 0.05
 
 
+def test_run_training_density_cdf_data_parallel(tmp_path):
+    """density_cdf composes with DP: the f32 density-EMA payload rides the
+    sharded train step (replicated, like the bitfield) and the planner
+    switch runs on sharded batches — on the 8-device CPU mesh."""
+    from tnerf.data.procedural import generate_procedural_scene
+    from tnerf.train_loop import run_training
+
+    assert len(jax.devices()) >= 8
+    scene = generate_procedural_scene(
+        width=24, height=24, n_train=4, n_val=1, n_test=1, n_samples=64
+    )
+    cfg = Config().apply_overrides([
+        "scene.kind=procedural", "scene.scene_scale=1.0",
+        "render.pipeline=grid_march", "parallel.data_parallel=8",
+        "sampler.samples_per_ray=32", "sampler.near=2.0", "sampler.far=5.5",
+        "sampler.placement=density_cdf", "sampler.cdf_bins=32",
+        "field_.hidden_width=32", "field_.hidden_layers=2",
+        "field_.n_frequencies=4",
+        "grid.resolution=8", "grid.warmup_steps=5", "grid.update_every=5",
+        "train.batch_size=256", "train.steps=20", "train.eval_every=10",
+        "train.checkpoint_every=0", "train.log_every=10",
+        f"logging.out_dir={tmp_path / 'dp_dcdf'}",
+        "render.chunk_size=1024",
+    ])
+    metrics = run_training(cfg, datasets=scene)
+    assert "psnr_test" in metrics and np.isfinite(metrics["psnr_test"])
+
+
 def test_run_training_density_cdf(tmp_path):
     """run_training end-to-end with density_cdf placement: exercises
     renderer_payload through the train step, the capacity planner switch
