@@ -1,0 +1,105 @@
+"""Depth / opacity render outputs at the eval + CLI surface.
+
+The reference intended render output (stb_image_write.h included at
+main.cu:19-21, never called) but computed no auxiliary channels; every
+NeRF framework users would migrate from exposes depth + alpha maps, so
+the rebuild surfaces the compositor's acc (sum of weights) and expected
+termination depth (composite.py) as images: eval.depth_image /
+eval.acc_image and `cli render --channels rgb,depth,acc`.
+"""
+
+import numpy as np
+import pytest
+
+from tnerf.eval import acc_image, depth_image
+
+
+def test_depth_image_convention():
+    """Near = bright, far = dark, background (low acc) = black; the
+    unnormalized expectation sum(w*t) is divided by acc before mapping
+    so translucent pixels don't read as artificially near."""
+    depth = np.array([[2.0, 4.0, 0.0],
+                      [1.0, 2.0, 0.05]], np.float32)
+    acc = np.array([[1.0, 1.0, 0.01],
+                    [0.5, 0.5, 0.01]], np.float32)
+    img = depth_image(depth, acc)
+    assert img.shape == (2, 3, 3)
+    assert img.dtype == np.float32
+    # background pixels (acc <= threshold) are exactly black
+    np.testing.assert_array_equal(img[0, 2], 0.0)
+    np.testing.assert_array_equal(img[1, 2], 0.0)
+    # normalized depths: [2, 4, -, 2, 4, -] -> t in {2, 4}; auto range
+    # [2, 4]; near (t=2) -> 1.0, far (t=4) -> 0.0
+    assert img[0, 0, 0] == pytest.approx(1.0)
+    assert img[0, 1, 0] == pytest.approx(0.0)
+    # acc=0.5 pixels normalize to the same t as their opaque twins
+    np.testing.assert_allclose(img[1, 0], img[0, 0])
+    np.testing.assert_allclose(img[1, 1], img[0, 1])
+    # explicit near/far override the auto exposure
+    img2 = depth_image(depth, acc, near=0.0, far=4.0)
+    assert img2[0, 0, 0] == pytest.approx(0.5)
+    assert img2[0, 1, 0] == pytest.approx(0.0)
+
+
+def test_depth_image_all_background():
+    img = depth_image(np.zeros((4, 4), np.float32),
+                      np.zeros((4, 4), np.float32))
+    np.testing.assert_array_equal(img, 0.0)
+
+
+def test_acc_image_clips_and_broadcasts():
+    acc = np.array([[0.25, 1.5], [-0.1, 1.0]], np.float32)
+    img = acc_image(acc)
+    assert img.shape == (2, 2, 3)
+    np.testing.assert_allclose(img[..., 0], [[0.25, 1.0], [0.0, 1.0]])
+    np.testing.assert_array_equal(img[..., 0], img[..., 1])
+
+
+def test_cli_render_channels(tmp_path):
+    """End-to-end: tiny CLI train, then `render --channels rgb,depth,acc`
+    writes all three PNGs; an unknown channel is rejected."""
+    from tnerf.cli import main
+    from tnerf.data.png_io import read_png
+
+    out_dir = tmp_path / "run"
+    base = [
+        "--override", "scene.kind=procedural",
+        "--override", "scene.name=prims",
+        "--override", "scene.scene_scale=1.0",
+        "--override", "scene.proc_width=24",
+        "--override", "scene.proc_height=24",
+        "--override", "scene.proc_n_train=2",
+        "--override", "scene.proc_n_val=1",
+        "--override", "scene.proc_n_test=1",
+        "--override", "render.pipeline=grid_march",
+        "--override", "sampler.samples_per_ray=16",
+        "--override", "sampler.near=2.0", "--override", "sampler.far=5.5",
+        "--override", "field_.hidden_width=16",
+        "--override", "field_.hidden_layers=1",
+        "--override", "field_.n_frequencies=2",
+        "--override", "grid.resolution=8",
+        "--override", "grid.warmup_steps=5",
+        "--override", "grid.update_every=5",
+        "--override", "train.batch_size=64",
+        "--override", "train.eval_every=0",
+        "--override", "train.checkpoint_every=0",
+        "--override", "render.chunk_size=576",
+        "--override", f"logging.out_dir={out_dir}",
+    ]
+    assert main(["train", "--override", "train.steps=12", *base]) == 0
+
+    png = tmp_path / "view.png"
+    rc = main([
+        "render", "--pose-index", "0",
+        "--channels", "rgb,depth,acc", "--out", str(png), *base,
+    ])
+    assert rc == 0
+    for p in (png, tmp_path / "view_depth.png", tmp_path / "view_acc.png"):
+        img = read_png(str(p), channels=3)
+        assert img.shape == (24, 24, 3)
+        assert np.all(np.isfinite(img))
+
+    assert main([
+        "render", "--channels", "rgb,normals",
+        "--out", str(tmp_path / "x.png"), *base,
+    ]) == 1

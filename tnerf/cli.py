@@ -84,6 +84,13 @@ def main(argv=None) -> int:
         "dataset pose; --out becomes a directory of orbit_###.png frames",
     )
     sp.add_argument(
+        "--channels", default="rgb", metavar="LIST",
+        help="comma list of output channels: rgb, depth (expected-"
+        "termination depth, inverted grayscale), acc (opacity).  With "
+        "more than one channel, extras get a _depth/_acc suffix before "
+        "the extension (render.png -> render_depth.png)",
+    )
+    sp.add_argument(
         "--orbit-elevation", type=float, default=None, metavar="RAD",
         help="orbit elevation in radians (default: the dataset cameras' "
         "mean elevation)",
@@ -132,7 +139,11 @@ def main(argv=None) -> int:
 
     import jax
 
-    from tnerf.data.dataset import load_data, validate_scene_background
+    from tnerf.data.dataset import (
+        load_data,
+        scene_proc_kwargs,
+        validate_scene_background,
+    )
     from tnerf.grid.occupancy import init_occupancy, renderer_payload
     from tnerf.train import create_optimizer, init_train_state
     from tnerf.train_loop import build_field, build_renderer
@@ -157,6 +168,7 @@ def main(argv=None) -> int:
     datasets = load_data(
         cfg.scene.kind, cfg.scene.name, root=cfg.scene.root,
         srgb_to_linear=cfg.scene.srgb_to_linear, downscale=cfg.scene.downscale,
+        proc=scene_proc_kwargs(cfg.scene),
     )
     # Capacity guard: the keep fraction depends on the RESTORED
     # occupancy (trained EMA grids are much fatter than analytic
@@ -232,7 +244,6 @@ def main(argv=None) -> int:
 
     if args.cmd == "render":
         from tnerf.data.png_io import write_png
-        from tnerf.eval import render_dataset_view
 
         ds = datasets[args.split]
         if args.orbit > 0:
@@ -275,12 +286,32 @@ def main(argv=None) -> int:
             write_png_batch(paths, np.stack(frames))
             print(f"wrote {args.orbit} orbit frames to {args.out}/")
             return 0
-        img = render_dataset_view(
+        from tnerf.eval import acc_image, depth_image, render_dataset_view_result
+
+        channels = [c.strip() for c in args.channels.split(",") if c.strip()]
+        bad = [c for c in channels if c not in ("rgb", "depth", "acc")]
+        if bad or not channels:
+            print(f"error: unknown --channels {bad or args.channels!r} "
+                  "(choose from rgb, depth, acc)", file=sys.stderr)
+            return 1
+        res = render_dataset_view_result(
             renderer, state.params, ds, args.pose_index, cfg.scene.scene_scale,
             chunk_size=cfg.render.chunk_size, occupancy=payload, mesh=mesh,
         )
-        write_png(args.out, img)
-        print(f"wrote {args.out}")
+        base, ext = os.path.splitext(args.out)
+        for ch in channels:
+            img = {
+                "rgb": lambda: res.rgb,
+                "depth": lambda: depth_image(res.depth, res.acc),
+                "acc": lambda: acc_image(res.acc),
+            }[ch]()
+            path = (
+                args.out
+                if ch == "rgb" or len(channels) == 1
+                else f"{base}_{ch}{ext or '.png'}"
+            )
+            write_png(path, img)
+            print(f"wrote {path}")
         return 0
 
     # eval

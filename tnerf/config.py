@@ -56,6 +56,16 @@ class SceneConfig:
     srgb_to_linear: bool = False
     # Downscale factor applied to images on load (1 = native 800x800).
     downscale: int = 1
+    # Procedural-scene generation (scene.kind="procedural" only): image
+    # size, split view counts, and the analytic GT ray-march quadrature
+    # (data/procedural.py generate_procedural_scene).  0 = that
+    # parameter's library default (128x128, 24/4/8 views, 384 samples).
+    proc_width: int = 0
+    proc_height: int = 0
+    proc_n_train: int = 0
+    proc_n_val: int = 0
+    proc_n_test: int = 0
+    proc_n_samples: int = 0
 
 
 @dataclass(frozen=True)

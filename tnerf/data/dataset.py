@@ -18,7 +18,7 @@ from __future__ import annotations
 import json
 import os
 from dataclasses import dataclass
-from typing import Dict, List
+from typing import Dict, List, Optional
 
 import numpy as np
 
@@ -144,6 +144,18 @@ def load_llff_scene(root: str, name: str, **kw) -> Dict[str, ImageDataset]:
     return _impl(root, name, **kw)
 
 
+def scene_proc_kwargs(scene_cfg) -> Dict[str, int]:
+    """generate_procedural_scene overrides from a SceneConfig's proc_*
+    fields (0 = keep the library default for that parameter)."""
+    names = ("width", "height", "n_train", "n_val", "n_test", "n_samples")
+    out = {}
+    for n in names:
+        v = getattr(scene_cfg, f"proc_{n}", 0)
+        if v:
+            out[n] = int(v)
+    return out
+
+
 def load_data(
     kind: str,
     name: str,
@@ -151,8 +163,13 @@ def load_data(
     srgb_to_linear: bool = False,
     downscale: int = 1,
     splits=SPLITS,
+    proc: Optional[Dict[str, int]] = None,
 ) -> Dict[str, ImageDataset]:
-    """Entry point mirroring reference load_data (data_loader.h:29-31)."""
+    """Entry point mirroring reference load_data (data_loader.h:29-31).
+
+    `proc` (scene_proc_kwargs) parameterizes procedural generation —
+    image size, split view counts, GT quadrature — and is ignored for
+    on-disk datasets."""
     if kind == "nerf_synthetic":
         return load_synthetic_scene(root, name, srgb_to_linear, downscale, splits)
     if kind == "llff":
@@ -162,7 +179,7 @@ def load_data(
     if kind == "procedural":
         from tnerf.data.procedural import generate_procedural_scene
 
-        return generate_procedural_scene(name)
+        return generate_procedural_scene(name, **(proc or {}))
     raise ValueError(f"unknown dataset kind {kind!r}")
 
 

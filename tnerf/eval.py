@@ -49,7 +49,7 @@ def ssim(pred: np.ndarray, gt: np.ndarray, window: int = 11, sigma: float = 1.5)
     return float(s[r:-r, r:-r].mean())
 
 
-def render_dataset_view(
+def render_dataset_view_result(
     renderer: RendererFn,
     params: dict,
     dataset: ImageDataset,
@@ -58,7 +58,9 @@ def render_dataset_view(
     chunk_size: int = 65536,
     occupancy=None,
     mesh=None,
-) -> np.ndarray:
+):
+    """Full RenderResult (rgb + acc + expected depth) for one dataset
+    pose, device_get'd to host numpy."""
     rays = camera_rays(
         jax.numpy.asarray(dataset.poses[index]),
         dataset.width,
@@ -70,7 +72,59 @@ def render_dataset_view(
         renderer, params, rays, chunk_size=chunk_size,
         occupancy=occupancy, mesh=mesh,
     )
-    return np.asarray(jax.device_get(res.rgb))
+    return jax.tree.map(lambda a: np.asarray(jax.device_get(a)), res)
+
+
+def render_dataset_view(
+    renderer: RendererFn,
+    params: dict,
+    dataset: ImageDataset,
+    index: int,
+    scene_scale: float,
+    chunk_size: int = 65536,
+    occupancy=None,
+    mesh=None,
+) -> np.ndarray:
+    return render_dataset_view_result(
+        renderer, params, dataset, index, scene_scale,
+        chunk_size=chunk_size, occupancy=occupancy, mesh=mesh,
+    ).rgb
+
+
+def depth_image(
+    depth: np.ndarray,
+    acc: np.ndarray,
+    near: Optional[float] = None,
+    far: Optional[float] = None,
+    acc_threshold: float = 0.1,
+) -> np.ndarray:
+    """Visualize expected-termination depth as an inverted-grayscale
+    [H, W, 3] float image in [0, 1] (near = bright, background = black —
+    the usual NeRF depth-map convention).
+
+    The compositor's `depth` is sum(w * t) — an UNNORMALIZED expectation
+    that shrinks toward 0 on translucent pixels — so pixels with
+    acc > acc_threshold are normalized by their opacity (E[t | hit]) and
+    the rest are treated as background.  With no explicit [near, far],
+    the range is the opaque pixels' min/max (full-contrast auto
+    exposure)."""
+    depth = np.asarray(depth, np.float32)
+    acc = np.asarray(acc, np.float32)
+    hit = acc > acc_threshold
+    t_hit = np.where(hit, depth / np.maximum(acc, 1e-6), 0.0)
+    if near is None:
+        near = float(t_hit[hit].min()) if hit.any() else 0.0
+    if far is None:
+        far = float(t_hit[hit].max()) if hit.any() else 1.0
+    x = (t_hit - near) / max(far - near, 1e-6)
+    g = np.where(hit, 1.0 - np.clip(x, 0.0, 1.0), 0.0).astype(np.float32)
+    return np.repeat(g[..., None], 3, axis=-1)
+
+
+def acc_image(acc: np.ndarray) -> np.ndarray:
+    """Accumulated-opacity (alpha) map as [H, W, 3] float in [0, 1]."""
+    g = np.clip(np.asarray(acc, np.float32), 0.0, 1.0)
+    return np.repeat(g[..., None], 3, axis=-1)
 
 
 def evaluate(

@@ -17,7 +17,12 @@ import jax.numpy as jnp
 import numpy as np
 
 from tnerf.config import Config
-from tnerf.data.dataset import ImageDataset, load_data, validate_scene_background
+from tnerf.data.dataset import (
+    ImageDataset,
+    load_data,
+    scene_proc_kwargs,
+    validate_scene_background,
+)
 from tnerf.eval import evaluate
 from tnerf.fields.nerf_field import NeRFField
 from tnerf.grid.occupancy import (
@@ -139,6 +144,7 @@ def run_training(
         datasets = load_data(
             cfg.scene.kind, cfg.scene.name, root=cfg.scene.root,
             srgb_to_linear=cfg.scene.srgb_to_linear, downscale=cfg.scene.downscale,
+            proc=scene_proc_kwargs(cfg.scene),
         )
     train_ds = datasets["train"]
     log.info(
