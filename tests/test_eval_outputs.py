@@ -103,3 +103,20 @@ def test_cli_render_channels(tmp_path):
         "render", "--channels", "rgb,normals",
         "--out", str(tmp_path / "x.png"), *base,
     ]) == 1
+
+    # eval --save-renders writes one PNG per evaluated view
+    rdir = tmp_path / "renders"
+    assert main(["eval", "--save-renders", str(rdir), *base]) == 0
+    assert (rdir / "val_000.png").exists()
+    assert (rdir / "test_000.png").exists()
+
+    # orbit --gif assembles the turntable frames into an animated GIF
+    odir = tmp_path / "orbit"
+    assert main([
+        "render", "--orbit", "3", "--gif", "--out", str(odir), *base,
+    ]) == 0
+    from PIL import Image
+
+    with Image.open(odir / "orbit.gif") as gif:
+        assert getattr(gif, "n_frames", 1) == 3
+    assert (odir / "orbit_002.png").exists()

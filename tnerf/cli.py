@@ -95,10 +95,20 @@ def main(argv=None) -> int:
         help="orbit elevation in radians (default: the dataset cameras' "
         "mean elevation)",
     )
+    sp.add_argument(
+        "--gif", action="store_true",
+        help="with --orbit: additionally assemble the frames into an "
+        "animated <out>/orbit.gif (10 fps turntable)",
+    )
 
     sp = sub.add_parser("eval", help="PSNR over the test split from a checkpoint")
     common(sp)
     sp.add_argument("--checkpoint", required=False)
+    sp.add_argument(
+        "--save-renders", default=None, metavar="DIR",
+        help="also write each evaluated view's render as "
+        "DIR/<split>_###.png",
+    )
 
     sp = sub.add_parser(
         "suite",
@@ -285,6 +295,21 @@ def main(argv=None) -> int:
             ]
             write_png_batch(paths, np.stack(frames))
             print(f"wrote {args.orbit} orbit frames to {args.out}/")
+            if args.gif:
+                from PIL import Image
+
+                u8 = [
+                    Image.fromarray(
+                        (np.clip(f, 0.0, 1.0) * 255.0 + 0.5).astype(np.uint8)
+                    )
+                    for f in frames
+                ]
+                gif = os.path.join(args.out, "orbit.gif")
+                u8[0].save(
+                    gif, save_all=True, append_images=u8[1:],
+                    duration=100, loop=0,
+                )
+                print(f"wrote {gif}")
             return 0
         from tnerf.eval import acc_image, depth_image, render_dataset_view_result
 
@@ -324,6 +349,7 @@ def main(argv=None) -> int:
                 evaluate(
                     renderer, state.params, datasets[split], cfg.scene.scene_scale,
                     white_background=cfg.scene.white_background,
+                    save_dir=args.save_renders,
                     chunk_size=cfg.render.chunk_size, occupancy=payload, mesh=mesh,
                 )
             )
