@@ -90,3 +90,51 @@ def test_train_step_handles_nonfinite(cfg, scene):
         jax.tree.map(lambda a, b: jnp.allclose(a, b), state.params, state2.params)
     )
     assert all(bool(x) for x in leaves)
+
+
+def test_photometric_loss_forms():
+    """Closed-form checks of the three loss kinds + early typo rejection."""
+    from tnerf.train import photometric_loss
+
+    err = np.array([[0.0, 0.05, -0.2]], np.float32)
+    l2 = float(photometric_loss(err, "l2"))
+    l1 = float(photometric_loss(err, "l1"))
+    hu = float(photometric_loss(err, "huber", huber_delta=0.1))
+    assert l2 == pytest.approx(np.mean(err ** 2))
+    assert l1 == pytest.approx(np.mean(np.abs(err)))
+    # huber: 0 -> 0; 0.05 (<= delta) -> 0.5*0.05^2; 0.2 (> delta) ->
+    # 0.1*(0.2 - 0.05)
+    assert hu == pytest.approx((0.0 + 0.5 * 0.05 ** 2 + 0.1 * 0.15) / 3)
+    # beyond-delta gradient magnitude is the constant delta (robustness)
+    g = jax.grad(lambda e: photometric_loss(e, "huber", 0.1))(
+        np.array([[0.5, -0.5, 0.0]], np.float32)
+    )
+    np.testing.assert_allclose(
+        np.asarray(g)[0, :2], [0.1 / 3, -0.1 / 3], rtol=1e-6
+    )
+    with pytest.raises(ValueError, match="l2, l1 or huber"):
+        photometric_loss(err, "l3")
+    with pytest.raises(ValueError, match="l2, l1 or huber"):
+        make_train_step(lambda *a: None, create_optimizer(Config().train),
+                        loss="charbonnier")
+
+
+def test_train_slice_huber_improves_psnr(cfg, scene):
+    """The huber objective trains (PSNR aux reported from MSE rises)."""
+    field = NeRFField(cfg.field_, cfg.grid)
+    optimizer = create_optimizer(cfg.train)
+    state = init_train_state(field, optimizer, cfg.train.seed)
+    renderer = make_uniform_renderer(field, cfg.sampler, cfg.render)
+    step = make_train_step(renderer, optimizer, loss="huber",
+                           huber_delta=0.1)
+    sampler = PixelSampler(scene["train"], cfg.scene.scene_scale,
+                           cfg.scene.white_background)
+    key = jax.random.PRNGKey(0)
+    first = None
+    for i in range(60):
+        key, k1, k2 = jax.random.split(key, 3)
+        batch = sampler.sample(k1, cfg.train.batch_size)
+        state, aux = step(state, batch, k2)
+        if first is None:
+            first = float(aux["psnr"])
+    assert float(aux["psnr"]) > first + 4.0

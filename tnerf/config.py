@@ -274,6 +274,13 @@ class TrainConfig:
 
     batch_size: int = 8192
     steps: int = 2000
+    # Photometric loss over per-pixel RGB error: "l2" (the reference's
+    # hardcoded choice, main.cu:39), "l1", or "huber" (quadratic within
+    # huber_delta, linear beyond — robust to the occasional saturated /
+    # mislabeled pixel).  PSNR is always reported from the MSE so the
+    # metric stays comparable across loss choices.
+    loss: str = "l2"  # l2 | l1 | huber
+    huber_delta: float = 0.1
     lr: float = 1e-3
     beta1: float = 0.9
     beta2: float = 0.999

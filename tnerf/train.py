@@ -153,12 +153,36 @@ class PixelSampler:
         return self is other
 
 
+def photometric_loss(
+    err: jnp.ndarray, kind: str = "l2", huber_delta: float = 0.1
+) -> jnp.ndarray:
+    """Scalar photometric loss from per-pixel RGB error [..., 3].
+
+    "l2" is the reference's hardcoded choice (main.cu:39); "l1" and
+    "huber" (quadratic within delta, linear beyond) are the standard
+    robust alternatives.  Elementwise-only — XLA fuses it into the
+    backward epilogue regardless of kind."""
+    if kind == "l2":
+        return jnp.mean(jnp.square(err))
+    if kind == "l1":
+        return jnp.mean(jnp.abs(err))
+    if kind == "huber":
+        a = jnp.abs(err)
+        d = jnp.float32(huber_delta)
+        return jnp.mean(
+            jnp.where(a <= d, 0.5 * jnp.square(err), d * (a - 0.5 * d))
+        )
+    raise ValueError(f"train.loss must be l2, l1 or huber, got {kind!r}")
+
+
 def make_train_step(
     renderer: Callable,
     optimizer: optax.GradientTransformation,
     remat: bool = False,
+    loss: str = "l2",
+    huber_delta: float = 0.1,
 ) -> Callable[[TrainState, RayBatch, jax.Array], Tuple[TrainState, dict]]:
-    """Build the jitted train step: L2 photometric loss + Adam update.
+    """Build the jitted train step: photometric loss + Adam update.
 
     remat=True wraps the renderer in jax.checkpoint, dropping forward
     activations (per-sample encodings/hidden states — the big buffers)
@@ -167,17 +191,20 @@ def make_train_step(
     """
     if remat:
         renderer = jax.checkpoint(renderer, static_argnums=())
+    photometric_loss(jnp.zeros((1, 3)), loss, huber_delta)  # validate early
 
     def loss_fn(params: dict, batch: RayBatch, key: jax.Array, occupancy):
         res = renderer(params, batch.rays, key, occupancy)
         err = res.rgb - batch.gt_rgb
-        loss = jnp.mean(jnp.square(err))
+        mse = jnp.mean(jnp.square(err))
+        obj = mse if loss == "l2" else photometric_loss(err, loss, huber_delta)
         aux = {
-            "loss": loss,
-            "psnr": -10.0 * jnp.log10(jnp.maximum(loss, 1e-10)),
+            "loss": obj,
+            # PSNR always from the MSE: comparable across loss choices
+            "psnr": -10.0 * jnp.log10(jnp.maximum(mse, 1e-10)),
             "acc_mean": jnp.mean(res.acc),
         }
-        return loss, aux
+        return obj, aux
 
     @jax.jit
     def train_step(

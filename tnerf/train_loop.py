@@ -267,9 +267,13 @@ def run_training(
         )
 
     sampler = PixelSampler(train_ds, cfg.scene.scene_scale, cfg.scene.white_background)
-    step_dense = make_train_step(renderer_dense, optimizer, remat=cfg.train.remat)
+    loss_kw = dict(
+        remat=cfg.train.remat, loss=cfg.train.loss,
+        huber_delta=cfg.train.huber_delta,
+    )
+    step_dense = make_train_step(renderer_dense, optimizer, **loss_kw)
     step_compact = (
-        make_train_step(renderer_compact, optimizer, remat=cfg.train.remat)
+        make_train_step(renderer_compact, optimizer, **loss_kw)
         if use_grid and cfg.render.compact and n_sp == 1
         else step_dense
     )
