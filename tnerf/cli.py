@@ -6,8 +6,11 @@ The reference has zero CLI — `int main()` takes no arguments
   tnerf train   --config cfg.json --override a.b=c ...
   tnerf render  --config cfg.json --checkpoint dir --pose-index 0 --out img.png
   tnerf eval    --config cfg.json --checkpoint dir
-  tnerf bench   [--width 800 --height 800]   (see bench.py for the driver entry)
-  tnerf config  [--config cfg.json]          (print the resolved config)
+  tnerf suite   --scenes chair,drums,...      (batch test-set evaluation)
+  tnerf config  [--config cfg.json]           (print the resolved config)
+
+Benchmarks are a repo-level driver (`python bench.py`, one JSON line),
+not a subcommand — they need the committed gate runs/ checkpoints.
 """
 
 from __future__ import annotations
