@@ -293,3 +293,39 @@ def test_occupancy_lookup_matmul_matches_gather():
     np.testing.assert_array_equal(
         np.asarray(out), np.asarray(occupancy_lookup(pts, occ, grid))
     )
+
+
+def test_density_lookup_matmul_matches_gather():
+    """The one-hot VALUE matmul (density_lookup_matmul) must be
+    bit-identical to the plain gather — a one-hot f32 row copies one
+    value exactly.  Covers pooled CDF-probe resolutions (16, 32), a
+    res needing row padding via non-multiple chunking, outside points
+    (-> 0.0), and batched shape passthrough."""
+    from tnerf.grid.traversal import density_lookup, density_lookup_matmul
+
+    rng = np.random.default_rng(11)
+    for res, n_pts, chunk in ((16, 5000, 2048), (32, 1000, 700)):
+        grid = GridConfig(resolution=res)
+        dens = jnp.asarray(
+            (rng.random((res, res, res)) * 50).astype(np.float32)
+        )
+        pts = jnp.asarray(
+            rng.uniform(-1.6, 1.6, size=(n_pts, 3)).astype(np.float32)
+        )
+        ref = np.asarray(density_lookup(pts, dens, grid))
+        got = np.asarray(density_lookup_matmul(pts, dens, grid, chunk=chunk))
+        assert ref.dtype == got.dtype == np.float32
+        np.testing.assert_array_equal(got, ref)
+        # outside points are exactly zero
+        far = jnp.asarray(np.full((8, 3), 9.0, np.float32))
+        np.testing.assert_array_equal(
+            np.asarray(density_lookup_matmul(far, dens, grid)), 0.0
+        )
+    grid = GridConfig(resolution=16)
+    dens = jnp.asarray((rng.random((16, 16, 16)) * 5).astype(np.float32))
+    pts = jnp.asarray(rng.uniform(-1.0, 1.0, size=(3, 5, 3)).astype(np.float32))
+    out = density_lookup_matmul(pts, dens, grid, chunk=8)
+    assert out.shape == (3, 5)
+    np.testing.assert_array_equal(
+        np.asarray(out), np.asarray(density_lookup(pts, dens, grid))
+    )

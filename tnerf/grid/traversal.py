@@ -450,6 +450,81 @@ def density_lookup(
     return jnp.where(inside, vals, 0.0)
 
 
+def density_lookup_matmul(
+    positions: jnp.ndarray,
+    density: jnp.ndarray,
+    grid: GridConfig,
+    chunk: int = 32768,
+) -> jnp.ndarray:
+    """density_lookup via the one-hot MXU matmul (gather pathology fix,
+    value flavor): the f32 cell values reshape to a [rows, 128] lane
+    table; each probe fetches its row with one [C, rows] @ [rows, 128]
+    f32 matmul (exact — a one-hot row copies one value, every other
+    product is a true zero) and its lane with an exact one-hot
+    multiply-sum.  Unlike the bitfield path there is no 8x byte packing,
+    so rows = res^3/128 — practical for the POOLED grids CDF placement
+    probes (16^3 -> 32 rows, 32^3 -> 256), not for fine 128^3 grids.
+    Bit-exact vs density_lookup (same floor/clip cell arithmetic)."""
+    res = density.shape[0] if density.ndim == 3 else grid.resolution
+    n = res ** 3
+    lo = jnp.asarray(grid.aabb_min, jnp.float32)
+    hi = jnp.asarray(grid.aabb_max, jnp.float32)
+
+    vals = jnp.asarray(density).reshape(-1).astype(jnp.float32)
+    rows = max(1, -(-n // 128))
+    if rows * 128 != n:
+        vals = jnp.pad(vals, (0, rows * 128 - n))
+    tbl = vals.reshape(rows, 128)
+    iota_rows = jax.lax.broadcasted_iota(jnp.int32, (1, rows), 1)
+    iota_lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+
+    batch_shape = positions.shape[:-1]
+    p = positions.reshape(-1, 3)
+    N = p.shape[0]
+    pad = (-N) % chunk
+    p = jnp.pad(p, ((0, pad), (0, 0)))
+
+    def lookup_chunk(pc):  # [C, 3] -> [C] f32
+        ijk = jnp.floor((pc - lo) / ((hi - lo) / res)).astype(jnp.int32)
+        inside = jnp.all((ijk >= 0) & (ijk < res), axis=-1)
+        ijk = jnp.clip(ijk, 0, res - 1)
+        flat = (ijk[..., 0] * res + ijk[..., 1]) * res + ijk[..., 2]
+        row = flat >> 7
+        oh_row = (row[:, None] == iota_rows).astype(jnp.float32)
+        m = jax.lax.dot_general(
+            oh_row, tbl,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [C, 128] — exact value copies
+        oh_lane = ((flat[:, None] & 127) == iota_lane).astype(jnp.float32)
+        v = jnp.sum(m * oh_lane, axis=-1)
+        return jnp.where(inside, v, 0.0)
+
+    if p.shape[0] == chunk:
+        out = lookup_chunk(p)
+    else:
+        out = jax.lax.map(lookup_chunk, p.reshape(-1, chunk, 3)).reshape(-1)
+    return out[:N].reshape(batch_shape)
+
+
+def density_lookup_fast(
+    positions: jnp.ndarray,
+    density: jnp.ndarray,
+    grid: GridConfig,
+) -> jnp.ndarray:
+    """density_lookup with the TPU-appropriate formulation: the one-hot
+    value matmul for grids small enough that the un-packable f32 row
+    table stays MXU-friendly (rows = res^3/128 <= 256 — the pooled
+    occupancy_mask_res regime CDF placement probes), the plain gather
+    elsewhere (CPU gathers are fast; a fine-grid value fetch would need
+    a 16k-row one-hot)."""
+    res = density.shape[0] if density.ndim == 3 else grid.resolution
+    on_tpu = jax.devices()[0].platform == "tpu"
+    if on_tpu and res ** 3 <= (1 << 15) and (res ** 3) % 128 == 0:
+        return density_lookup_matmul(positions, density, grid)
+    return density_lookup(positions, density, grid)
+
+
 def occupancy_lookup(
     positions: jnp.ndarray,
     occupancy: jnp.ndarray,

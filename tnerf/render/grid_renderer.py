@@ -28,7 +28,7 @@ from tnerf.config import GridConfig, RenderConfig, SamplerConfig
 from tnerf.fields.nerf_field import NeRFField
 from tnerf.grid.pallas_dda import tighten_sample_mask_pallas
 from tnerf.grid.traversal import (
-    density_lookup,
+    density_lookup_fast,
     make_coarse_density,
     make_coarse_occupancy,
     march_samples_t,
@@ -263,7 +263,7 @@ def cdf_bin_weights(
                 "payload (pass occupancy=occ.density_ema, see "
                 "occupancy.renderer_payload), got a bool bitfield"
             )
-        sigma = density_lookup(pts, dens_m, grid_cfg)           # [B, P]
+        sigma = density_lookup_fast(pts, dens_m, grid_cfg)      # [B, P]
         support = (sigma > grid_cfg.density_threshold) & pos_span
         dtb = jnp.maximum(span, 0.0)[..., None] / P
         tau = sigma * dtb
