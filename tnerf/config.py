@@ -366,12 +366,29 @@ class Config:
 
     @classmethod
     def from_dict(cls, d: dict) -> "Config":
+        """Strict: unknown sections/keys raise — a typoed knob must not
+        silently fall back to the default (same philosophy as the
+        placement/pipeline enum validation).  Missing keys keep their
+        defaults, so configs written by older versions still load."""
+        sections = {f.name: f for f in fields(cls)}
+        bad_sections = set(d) - set(sections)
+        if bad_sections:
+            raise ValueError(
+                f"unknown config section(s) {sorted(bad_sections)}; "
+                f"have {sorted(sections)}"
+            )
         kwargs = {}
         for f in fields(cls):
             sub = d.get(f.name, {})
             subcls = f.default_factory  # type: ignore[union-attr]
             valid = {sf.name for sf in fields(subcls)}
-            kwargs[f.name] = subcls(**{k: _tupleize(v) for k, v in sub.items() if k in valid})
+            bad = set(sub) - valid
+            if bad:
+                raise ValueError(
+                    f"unknown key(s) {sorted(bad)} in config section "
+                    f"{f.name!r}; have {sorted(valid)}"
+                )
+            kwargs[f.name] = subcls(**{k: _tupleize(v) for k, v in sub.items()})
         return cls(**kwargs)
 
     @classmethod
