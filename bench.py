@@ -715,6 +715,24 @@ def main():
                 "render.compact_fraction=0.95",
             ),
         )
+    # Density-CDF placement variant (runs/hard_r3_march_dcdf, queued TPU
+    # experiment): transmittance-weighted placement at S=48 on the march
+    # gate config; the bin probes ride density_lookup_fast (one-hot
+    # value matmuls).  Skipped until the gate run exists.
+    march_dcdf_render = None
+    if _os.path.exists("runs/hard_r3_march_dcdf/checkpoints"):
+        march_dcdf_render = attempt(
+            bench_render, samples=48, res=128, strided=True,
+            scene_field="hard",
+            config_file="configs/procedural_hard_30db.json",
+            ckpt_run="runs/hard_r3_march_dcdf",
+            overrides=(
+                "sampler.placement=density_cdf", "sampler.cdf_bins=64",
+                "sampler.tighten_res=16", "sampler.occupancy_mask_res=16",
+                "render.ray_compact=true",
+                "render.ray_compact_fraction=0.75",
+            ),
+        )
     fused = attempt(bench_fused_render)
     train = attempt(bench_fused_train)
     hg = attempt(bench_hashgrid_train)
@@ -733,6 +751,8 @@ def main():
     put(hg_render, "fps_800x800", "hashgrid_fps_800x800")
     put(hg_cdf_render, "render_mrays_per_sec", "hashgrid_cdf_render_mrays_per_sec")
     put(hg_cdf_render, "fps_800x800", "hashgrid_cdf_fps_800x800")
+    put(march_dcdf_render, "render_mrays_per_sec", "march_dcdf_render_mrays_per_sec")
+    put(march_dcdf_render, "fps_800x800", "march_dcdf_fps_800x800")
     put(fused, "fused_mrays_per_sec", "fused_render_mrays_per_sec")
     put(fused, "fused_fps_800x800")
     put(fused, "fused_hq_mrays_per_sec")
