@@ -271,3 +271,121 @@ def test_march_renderer_kernel_mask_path_matches_xla(monkeypatch):
                                np.asarray(out_x.rgb), atol=2e-4)
     np.testing.assert_allclose(np.asarray(out_kernel.acc),
                                np.asarray(out_x.acc), atol=2e-4)
+
+
+def test_cdf_fold_kernel_mask_is_bin_support():
+    """The CDF fold (make_grid_renderer fold_cdf) feeds the kernel's
+    n_samples=cdf_bins midpoint mask to cdf placement as the per-bin
+    weights/support.  That is only sound if the kernel mask equals the
+    XLA bin probes cdf_bin_weights would have made on the same spans —
+    same pooled grid, same bin midpoints (up to FMA 1-ulp boundary
+    flips)."""
+    from tnerf.grid.pallas_dda import tighten_sample_mask_pallas
+    from tnerf.grid.traversal import ray_aabb
+    from tnerf.render.grid_renderer import cdf_bin_weights
+    from tnerf.config import Config
+
+    res, t_res, P = 64, 16, 64
+    grid = GridConfig(resolution=res)
+    cfg = Config().apply_overrides([
+        "grid.resolution=64", "sampler.cdf_bins=64",
+        "sampler.occupancy_mask_res=16", "sampler.tighten_res=16",
+        "sampler.placement=occupancy_cdf",
+    ])
+    rng = np.random.default_rng(23)
+    occ = rng.uniform(0, 1, (res, res, res)) < 0.04
+    occ_c = make_coarse_occupancy(jnp.asarray(occ), res // t_res)
+
+    B = 256
+    o = rng.uniform(-1, 1, (B, 3))
+    o = o / np.linalg.norm(o, axis=-1, keepdims=True) * 3.0
+    d = -o / np.linalg.norm(o, axis=-1, keepdims=True)
+    d += rng.normal(0, 0.08, d.shape)
+    o = jnp.asarray(o, jnp.float32)
+    d = jnp.asarray(d, jnp.float32)
+    te, tx = ray_aabb(o, d, grid.aabb_min, grid.aabb_max)
+    te = jnp.maximum(te, 0.05)
+    tx = jnp.maximum(tx, te)
+
+    t0, t1, mask_k = tighten_sample_mask_pallas(
+        o, d, te, tx, occ_c, P, grid, probes=64, interpret=True
+    )
+    w, support = cdf_bin_weights(
+        o, d, t0, t1, occ_c, None, cfg.grid, cfg.sampler
+    )
+    agree = np.asarray(mask_k) == np.asarray(support)
+    assert agree.mean() > 0.99, agree.mean()
+    np.testing.assert_array_equal(np.asarray(w) > 0, np.asarray(support))
+
+
+@pytest.mark.parametrize("ray_compact", [False, True])
+def test_march_renderer_cdf_fold_matches_xla(monkeypatch, ray_compact):
+    """occupancy_cdf render through the folded kernel path equals the
+    same renderer with the kernel swapped for an XLA mirror of the
+    identical contract (tighten + n_samples midpoint bin mask) — the
+    fold plumbing (pre-computed weights into cdf_place) is validated
+    against an independent implementation, with and without ray
+    compaction."""
+    import jax
+
+    from tnerf.config import Config
+    from tnerf.fields.nerf_field import NeRFField
+    from tnerf.cameras import Rays, viewdirs_to_thetaphi
+    from tnerf.grid.traversal import (
+        march_samples_t, occupancy_lookup, ray_aabb, tightened_range,
+    )
+    from tnerf.render.grid_renderer import make_grid_renderer
+    from tnerf.sampling import sample_positions
+    import tnerf.render.grid_renderer as gr
+
+    cfg = Config().apply_overrides([
+        "grid.resolution=32", "sampler.tighten_res=16",
+        "sampler.occupancy_mask_res=16", "sampler.samples_per_ray=24",
+        "sampler.placement=occupancy_cdf", "sampler.cdf_bins=32",
+        "sampler.near=0.05",
+        "field_.hidden_width=16", "field_.hidden_layers=1",
+        "field_.n_frequencies=2",
+        f"render.ray_compact={'true' if ray_compact else 'false'}",
+        "render.ray_compact_fraction=0.9",
+    ])
+    field = NeRFField(cfg.field_, cfg.grid)
+    params = field.init(jax.random.PRNGKey(0))
+    rng = np.random.default_rng(3)
+    res = cfg.grid.resolution
+    occ = np.zeros((res, res, res), bool)
+    occ[10:22, 10:22, 12:20] = rng.uniform(0, 1, (12, 12, 8)) < 0.5
+    occ = jnp.asarray(occ)
+
+    o = rng.uniform(-1, 1, (64, 3))
+    o = o / np.linalg.norm(o, axis=-1, keepdims=True) * 3.0
+    d = -o / np.linalg.norm(o, axis=-1, keepdims=True)
+    d = jnp.asarray(d, jnp.float32)
+    rays = Rays(origins=jnp.asarray(o, jnp.float32), directions=d,
+                viewdirs_tp=viewdirs_to_thetaphi(d))
+
+    rend = make_grid_renderer(field, cfg.grid, cfg.sampler, cfg.render,
+                              strategy="march", compact=False)
+    out_kernel = rend(params, rays, None, occ)
+    # with the fold, every sample the mask keeps lies in an occupied bin
+    assert np.isfinite(np.asarray(out_kernel.rgb)).all()
+
+    def xla_impl(origins, directions, te, tx, occ_c, S, grid, probes=256,
+                 interpret=False):
+        t0, t1 = tightened_range(origins, directions, te, tx, occ_c, grid,
+                                 probes=probes)
+        t, _ = march_samples_t(t0, t1, S)
+        m = (t1[:, None] > t0[:, None]) & occupancy_lookup(
+            sample_positions(origins, directions, t), occ_c, grid
+        )
+        return t0, t1, m
+
+    monkeypatch.setattr(gr, "tighten_sample_mask_pallas", xla_impl)
+    rend_x = make_grid_renderer(field, cfg.grid, cfg.sampler, cfg.render,
+                                strategy="march", compact=False)
+    out_x = rend_x(params, rays, None, occ)
+    np.testing.assert_allclose(np.asarray(out_kernel.rgb),
+                               np.asarray(out_x.rgb), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(out_kernel.acc),
+                               np.asarray(out_x.acc), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(out_kernel.depth),
+                               np.asarray(out_x.depth), atol=2e-3)

@@ -180,7 +180,21 @@ def ray_keep_fraction(
     res = grid_cfg.resolution
     occ3 = occupancy.reshape(res, res, res)
     t_res = min(pool_res or sampler_cfg.tighten_res or res, res)
+    m_res = min(sampler_cfg.occupancy_mask_res or res, res)
     occ_t = occ3 if t_res == res else make_coarse_occupancy(occ3, res // t_res)
+    # CDF-folded kernel configs (see make_grid_renderer fold_cdf) probe
+    # cdf_bins bin midpoints instead of samples_per_ray — mirror that so
+    # the guard tests the keep rule that actually runs.  pool_res is a
+    # FUSED-pipeline override; the fold never applies there.
+    folds = (
+        pool_res is None
+        and sampler_cfg.placement == "occupancy_cdf"
+        and sampler_cfg.tighten
+        and m_res == t_res
+        and t_res < res
+        and t_res <= 32
+    )
+    n_mid = sampler_cfg.cdf_bins if folds else sampler_cfg.samples_per_ray
     o = rays.origins.reshape(-1, 3)
     d = rays.directions.reshape(-1, 3)
     te, tx = ray_aabb(o, d, grid_cfg.aabb_min, grid_cfg.aabb_max)
@@ -189,7 +203,7 @@ def ray_keep_fraction(
     te2, tx2 = tightened_range(
         o, d, te, tx, occ_t, grid_cfg, probes=sampler_cfg.tighten_probes
     )
-    t, _ = march_samples_t(te2, tx2, sampler_cfg.samples_per_ray)
+    t, _ = march_samples_t(te2, tx2, n_mid)
     pts = sample_positions(o, d, t)
     m = (tx2[:, None] > te2[:, None]) & occupancy_lookup(pts, occ_t, grid_cfg)
     return float(jnp.any(m, axis=1).mean())
@@ -448,11 +462,16 @@ def make_grid_renderer(
                 )
             )
 
-            def cdf_place(o_, d_, t0_, t1_, key_=None):
-                wb, support = cdf_bin_weights(
-                    o_, d_, t0_, t1_, pool(occ3, m_res), dens_m,
-                    grid_cfg, sampler_cfg,
-                )
+            def cdf_place(o_, d_, t0_, t1_, key_=None, pre=None):
+                """pre = (weights, support) [.., P] to skip the XLA bin
+                probes — the kernel-fold path feeds the Pallas mask."""
+                if pre is None:
+                    wb, support = cdf_bin_weights(
+                        o_, d_, t0_, t1_, pool(occ3, m_res), dens_m,
+                        grid_cfg, sampler_cfg,
+                    )
+                else:
+                    wb, support = pre
                 jit_ = (
                     jax.random.uniform(key_, (*t0_.shape, S), jnp.float32)
                     if key_ is not None
@@ -477,10 +496,25 @@ def make_grid_renderer(
                 and t_res < res
                 and t_res <= 32
             )
+            # CDF-fold: for occupancy_cdf on the kernel path with the
+            # bin-probe grid == the kernel bitfield (m_res == t_res),
+            # run the kernel at n_samples=cdf_bins — its phase-2
+            # midpoint masks ARE the per-bin occupancy weights, so the
+            # XLA bin probes (a [B, P] lookup per chunk) disappear and
+            # one kernel launch yields tighten + weights + support.
+            # density_cdf keeps the XLA probes: its weights need VALUES
+            # (density_lookup_fast one-hot matmuls), not bits.
+            fold_cdf = (
+                use_kernel
+                and use_cdf
+                and m_res == t_res
+                and sampler_cfg.placement == "occupancy_cdf"
+            )
+            kernel_n = sampler_cfg.cdf_bins if fold_cdf else S
             if use_kernel:
                 kernel = lambda o_, d_, te_, tx_: tighten_sample_mask_pallas(
                     o_, d_, te_, tx_,
-                    pool(occ3, t_res), S, grid_cfg,
+                    pool(occ3, t_res), kernel_n, grid_cfg,
                     probes=sampler_cfg.tighten_probes,
                     interpret=jax.devices()[0].platform != "tpu",
                 )
@@ -528,7 +562,12 @@ def make_grid_renderer(
                     o_c, d_c, v_c = buf[:, 0:3], buf[:, 3:6], buf[:, 6:8]
                     te_c, tx_c = buf[:, 8], buf[:, 9]
                     t0_c, t1_c, smask_c = kernel(o_c, d_c, te_c, tx_c)
-                    if use_cdf:
+                    if fold_cdf:
+                        t_c, deltas_c, smask_c = cdf_place(
+                            o_c, d_c, t0_c, t1_c,
+                            pre=(smask_c.astype(jnp.float32), smask_c),
+                        )
+                    elif use_cdf:
                         t_c, deltas_c, smask_c = cdf_place(o_c, d_c, t0_c, t1_c)
                     else:
                         smask_c = refine(smask_c, o_c, d_c, t0_c, t1_c)
@@ -550,7 +589,12 @@ def make_grid_renderer(
                 t_enter, t_exit, smask = kernel(
                     rays.origins, rays.directions, t_enter, t_exit
                 )
-                if use_cdf:
+                if fold_cdf:
+                    t, deltas, smask = cdf_place(
+                        rays.origins, rays.directions, t_enter, t_exit,
+                        pre=(smask.astype(jnp.float32), smask),
+                    )
+                elif use_cdf:
                     t, deltas, smask = cdf_place(
                         rays.origins, rays.directions, t_enter, t_exit
                     )
