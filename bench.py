@@ -715,6 +715,25 @@ def main():
                 "render.compact_fraction=0.95",
             ),
         )
+    # Occupancy-CDF placement on the march gate (runs/hard_r3_march_cdf,
+    # queued TPU experiment): S=48 importance-placed; with t_res==m_res
+    # this render takes the CDF-FOLDED kernel path (one Pallas launch
+    # yields tighten + bin weights + support; no XLA bin probes).
+    march_cdf_render = None
+    if _os.path.exists("runs/hard_r3_march_cdf/checkpoints"):
+        march_cdf_render = attempt(
+            bench_render, samples=48, res=128, strided=True,
+            scene_field="hard",
+            config_file="configs/procedural_hard_30db.json",
+            ckpt_run="runs/hard_r3_march_cdf",
+            overrides=(
+                "sampler.placement=occupancy_cdf", "sampler.cdf_bins=64",
+                "sampler.samples_per_ray=48",
+                "sampler.tighten_res=16", "sampler.occupancy_mask_res=16",
+                "render.ray_compact=true",
+                "render.ray_compact_fraction=0.75",
+            ),
+        )
     # Density-CDF placement variant (runs/hard_r3_march_dcdf, queued TPU
     # experiment): transmittance-weighted placement at S=48 on the march
     # gate config; the bin probes ride density_lookup_fast (one-hot
@@ -751,6 +770,8 @@ def main():
     put(hg_render, "fps_800x800", "hashgrid_fps_800x800")
     put(hg_cdf_render, "render_mrays_per_sec", "hashgrid_cdf_render_mrays_per_sec")
     put(hg_cdf_render, "fps_800x800", "hashgrid_cdf_fps_800x800")
+    put(march_cdf_render, "render_mrays_per_sec", "march_cdf_render_mrays_per_sec")
+    put(march_cdf_render, "fps_800x800", "march_cdf_fps_800x800")
     put(march_dcdf_render, "render_mrays_per_sec", "march_dcdf_render_mrays_per_sec")
     put(march_dcdf_render, "fps_800x800", "march_dcdf_fps_800x800")
     put(fused, "fused_mrays_per_sec", "fused_render_mrays_per_sec")
