@@ -362,3 +362,26 @@ def test_ray_keep_fraction_pool_res_override():
     assert k_8 >= k_fine          # coarser pooling is a superset rule
     assert k_explicit == k_fine   # explicit == configured resolution
     assert 0.0 < k_fine < 1.0
+
+
+def test_intervals_rejects_cdf_placement():
+    """grid_intervals samples per cell interval; a CDF placement knob
+    must raise at construction, not be silently ignored (quadrature
+    contract)."""
+    import dataclasses
+
+    import pytest as _pytest
+
+    from tnerf.config import Config
+    from tnerf.fields.nerf_field import NeRFField
+    from tnerf.render.grid_renderer import make_grid_renderer
+
+    cfg = Config().apply_overrides([
+        "grid.resolution=8", "field_.hidden_width=16",
+        "field_.hidden_layers=1", "field_.n_frequencies=2",
+        "sampler.placement=occupancy_cdf",
+    ])
+    field = NeRFField(cfg.field_, cfg.grid)
+    with _pytest.raises(ValueError, match="grid_march pipeline only"):
+        make_grid_renderer(field, cfg.grid, cfg.sampler, cfg.render,
+                           strategy="intervals")

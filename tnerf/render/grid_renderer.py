@@ -371,6 +371,15 @@ def make_grid_renderer(
             f"sampler.placement must be 'uniform', 'occupancy_cdf' or "
             f"'density_cdf', got {sampler_cfg.placement!r}"
         )
+    if strategy == "intervals" and sampler_cfg.placement != "uniform":
+        # intervals quadrature is per-cell (32 samples/interval); CDF
+        # placement only exists on the march span — ignoring the knob
+        # would silently break the train/eval quadrature contract
+        raise ValueError(
+            f"sampler.placement={sampler_cfg.placement!r} applies to the "
+            "grid_march pipeline only; grid_intervals samples per cell "
+            "interval (set sampler.placement=uniform)"
+        )
 
     def render(
         params: dict,
