@@ -158,7 +158,7 @@ def _restore_gate(field, cfg, ckpt_run):
         return None, None, False
     _, (state, occ0) = restored
     res = cfg.grid.resolution
-    payload = np.asarray(renderer_payload(occ0, cfg.sampler))
+    payload = np.asarray(renderer_payload(occ0, cfg.sampler, cfg.grid))
     return state.params, payload.reshape(res, res, res), True
 
 

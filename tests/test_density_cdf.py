@@ -192,11 +192,11 @@ def test_payload_dispatch_roundtrip():
     )
     c_u = cfg.apply_overrides(["sampler.placement=uniform"])
     c_d = cfg.apply_overrides(["sampler.placement=density_cdf"])
-    p_u = renderer_payload(occ, c_u.sampler)
-    p_d = renderer_payload(occ, c_d.sampler)
+    p_u = renderer_payload(occ, c_u.sampler, cfg.grid)
+    p_d = renderer_payload(occ, c_d.sampler, cfg.grid)
     assert p_u.dtype == jnp.bool_
     assert p_d.dtype == jnp.float32
-    assert renderer_payload(None, c_d.sampler) is None
+    assert renderer_payload(None, c_d.sampler, cfg.grid) is None
     # split derives the exact update_occupancy bitfield from the EMA
     bits_u, dens_u = split_occupancy_payload(p_u, cfg.grid)
     bits_d, dens_d = split_occupancy_payload(p_d, cfg.grid)
@@ -322,3 +322,59 @@ def test_run_training_density_cdf(tmp_path):
     ])
     metrics = run_training(cfg, datasets=scene)
     assert "psnr_test" in metrics and np.isfinite(metrics["psnr_test"])
+
+
+def test_renderer_payload_dense_start_is_all_occupied():
+    """Before the first occupancy update (state.step == 0) the f32
+    payload must derive an all-occupied bitfield: deriving bits from the
+    raw all-zero init EMA would mask EVERY sample and zero the training
+    gradient for the whole grid.warmup_steps window (regression: round-3
+    self-review finding)."""
+    from tnerf.grid.occupancy import init_occupancy
+
+    cfg = Config().apply_overrides([
+        "grid.resolution=8", "sampler.placement=density_cdf",
+    ])
+    occ0 = init_occupancy(cfg.grid)
+    p0 = renderer_payload(occ0, cfg.sampler, cfg.grid)
+    assert p0.dtype == jnp.float32
+    bits0, dens0 = split_occupancy_payload(p0, cfg.grid)
+    assert bool(jnp.all(bits0)), "dense start must derive all-occupied"
+    assert dens0 is not None
+    # after the first update the payload is the real EMA again — an
+    # all-zero EMA now legitimately derives an empty bitfield
+    occ1 = occ0._replace(step=jnp.int32(1))
+    bits1, _ = split_occupancy_payload(
+        renderer_payload(occ1, cfg.sampler, cfg.grid), cfg.grid
+    )
+    assert not bool(jnp.any(bits1))
+
+
+def test_density_cdf_warmup_gradient_nonzero():
+    """End-to-end repro of the warmup zero-grad bug: grad of the render
+    loss w.r.t. field params through the init-state payload must be
+    nonzero under density_cdf placement (it was exactly 0.0 before the
+    dense-start fix)."""
+    from tnerf.grid.occupancy import init_occupancy
+
+    cfg = Config().apply_overrides([
+        "grid.resolution=8", "sampler.placement=density_cdf",
+        "sampler.samples_per_ray=16", "sampler.cdf_bins=16",
+        "sampler.near=0.05",
+        "field_.hidden_width=16", "field_.hidden_layers=1",
+        "field_.n_frequencies=2",
+    ])
+    field = NeRFField(cfg.field_, cfg.grid)
+    params = field.init(jax.random.PRNGKey(0))
+    rays = _z_rays(8)
+    render = make_grid_renderer(field, cfg.grid, cfg.sampler, cfg.render,
+                                strategy="march", compact=False)
+    payload = renderer_payload(init_occupancy(cfg.grid), cfg.sampler,
+                               cfg.grid)
+
+    def loss(p):
+        return jnp.mean(render(p, rays, None, payload).rgb ** 2)
+
+    g = jax.grad(loss)(params)
+    total = sum(float(jnp.abs(v).sum()) for v in jax.tree.leaves(g))
+    assert total > 0.0

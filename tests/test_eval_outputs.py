@@ -110,13 +110,24 @@ def test_cli_render_channels(tmp_path):
     assert (rdir / "val_000.png").exists()
     assert (rdir / "test_000.png").exists()
 
-    # orbit --gif assembles the turntable frames into an animated GIF
+    # orbit --gif assembles the turntable frames into an animated GIF;
+    # --channels applies to orbit frames too (regression: it used to be
+    # silently ignored on the orbit path)
     odir = tmp_path / "orbit"
     assert main([
-        "render", "--orbit", "3", "--gif", "--out", str(odir), *base,
+        "render", "--orbit", "3", "--gif", "--channels", "rgb,depth",
+        "--out", str(odir), *base,
     ]) == 0
     from PIL import Image
 
     with Image.open(odir / "orbit.gif") as gif:
         assert getattr(gif, "n_frames", 1) == 3
     assert (odir / "orbit_002.png").exists()
+    assert (odir / "orbit_002_depth.png").exists()
+
+    # an invalid channel list fails fast on the orbit path as well
+    assert main([
+        "render", "--orbit", "2", "--channels", "bogus",
+        "--out", str(tmp_path / "o2"), *base,
+    ]) == 1
+    assert not (tmp_path / "o2" / "orbit_000.png").exists()

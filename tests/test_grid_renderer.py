@@ -307,7 +307,7 @@ def test_ray_compact_guard_res_is_pipeline_aware():
     of sampler.tighten_res; march pools at tighten_res but only on the
     kernel-eligible configs; pipelines that never compact get no guard
     (a spurious warning trains users to ignore the real one)."""
-    from tnerf.cli import _ray_compact_guard_res
+    from tnerf.cli import _ray_compact_guard
 
     base = [
         "grid.resolution=64", "render.ray_compact=true",
@@ -317,21 +317,23 @@ def test_ray_compact_guard_res_is_pipeline_aware():
     mk = lambda *ov: Config().apply_overrides(base + list(ov))
 
     # fused: always the kernel's res_c = min(16, res), not tighten_res
-    assert _ray_compact_guard_res(mk("render.pipeline=fused")) == 16
+    assert _ray_compact_guard(mk("render.pipeline=fused")) == (True, 16)
     # fused without tighten never compacts
-    assert _ray_compact_guard_res(
-        mk("render.pipeline=fused", "render.fused_tighten=false")) is None
-    # march on the kernel-eligible config: tighten_res pooling
-    assert _ray_compact_guard_res(mk("render.pipeline=grid_march")) == 32
+    assert _ray_compact_guard(
+        mk("render.pipeline=fused", "render.fused_tighten=false"))[0] is False
+    # march on the kernel-eligible config: eligible, NO pool override —
+    # ray_keep_fraction derives the march pooling and the CDF-fold
+    # probe count itself (an explicit pool_res would suppress both)
+    assert _ray_compact_guard(mk("render.pipeline=grid_march")) == (True, None)
     # march without tighten never takes the compacted path
-    assert _ray_compact_guard_res(
-        mk("render.pipeline=grid_march", "sampler.tighten=false")) is None
+    assert _ray_compact_guard(
+        mk("render.pipeline=grid_march", "sampler.tighten=false"))[0] is False
     # march with a fine tighten_res (kernel ineligible, t_res > 32)
-    assert _ray_compact_guard_res(
-        mk("render.pipeline=grid_march", "sampler.tighten_res=64")) is None
+    assert _ray_compact_guard(
+        mk("render.pipeline=grid_march", "sampler.tighten_res=64"))[0] is False
     # ray_compact off: no guard for any pipeline
-    assert _ray_compact_guard_res(
-        mk("render.pipeline=fused", "render.ray_compact=false")) is None
+    assert _ray_compact_guard(
+        mk("render.pipeline=fused", "render.ray_compact=false"))[0] is False
 
 
 def test_ray_keep_fraction_pool_res_override():
@@ -385,3 +387,67 @@ def test_intervals_rejects_cdf_placement():
     with _pytest.raises(ValueError, match="grid_march pipeline only"):
         make_grid_renderer(field, cfg.grid, cfg.sampler, cfg.render,
                            strategy="intervals")
+
+
+def test_cdf_keep_rule_probes_bin_midpoints():
+    """Under CDF placement the kernel's ray-compaction keep rule probes
+    the cdf_bins midpoints (the positions placement distributes over),
+    not the S sample midpoints: with few samples and a thin occupied
+    slab sitting between consecutive S-probe midpoints, an S-probe keep
+    rule would drop rays the placement would have put supported samples
+    on (regression: round-3 self-review findings 2+3).
+
+    Checks BOTH sides of the shared-semantics contract: the renderer
+    keeps the geometry (non-background pixels survive ray compaction)
+    and the ray_keep_fraction guard mirror reports the same keep rule."""
+    from tnerf.grid.occupancy import OccupancyGridState, renderer_payload
+    from tnerf.render.grid_renderer import ray_keep_fraction
+
+    res = 32
+    base = [
+        f"grid.resolution={res}", "scene.scene_scale=1.0",
+        "sampler.near=0.05", "sampler.tighten=true",
+        "sampler.tighten_res=16", "sampler.occupancy_mask_res=16",
+        # S=4 probes of a [2.0, 4.0] span miss a 1-fine-cell slab;
+        # 64 bins do not
+        "sampler.samples_per_ray=4", "sampler.cdf_bins=64",
+        "field_.hidden_width=16", "field_.hidden_layers=1",
+        "field_.n_frequencies=2",
+        "render.ray_compact=true", "render.ray_compact_fraction=1.0",
+        "render.compact=false",
+    ]
+    # one-fine-cell-thick z-slab at the AABB center: occupies z cell 16
+    # of 32 => pooled 16^3 cell 8; span [-1.5, 1.5] at z in [-0.046, 0)
+    dens = np.zeros((res, res, res), np.float32)
+    dens[:, :, 15] = 50.0
+    occ3 = jnp.asarray(dens > 0.0)
+    rays = Rays(
+        origins=jnp.asarray(np.array([[0.2, 0.1, -3.0]], np.float32)),
+        directions=jnp.asarray(np.array([[0.0, 0.0, 1.0]], np.float32)),
+        viewdirs_tp=viewdirs_to_thetaphi(
+            jnp.asarray(np.array([[0.0, 0.0, 1.0]], np.float32))
+        ),
+    )
+    for placement, payload in (
+        ("occupancy_cdf", occ3),
+        ("density_cdf", jnp.asarray(dens)),
+    ):
+        cfg = Config().apply_overrides(
+            base + [f"sampler.placement={placement}"]
+        )
+        # guard mirror: the single slab-crossing ray must be KEPT
+        kf = ray_keep_fraction(
+            rays,
+            payload if placement == "occupancy_cdf" else occ3,
+            cfg.grid, cfg.sampler,
+        )
+        assert kf == 1.0, (placement, kf)
+        # renderer: the compacted render of the same ray must see the
+        # slab (nonzero opacity), not drop it to background
+        field = NeRFField(cfg.field_, cfg.grid)
+        params = field.init(jax.random.PRNGKey(0))
+        render = make_grid_renderer(
+            field, cfg.grid, cfg.sampler, cfg.render, strategy="march",
+        )
+        acc = float(render(params, rays, None, payload).acc[0])
+        assert acc > 0.0, (placement, acc)

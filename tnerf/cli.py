@@ -31,24 +31,29 @@ def _load_cfg(args) -> Config:
     return cfg
 
 
-def _ray_compact_guard_res(cfg: Config):
-    """Pooling resolution the capacity guard must probe at, or None when
-    the configured pipeline never takes the ray-compacted path.
+def _ray_compact_guard(cfg: Config):
+    """(eligible, pool_res_override) for the ray-compaction capacity
+    guard; eligible=False when the configured pipeline never takes the
+    ray-compacted path.
 
     The keep rule is PIPELINE-specific: the fused renderer pools at
-    min(16, res) (pallas_fused2 res_c) whenever tighten is on; the march
-    renderer pools at sampler.tighten_res but only compacts on the
-    kernel-eligible configs (eval-time tighten with t_res <= 32 and a
-    mask resolution no coarser — grid_renderer use_kernel).  Guarding
-    with the wrong pooling either misses real over-capacity drops or
-    warns for a path that never runs."""
+    min(16, res) (pallas_fused2 res_c) whenever tighten is on — the
+    override tells ray_keep_fraction to use that pooling.  The march
+    renderer only compacts on the kernel-eligible configs (eval-time
+    tighten with t_res <= 32 and a mask resolution no coarser —
+    grid_renderer use_kernel); there the override stays None so
+    ray_keep_fraction derives the march pooling AND the CDF-fold probe
+    count itself (passing an explicit pool_res would suppress its
+    cdf_bins keep-rule mirror).  Guarding with the wrong pooling either
+    misses real over-capacity drops or warns for a path that never
+    runs."""
     if not cfg.render.ray_compact:
-        return None
+        return False, None
     res = cfg.grid.resolution
     t_res = min(cfg.sampler.tighten_res or res, res)
     m_res = min(cfg.sampler.occupancy_mask_res or res, res)
     if cfg.render.pipeline == "fused" and cfg.render.fused_tighten:
-        return min(16, res)
+        return True, min(16, res)
     if (
         cfg.render.pipeline == "grid_march"
         and cfg.sampler.tighten
@@ -56,8 +61,8 @@ def _ray_compact_guard_res(cfg: Config):
         and t_res < res
         and t_res <= 32
     ):
-        return t_res
-    return None
+        return True, None
+    return False, None
 
 
 def main(argv=None) -> int:
@@ -176,7 +181,7 @@ def main(argv=None) -> int:
     # `bits` (bool) feeds the capacity guards; `payload` is what the
     # renderers consume (density EMA under density_cdf placement).
     bits = occ.bitfield if occ is not None else None
-    payload = renderer_payload(occ, cfg.sampler)
+    payload = renderer_payload(occ, cfg.sampler, cfg.grid)
     validate_scene_background(cfg.scene.kind, cfg.scene.name, cfg.scene.white_background)
     datasets = load_data(
         cfg.scene.kind, cfg.scene.name, root=cfg.scene.root,
@@ -191,8 +196,9 @@ def main(argv=None) -> int:
     # (pallas_fused2 res_c); march pools at sampler.tighten_res but
     # only takes the compacted path on the kernel-eligible configs —
     # for anything else the renderer never compacts, so no guard.
-    guard_res = (
-        _ray_compact_guard_res(cfg) if bits is not None and step > 0 else None
+    guard_on, guard_pool = (
+        _ray_compact_guard(cfg) if bits is not None and step > 0
+        else (False, None)
     )
     cdf_guard = (
         bits is not None
@@ -201,7 +207,7 @@ def main(argv=None) -> int:
         and cfg.render.compact
         and cfg.render.pipeline == "grid_march"
     )
-    if guard_res is not None or cdf_guard:
+    if guard_on or cdf_guard:
         from tnerf.cameras import camera_rays
 
         ds0 = next(iter(datasets.values()))
@@ -210,11 +216,11 @@ def main(argv=None) -> int:
             ds0.focal, cfg.scene.scene_scale,
         )
     kf = 1.0
-    if guard_res is not None:
+    if guard_on:
         from tnerf.render.grid_renderer import ray_keep_fraction
 
         kf = ray_keep_fraction(
-            probe_rays, bits, cfg.grid, cfg.sampler, pool_res=guard_res
+            probe_rays, bits, cfg.grid, cfg.sampler, pool_res=guard_pool
         )
         if kf > cfg.render.ray_compact_fraction:
             print(
@@ -234,7 +240,7 @@ def main(argv=None) -> int:
         sf = float(cdf_occupied_sample_fraction(
             probe_rays, payload, cfg.grid, cfg.sampler
         ))
-        needed = sf / max(kf, 1e-6) if guard_res is not None else sf
+        needed = sf / max(kf, 1e-6) if guard_on else sf
         if needed > cfg.render.compact_fraction:
             print(
                 f"WARNING: occupancy-CDF occupied-sample fraction "
@@ -257,8 +263,26 @@ def main(argv=None) -> int:
 
     if args.cmd == "render":
         from tnerf.data.png_io import write_png
+        from tnerf.eval import acc_image, depth_image
 
         ds = datasets[args.split]
+        # --channels applies to BOTH the dataset-pose and --orbit paths;
+        # validate before either branch so a typo never exits 0 with
+        # silently-wrong output.
+        channels = [c.strip() for c in args.channels.split(",") if c.strip()]
+        bad = [c for c in channels if c not in ("rgb", "depth", "acc")]
+        if bad or not channels:
+            print(f"error: unknown --channels {bad or args.channels!r} "
+                  "(choose from rgb, depth, acc)", file=sys.stderr)
+            return 1
+
+        def channel_image(res, ch):
+            return {
+                "rgb": lambda: res.rgb,
+                "depth": lambda: depth_image(res.depth, res.acc),
+                "acc": lambda: acc_image(res.acc),
+            }[ch]()
+
         if args.orbit > 0:
             import numpy as np
 
@@ -280,7 +304,7 @@ def main(argv=None) -> int:
                 ).mean())
             )
             os.makedirs(args.out, exist_ok=True)
-            frames = []
+            frames = {ch: [] for ch in channels}
             for pose in orbit_poses(args.orbit, radius, elev):
                 rays = camera_rays(
                     jax.numpy.asarray(pose), ds.width, ds.height, ds.focal,
@@ -291,21 +315,31 @@ def main(argv=None) -> int:
                     chunk_size=cfg.render.chunk_size, occupancy=payload,
                     mesh=mesh,
                 )
-                frames.append(np.asarray(jax.device_get(res.rgb)))
-            paths = [
-                os.path.join(args.out, f"orbit_{i:03d}.png")
-                for i in range(args.orbit)
-            ]
-            write_png_batch(paths, np.stack(frames))
-            print(f"wrote {args.orbit} orbit frames to {args.out}/")
+                res = jax.device_get(res)
+                for ch in channels:
+                    frames[ch].append(np.asarray(channel_image(res, ch)))
+            for ch in channels:
+                # rgb keeps the bare orbit_###.png names; extra channels
+                # get a suffix, mirroring the dataset-pose naming
+                suffix = "" if ch == "rgb" or len(channels) == 1 else f"_{ch}"
+                paths = [
+                    os.path.join(args.out, f"orbit_{i:03d}{suffix}.png")
+                    for i in range(args.orbit)
+                ]
+                write_png_batch(paths, np.stack(frames[ch]))
+            print(f"wrote {args.orbit} orbit frames "
+                  f"({','.join(channels)}) to {args.out}/")
             if args.gif:
                 from PIL import Image
 
+                # the turntable gif animates rgb when requested, else
+                # the first listed channel
+                gif_ch = "rgb" if "rgb" in channels else channels[0]
                 u8 = [
                     Image.fromarray(
                         (np.clip(f, 0.0, 1.0) * 255.0 + 0.5).astype(np.uint8)
                     )
-                    for f in frames
+                    for f in frames[gif_ch]
                 ]
                 gif = os.path.join(args.out, "orbit.gif")
                 u8[0].save(
@@ -314,25 +348,15 @@ def main(argv=None) -> int:
                 )
                 print(f"wrote {gif}")
             return 0
-        from tnerf.eval import acc_image, depth_image, render_dataset_view_result
+        from tnerf.eval import render_dataset_view_result
 
-        channels = [c.strip() for c in args.channels.split(",") if c.strip()]
-        bad = [c for c in channels if c not in ("rgb", "depth", "acc")]
-        if bad or not channels:
-            print(f"error: unknown --channels {bad or args.channels!r} "
-                  "(choose from rgb, depth, acc)", file=sys.stderr)
-            return 1
         res = render_dataset_view_result(
             renderer, state.params, ds, args.pose_index, cfg.scene.scene_scale,
             chunk_size=cfg.render.chunk_size, occupancy=payload, mesh=mesh,
         )
         base, ext = os.path.splitext(args.out)
         for ch in channels:
-            img = {
-                "rgb": lambda: res.rgb,
-                "depth": lambda: depth_image(res.depth, res.acc),
-                "acc": lambda: acc_image(res.acc),
-            }[ch]()
+            img = channel_image(res, ch)
             path = (
                 args.out
                 if ch == "rgb" or len(channels) == 1
@@ -401,7 +425,11 @@ def _run_suite(cfg, scenes) -> int:
     a summary table (BASELINE config 4)."""
     import os
 
-    from tnerf.data.dataset import load_data, validate_scene_background
+    from tnerf.data.dataset import (
+        load_data,
+        scene_proc_kwargs,
+        validate_scene_background,
+    )
     from tnerf.eval import evaluate
     from tnerf.grid.occupancy import init_occupancy, renderer_payload
     from tnerf.train import create_optimizer, init_train_state
@@ -420,6 +448,7 @@ def _run_suite(cfg, scenes) -> int:
                 scfg.scene.kind, scene, root=scfg.scene.root,
                 srgb_to_linear=scfg.scene.srgb_to_linear,
                 downscale=scfg.scene.downscale, splits=("test",),
+                proc=scene_proc_kwargs(scfg.scene),
             )
         except (FileNotFoundError, ValueError) as e:
             print(f"{scene}: SKIP (no data: {e})", file=sys.stderr)
@@ -435,7 +464,7 @@ def _run_suite(cfg, scenes) -> int:
         if err:
             print(f"{scene}: SKIP ({err})", file=sys.stderr)
             continue
-        payload = renderer_payload(occ, scfg.sampler)
+        payload = renderer_payload(occ, scfg.sampler, scfg.grid)
         results[scene] = evaluate(
             renderer, state.params, datasets["test"], scfg.scene.scene_scale,
             white_background=scfg.scene.white_background,

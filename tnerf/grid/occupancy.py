@@ -84,17 +84,28 @@ def occupancy_fraction(state: OccupancyGridState) -> jnp.ndarray:
     return jnp.mean(state.bitfield.astype(jnp.float32))
 
 
-def renderer_payload(state, sampler_cfg):
+def renderer_payload(state, sampler_cfg, grid_cfg):
     """The `occupancy=` argument for renderers built by this config.
 
     Renderers dispatch on dtype: a bool payload is the bitfield; an f32
     payload is the density EMA, from which they derive the bitfield
-    (bits = ema > grid.density_threshold, the exact update_occupancy
-    rule) AND the per-bin weights for density-weighted CDF placement
+    (bits = ema > grid.density_threshold, the update_occupancy rule) AND
+    the per-bin weights for density-weighted CDF placement
     (`sampler.placement="density_cdf"`).  Checkpoints already carry the
-    EMA, so restored runs get the same payload either way."""
+    EMA, so restored runs get the same payload either way.
+
+    Dense start: before the first occupancy update (state.step == 0) the
+    bitfield is all-ones but the EMA is all-zero — deriving bits from the
+    raw EMA would mask EVERY sample and zero the training gradient for
+    the whole grid.warmup_steps window.  The f32 payload therefore
+    substitutes a constant density strictly above the threshold until the
+    first update: bits derive to all-occupied, and constant weights make
+    density_cdf placement near-uniform — the same dense-start semantics
+    the bool payload has.  (jnp.where keeps the payload dtype static so
+    the jitted train step never retraces at the warmup boundary.)"""
     if state is None:
         return None
     if sampler_cfg.placement == "density_cdf":
-        return state.density_ema
+        fill = jnp.float32(2.0 * grid_cfg.density_threshold + 1.0)
+        return jnp.where(state.step > 0, state.density_ema, fill)
     return state.bitfield

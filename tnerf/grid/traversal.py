@@ -427,6 +427,29 @@ def make_coarse_density(density: jnp.ndarray, factor: int) -> jnp.ndarray:
     return density.reshape(c, factor, c, factor, c, factor).max(axis=(1, 3, 5))
 
 
+def cell_flat_index(
+    positions: jnp.ndarray,
+    res: int,
+    grid: GridConfig,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """(inside, flat_index) nearest-cell arithmetic: [..., 3] ->
+    ([...] bool, [...] i32 in [0, res^3)).
+
+    The ONE definition of the floor/clip/flatten cell test shared by
+    every lookup flavor (occupancy/density x gather/one-hot-matmul), so
+    the documented bit-exact agreement between the flavors cannot drift:
+    any change to the boundary or clip rule lands in all of them at
+    once.  Out-of-AABB positions clip to the nearest cell; callers mask
+    with `inside`."""
+    lo = jnp.asarray(grid.aabb_min, jnp.float32)
+    hi = jnp.asarray(grid.aabb_max, jnp.float32)
+    ijk = jnp.floor((positions - lo) / ((hi - lo) / res)).astype(jnp.int32)
+    inside = jnp.all((ijk >= 0) & (ijk < res), axis=-1)
+    ijk = jnp.clip(ijk, 0, res - 1)
+    flat = (ijk[..., 0] * res + ijk[..., 1]) * res + ijk[..., 2]
+    return inside, flat
+
+
 def density_lookup(
     positions: jnp.ndarray,
     density: jnp.ndarray,
@@ -440,12 +463,7 @@ def density_lookup(
     run per-BIN (P per ray, not per sample), the same count the
     occupancy_cdf probes already pay."""
     res = density.shape[0] if density.ndim == 3 else grid.resolution
-    lo = jnp.asarray(grid.aabb_min, jnp.float32)
-    hi = jnp.asarray(grid.aabb_max, jnp.float32)
-    ijk = jnp.floor((positions - lo) / ((hi - lo) / res)).astype(jnp.int32)
-    inside = jnp.all((ijk >= 0) & (ijk < res), axis=-1)
-    ijk = jnp.clip(ijk, 0, res - 1)
-    flat = (ijk[..., 0] * res + ijk[..., 1]) * res + ijk[..., 2]
+    inside, flat = cell_flat_index(positions, res, grid)
     vals = jnp.asarray(density).reshape(-1)[flat].astype(jnp.float32)
     return jnp.where(inside, vals, 0.0)
 
@@ -467,8 +485,6 @@ def density_lookup_matmul(
     Bit-exact vs density_lookup (same floor/clip cell arithmetic)."""
     res = density.shape[0] if density.ndim == 3 else grid.resolution
     n = res ** 3
-    lo = jnp.asarray(grid.aabb_min, jnp.float32)
-    hi = jnp.asarray(grid.aabb_max, jnp.float32)
 
     vals = jnp.asarray(density).reshape(-1).astype(jnp.float32)
     rows = max(1, -(-n // 128))
@@ -485,10 +501,7 @@ def density_lookup_matmul(
     p = jnp.pad(p, ((0, pad), (0, 0)))
 
     def lookup_chunk(pc):  # [C, 3] -> [C] f32
-        ijk = jnp.floor((pc - lo) / ((hi - lo) / res)).astype(jnp.int32)
-        inside = jnp.all((ijk >= 0) & (ijk < res), axis=-1)
-        ijk = jnp.clip(ijk, 0, res - 1)
-        flat = (ijk[..., 0] * res + ijk[..., 1]) * res + ijk[..., 2]
+        inside, flat = cell_flat_index(pc, res, grid)
         row = flat >> 7
         oh_row = (row[:, None] == iota_rows).astype(jnp.float32)
         m = jax.lax.dot_general(
@@ -536,12 +549,7 @@ def occupancy_lookup(
     cubic 3-D (so max-pooled coarse grids work directly); flat bitfields
     use grid.resolution."""
     res = occupancy.shape[0] if occupancy.ndim == 3 else grid.resolution
-    lo = jnp.asarray(grid.aabb_min, jnp.float32)
-    hi = jnp.asarray(grid.aabb_max, jnp.float32)
-    ijk = jnp.floor((positions - lo) / ((hi - lo) / res)).astype(jnp.int32)
-    inside = jnp.all((ijk >= 0) & (ijk < res), axis=-1)
-    ijk = jnp.clip(ijk, 0, res - 1)
-    flat = (ijk[..., 0] * res + ijk[..., 1]) * res + ijk[..., 2]
+    inside, flat = cell_flat_index(positions, res, grid)
     # jnp.asarray: a host-numpy occupancy (e.g. straight from a restored
     # checkpoint) would otherwise call numpy __array__ on traced indices.
     return inside & jnp.asarray(occupancy).reshape(-1)[flat]
@@ -572,8 +580,6 @@ def occupancy_lookup_matmul(
     """
     res = occupancy.shape[0] if occupancy.ndim == 3 else grid.resolution
     n = res ** 3
-    lo = jnp.asarray(grid.aabb_min, jnp.float32)
-    hi = jnp.asarray(grid.aabb_max, jnp.float32)
 
     occ_flat = jnp.asarray(occupancy).reshape(-1)
     n_bytes = -(-n // 8)
@@ -598,10 +604,7 @@ def occupancy_lookup_matmul(
     p = jnp.pad(p, ((0, pad), (0, 0)))
 
     def lookup_chunk(pc):  # [C, 3] -> [C] bool
-        ijk = jnp.floor((pc - lo) / ((hi - lo) / res)).astype(jnp.int32)
-        inside = jnp.all((ijk >= 0) & (ijk < res), axis=-1)
-        ijk = jnp.clip(ijk, 0, res - 1)
-        flat = (ijk[..., 0] * res + ijk[..., 1]) * res + ijk[..., 2]
+        inside, flat = cell_flat_index(pc, res, grid)
         byte_idx = flat >> 3
         row = byte_idx >> 9
         col = byte_idx & 511

@@ -182,19 +182,25 @@ def ray_keep_fraction(
     t_res = min(pool_res or sampler_cfg.tighten_res or res, res)
     m_res = min(sampler_cfg.occupancy_mask_res or res, res)
     occ_t = occ3 if t_res == res else make_coarse_occupancy(occ3, res // t_res)
-    # CDF-folded kernel configs (see make_grid_renderer fold_cdf) probe
-    # cdf_bins bin midpoints instead of samples_per_ray — mirror that so
-    # the guard tests the keep rule that actually runs.  pool_res is a
-    # FUSED-pipeline override; the fold never applies there.
-    folds = (
+    # CDF-placement kernel configs (see make_grid_renderer kernel_n)
+    # probe cdf_bins bin midpoints instead of samples_per_ray — mirror
+    # that so the guard tests the keep rule that actually runs.
+    # pool_res is the FUSED-pipeline override (fused callers pass
+    # min(16, res)); march callers MUST leave it None so this mirror
+    # stays in charge of the march pooling and probe count.
+    kernel_probes = (
         pool_res is None
-        and sampler_cfg.placement == "occupancy_cdf"
         and sampler_cfg.tighten
-        and m_res == t_res
+        and m_res >= t_res
         and t_res < res
         and t_res <= 32
     )
-    n_mid = sampler_cfg.cdf_bins if folds else sampler_cfg.samples_per_ray
+    n_mid = (
+        sampler_cfg.cdf_bins
+        if kernel_probes
+        and sampler_cfg.placement in ("occupancy_cdf", "density_cdf")
+        else sampler_cfg.samples_per_ray
+    )
     o = rays.origins.reshape(-1, 3)
     d = rays.directions.reshape(-1, 3)
     te, tx = ray_aabb(o, d, grid_cfg.aabb_min, grid_cfg.aabb_max)
@@ -519,7 +525,16 @@ def make_grid_renderer(
                 and m_res == t_res
                 and sampler_cfg.placement == "occupancy_cdf"
             )
-            kernel_n = sampler_cfg.cdf_bins if fold_cdf else S
+            # Under ANY CDF placement the kernel probes the cdf_bins
+            # midpoints, not the S sample midpoints: the ray-compaction
+            # keep rule (any occupied probe) must cover the positions the
+            # placement distributes over, or a ray whose only occupied
+            # pooled cells fall between S-probe midpoints is dropped to
+            # background while the placement would have put supported
+            # samples on it.  The pooled t_res bits are a superset of the
+            # m_res support at the same probe positions, so keep=False
+            # still implies every placed sample would be masked.
+            kernel_n = sampler_cfg.cdf_bins if (use_kernel and use_cdf) else S
             if use_kernel:
                 kernel = lambda o_, d_, te_, tx_: tighten_sample_mask_pallas(
                     o_, d_, te_, tx_,

@@ -358,7 +358,7 @@ def run_training(
                     batch = sampler.sample(k_batch, rays_per_step)
                 if mesh is not None:
                     batch = shard_batch(batch, mesh, cfg.parallel.axis_name)
-                bits = renderer_payload(occ, cfg.sampler)
+                bits = renderer_payload(occ, cfg.sampler, cfg.grid)
                 step_args = (state, batch, k_render) + ((bits,) if use_grid else ())
                 state, aux = train_step(*step_args)
                 if (
@@ -369,7 +369,7 @@ def run_training(
                     occ = update_occ(occ, state.params, k_occ)
                     occ_frac_host = float(occupancy_fraction(occ))
                     switch_frac_host = (
-                        float(cdf_frac_fn(batch.rays, renderer_payload(occ, cfg.sampler)))
+                        float(cdf_frac_fn(batch.rays, renderer_payload(occ, cfg.sampler, cfg.grid)))
                         if cdf_frac_fn is not None
                         else occ_frac_host
                     )
@@ -439,7 +439,7 @@ def run_training(
 def _eval(cfg, renderer, state, occ, datasets, step, log, metrics,
           save_images=False, mesh=None):
     out: Dict[str, float] = {}
-    bits = renderer_payload(occ, cfg.sampler)
+    bits = renderer_payload(occ, cfg.sampler, cfg.grid)
     for split in ("val", "test"):
         if split not in datasets or len(datasets[split]) == 0:
             continue

@@ -36,7 +36,7 @@ def main(argv=None) -> int:
 
     from tnerf.cli import _restore_state
     from tnerf.config import Config
-    from tnerf.data.dataset import load_data
+    from tnerf.data.dataset import load_data, scene_proc_kwargs
     from tnerf.eval import evaluate
     from tnerf.grid.occupancy import init_occupancy, renderer_payload
     from tnerf.train import create_optimizer, init_train_state
@@ -46,6 +46,7 @@ def main(argv=None) -> int:
     datasets = load_data(
         cfg.scene.kind, cfg.scene.name, root=cfg.scene.root,
         srgb_to_linear=cfg.scene.srgb_to_linear, downscale=cfg.scene.downscale,
+        proc=scene_proc_kwargs(cfg.scene),
     )
     test = datasets["test"]
 
@@ -71,7 +72,7 @@ def main(argv=None) -> int:
             white_background=c.scene.white_background,
             max_views=args.max_views,
             chunk_size=c.render.chunk_size,
-            occupancy=renderer_payload(occ, c.sampler),
+            occupancy=renderer_payload(occ, c.sampler, c.grid),
         )
         out[tag] = {k: round(v, 4) for k, v in m.items()}
         out[f"{tag}_step"] = step
