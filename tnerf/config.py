@@ -287,6 +287,17 @@ class TrainConfig:
     eps: float = 1e-8
     # Exponential LR decay to this fraction of lr over `steps` (1.0 = off).
     lr_final_fraction: float = 1.0
+    # Linear LR warmup from 0 over this many steps, then the configured
+    # schedule (0 = off).  Stabilizes the first Adam updates at large
+    # batch sizes / aggressive lr.
+    lr_warmup_steps: int = 0
+    # Accumulate gradients over k loop steps before one optimizer update
+    # (optax.MultiSteps, grad mean): effective batch = k * batch_size at
+    # the activation memory of one microbatch.  LR-schedule knobs stay in
+    # units of loop steps (lengths are divided by k internally).  Note
+    # the optimizer state gains accumulation buffers, so checkpoints are
+    # only restorable under the same setting.
+    grad_accum_steps: int = 1
     weight_decay: float = 0.0
     seed: int = 1337
     # Ray batching: "random" = iid with replacement; "epoch" = device-side
@@ -294,6 +305,11 @@ class TrainConfig:
     # shuffle, main.cu:615, minus its D11 ragged-batch overrun).
     shuffle: str = "random"
     eval_every: int = 500
+    # Additionally keep the best checkpoint by eval PSNR (psnr_val when a
+    # val split exists, else psnr_test) under <out_dir>/checkpoints_best.
+    # Saved only when a periodic or final eval improves on the best so
+    # far; restore with `--checkpoint <out_dir>/checkpoints_best`.
+    keep_best: bool = False
     checkpoint_every: int = 1000
     checkpoint_dir: str = "./checkpoints"
     resume: bool = False

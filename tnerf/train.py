@@ -47,21 +47,42 @@ class RayBatch(NamedTuple):
 
 
 def create_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
-    """Adam with optional exponential LR decay and non-finite protection."""
+    """Adam/AdamW with optional linear LR warmup, exponential decay,
+    gradient accumulation and non-finite protection.
+
+    Schedule knobs are expressed in LOOP steps; with grad_accum_steps=k
+    the inner optimizer only updates every k-th loop step, so schedule
+    lengths are divided by k to keep the warmup/decay endpoints where
+    the user put them.  apply_if_finite wraps OUTSIDE the accumulation:
+    a non-finite microbatch is skipped entirely instead of poisoning the
+    whole accumulation window."""
+    accum = max(cfg.grad_accum_steps, 1)
+    updates_total = max(cfg.steps // accum, 1)
+    warmup_updates = cfg.lr_warmup_steps // accum
     if cfg.lr_final_fraction != 1.0:
         schedule = optax.exponential_decay(
             init_value=cfg.lr,
-            transition_steps=max(cfg.steps, 1),
+            transition_steps=max(updates_total - warmup_updates, 1),
             decay_rate=cfg.lr_final_fraction,
         )
     else:
-        schedule = cfg.lr
-    opt = optax.adam(schedule, b1=cfg.beta1, b2=cfg.beta2, eps=cfg.eps)
+        schedule = optax.constant_schedule(cfg.lr)
+    if warmup_updates > 0:
+        schedule = optax.join_schedules(
+            [optax.linear_schedule(0.0, cfg.lr, warmup_updates), schedule],
+            [warmup_updates],
+        )
     if cfg.weight_decay > 0.0:
         opt = optax.adamw(
             schedule, b1=cfg.beta1, b2=cfg.beta2, eps=cfg.eps,
             weight_decay=cfg.weight_decay,
         )
+    else:
+        opt = optax.adam(schedule, b1=cfg.beta1, b2=cfg.beta2, eps=cfg.eps)
+    if accum > 1:
+        opt = optax.MultiSteps(
+            opt, every_k_schedule=accum
+        ).gradient_transformation()
     if cfg.skip_nonfinite:
         opt = optax.apply_if_finite(opt, max_consecutive_errors=1000)
     return opt

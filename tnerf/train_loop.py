@@ -341,6 +341,7 @@ def run_training(
             occ = replicate(occ, mesh)
     rays_per_step = cfg.train.batch_size
     final_metrics: Dict[str, float] = {}
+    best_psnr = -np.inf  # train.keep_best tracker
     with maybe_profile(cfg.logging.profile, os.path.join(out_dir, "profile")):
         n_pixels = len(train_ds) * train_ds.height * train_ds.width
         steps_per_epoch = max(1, n_pixels // rays_per_step)
@@ -405,9 +406,11 @@ def run_training(
                 log.warning("non-finite loss at step %d (update was skipped)", step)
 
             if cfg.train.eval_every and (step + 1) % cfg.train.eval_every == 0:
-                final_metrics.update(
-                    _eval(cfg, renderer, state, occ, datasets, step, log, metrics,
-                          mesh=eval_mesh)
+                em = _eval(cfg, renderer, state, occ, datasets, step, log,
+                           metrics, mesh=eval_mesh)
+                final_metrics.update(em)
+                best_psnr = _maybe_keep_best(
+                    cfg, em, state, occ, step + 1, best_psnr, log, metrics
                 )
 
             if cfg.train.checkpoint_every and (step + 1) % cfg.train.checkpoint_every == 0:
@@ -416,9 +419,11 @@ def run_training(
 
     payload = (state, occ) if occ is not None else state
     save_checkpoint(ckpt_dir, cfg.train.steps, payload)
-    final_metrics.update(
-        _eval(cfg, renderer, state, occ, datasets, cfg.train.steps, log, metrics,
-              save_images=True, mesh=eval_mesh)
+    em = _eval(cfg, renderer, state, occ, datasets, cfg.train.steps, log,
+               metrics, save_images=True, mesh=eval_mesh)
+    final_metrics.update(em)
+    _maybe_keep_best(
+        cfg, em, state, occ, cfg.train.steps, best_psnr, log, metrics
     )
     metrics.close()
     # Acceptance gate on the WORST final test view (checkpoint/metrics
@@ -434,6 +439,25 @@ def run_training(
                 f"{final_metrics.get('psnr_test', float('nan')):.2f})"
             )
     return final_metrics
+
+
+def _maybe_keep_best(cfg, eval_metrics, state, occ, step, best, log, metrics):
+    """train.keep_best: save <out_dir>/checkpoints_best when this eval's
+    PSNR (val split when present, else test) improves on the best so
+    far.  Returns the new best.  Each improvement writes a higher
+    step_N.npz, so latest_checkpoint on the best dir is always the best
+    checkpoint."""
+    if not cfg.train.keep_best:
+        return best
+    v = eval_metrics.get("psnr_val", eval_metrics.get("psnr_test"))
+    if v is None or not np.isfinite(v) or v <= best:
+        return best
+    bdir = os.path.join(cfg.logging.out_dir, "checkpoints_best")
+    payload = (state, occ) if occ is not None else state
+    save_checkpoint(bdir, step, payload)
+    metrics.write(step - 1, best_psnr=float(v), best_step=step)
+    log.info("new best checkpoint: step %d (%.2f dB) -> %s", step, v, bdir)
+    return v
 
 
 def _eval(cfg, renderer, state, occ, datasets, step, log, metrics,
