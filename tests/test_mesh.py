@@ -95,3 +95,133 @@ def test_mesh_occupancy_drives_traversal():
     # ray enters the cube at x=-0.5 (t=1.5) and exits at +0.5 (t=2.5)
     assert abs(ts.min() - 1.5) < 0.13  # within one cell
     assert abs(te.max() - 2.5) < 0.13
+
+
+def _write_cube_obj(path, verts=None):
+    verts = CUBE_VERTS if verts is None else verts
+    with open(path, "w") as fh:
+        for v in verts:
+            fh.write(f"v {v[0]} {v[1]} {v[2]}\n")
+        for f in CUBE_FACES:
+            fh.write(f"f {f[0]+1} {f[1]+1} {f[2]+1}\n")
+
+
+def test_dilate_grows_by_one_cell():
+    from tnerf.grid.mesh import dilate
+
+    occ = np.zeros((8, 8, 8), bool)
+    occ[4, 4, 4] = True
+    d1 = dilate(occ, 1)
+    assert d1.sum() == 7  # center + 6 face neighbors
+    assert dilate(occ, 0).sum() == 1
+
+
+def test_mesh_occupancy_mask_from_config(tmp_path):
+    """grid.mesh_path -> static mask: OBJ dispatch, solid fill, dilation,
+    and the empty-voxelization error."""
+    import dataclasses
+
+    from tnerf.grid.mesh import mesh_occupancy_mask
+
+    p = tmp_path / "cube.obj"
+    _write_cube_obj(p)
+    grid = GridConfig(resolution=16, mesh_path=str(p), mesh_dilate=0)
+    mask = mesh_occupancy_mask(grid)
+    # solid unit cube spans cells 4..11 of 16 over [-1,1]
+    assert mask.shape == (16, 16, 16)
+    frac = mask.mean()
+    assert 0.10 < frac < 0.25  # ~ (8/16)^3 = 0.125 + shell conservatism
+    dil = mesh_occupancy_mask(dataclasses.replace(grid, mesh_dilate=1))
+    assert dil.sum() > mask.sum()
+    assert (dil | mask).sum() == dil.sum()  # superset
+    shell = mesh_occupancy_mask(dataclasses.replace(grid, mesh_solid=False))
+    assert 0 < shell.sum() < mask.sum()
+    # no mesh -> no mask
+    assert mesh_occupancy_mask(GridConfig(resolution=16)) is None
+    # mesh outside the AABB -> explicit error
+    far = tmp_path / "far.obj"
+    _write_cube_obj(far, CUBE_VERTS + 10.0)
+    with pytest.raises(ValueError, match="empty"):
+        mesh_occupancy_mask(
+            dataclasses.replace(grid, mesh_path=str(far))
+        )
+
+
+def test_update_occupancy_respects_mask():
+    """With a static mask, neither the bitfield nor the EMA can escape
+    it, no matter how much density blooms outside — and the density_cdf
+    payload derives the same masked bits at the dense start."""
+    import jax
+    import jax.numpy as jnp
+
+    from tnerf.config import Config
+    from tnerf.grid.occupancy import (
+        init_occupancy,
+        renderer_payload,
+        update_occupancy,
+    )
+    from tnerf.render.grid_renderer import split_occupancy_payload
+
+    grid = GridConfig(resolution=8)
+    mask = np.zeros((8, 8, 8), bool)
+    mask[2:6, 2:6, 2:6] = True
+    occ0 = init_occupancy(grid, mask)
+    np.testing.assert_array_equal(np.asarray(occ0.bitfield), mask)
+    # dense-start density_cdf payload derives the masked bits
+    cfg = Config().apply_overrides([
+        "grid.resolution=8", "sampler.placement=density_cdf",
+    ])
+    bits0, _ = split_occupancy_payload(
+        renderer_payload(occ0, cfg.sampler, grid), grid
+    )
+    np.testing.assert_array_equal(np.asarray(bits0), mask)
+    # density high EVERYWHERE: update must stay inside the mask
+    occ1 = update_occupancy(
+        occ0, lambda x: jnp.full(x.shape[:-1], 100.0), grid,
+        jax.random.PRNGKey(0), mask=mask,
+    )
+    np.testing.assert_array_equal(np.asarray(occ1.bitfield), mask)
+    assert float(jnp.abs(jnp.where(jnp.asarray(mask), 0.0,
+                                   occ1.density_ema)).max()) == 0.0
+
+
+def test_run_training_mesh_bounded(tmp_path):
+    """End-to-end: grid.mesh_path bounds a training run — finite PSNR,
+    and the final checkpointed bitfield is a subset of the mask."""
+    from tnerf.config import Config
+    from tnerf.data.procedural import generate_procedural_scene
+    from tnerf.train_loop import run_training
+    from tnerf.utils.checkpoint import latest_checkpoint
+
+    p = tmp_path / "bound.obj"
+    # a big cube bounding the whole procedural scene content
+    _write_cube_obj(p, CUBE_VERTS * 1.9)
+    scene = generate_procedural_scene(
+        width=24, height=24, n_train=3, n_val=0, n_test=1, n_samples=64
+    )
+    out = tmp_path / "run"
+    cfg = Config().apply_overrides([
+        "scene.kind=procedural", "scene.scene_scale=1.0",
+        "render.pipeline=grid_march",
+        "sampler.samples_per_ray=16", "sampler.near=2.0", "sampler.far=5.5",
+        "field_.hidden_width=16", "field_.hidden_layers=1",
+        "field_.n_frequencies=2",
+        "grid.resolution=8", "grid.warmup_steps=5", "grid.update_every=5",
+        f"grid.mesh_path={p}", "grid.mesh_dilate=0",
+        "train.batch_size=128", "train.steps=16", "train.eval_every=0",
+        "train.checkpoint_every=0", "train.log_every=8",
+        f"logging.out_dir={out}", "render.chunk_size=576",
+    ])
+    m = run_training(cfg, datasets=scene)
+    assert np.isfinite(m["psnr_test"])
+    from tnerf.grid.mesh import mesh_occupancy_mask
+
+    mask = mesh_occupancy_mask(cfg.grid)
+    found = latest_checkpoint(str(out / "checkpoints"))
+    assert found is not None
+    with np.load(found[1]) as data:
+        arrs = [data[k] for k in data.files]
+    bitfields = [
+        a for a in arrs if a.dtype == bool and a.shape == (8, 8, 8)
+    ]
+    assert bitfields and all((b & ~mask).sum() == 0 for b in bitfields)

@@ -90,6 +90,17 @@ class GridConfig:
     warmup_steps: int = 256
     density_threshold: float = 0.01
     ema_decay: float = 0.95
+    # Mesh-bounded scenes (the capability behind the reference's dead
+    # triangle-GAS path, rtxFunctions.cpp:354-452 + volume_reader.h:37-84):
+    # path to a .obj triangle mesh or a reference-format tet file.  The
+    # mesh voxelizes into a STATIC occupancy mask — marching starts from
+    # it instead of the dense all-ones grid, and density-driven updates
+    # prune within it but can never escape it.  "" = unbounded (default).
+    mesh_path: str = ""
+    # Fill the mesh interior (solid bound) vs keep only the surface shell.
+    mesh_solid: bool = True
+    # Conservative dilation of the voxelized mask, in cells.
+    mesh_dilate: int = 1
 
     @property
     def effective_max_hits(self) -> int:

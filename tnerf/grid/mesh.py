@@ -144,3 +144,48 @@ def occupancy_from_mesh(
 ) -> np.ndarray:
     shell = voxelize_triangles(vertices, faces, grid)
     return fill_interior(shell) if solid else shell
+
+
+def dilate(occ: np.ndarray, cells: int = 1) -> np.ndarray:
+    """6-neighborhood dilation by `cells` — a conservative safety margin
+    around a voxelized mesh (samples near the surface and the trilinear
+    support of grid-encoded fields extend past the exact cell)."""
+    occ = occ.copy()
+    for _ in range(cells):
+        grown = occ.copy()
+        grown[1:, :, :] |= occ[:-1, :, :]
+        grown[:-1, :, :] |= occ[1:, :, :]
+        grown[:, 1:, :] |= occ[:, :-1, :]
+        grown[:, :-1, :] |= occ[:, 1:, :]
+        grown[:, :, 1:] |= occ[:, :, :-1]
+        grown[:, :, :-1] |= occ[:, :, 1:]
+        occ = grown
+    return occ
+
+
+def mesh_occupancy_mask(grid: GridConfig):
+    """The static occupancy mask configured by grid.mesh_path, or None.
+
+    Loads a triangle mesh (.obj) or the reference's textual tet format
+    (any other extension — volume_reader.h:37-84 semantics), voxelizes
+    it into the grid, optionally fills the interior (grid.mesh_solid)
+    and dilates by grid.mesh_dilate cells.  The mask statically bounds
+    marching the way the reference's (dead) triangle-GAS path intended:
+    occupancy updates can only prune WITHIN it, never escape it."""
+    if not grid.mesh_path:
+        return None
+    verts, faces = (
+        load_obj(grid.mesh_path)
+        if grid.mesh_path.lower().endswith(".obj")
+        else load_tet_mesh(grid.mesh_path)
+    )
+    mask = occupancy_from_mesh(verts, faces, grid, solid=grid.mesh_solid)
+    if grid.mesh_dilate > 0:
+        mask = dilate(mask, grid.mesh_dilate)
+    if not mask.any():
+        raise ValueError(
+            f"grid.mesh_path={grid.mesh_path!r} voxelizes to an empty "
+            f"occupancy at resolution {grid.resolution} — mesh outside "
+            f"the AABB {grid.aabb_min}..{grid.aabb_max}?"
+        )
+    return mask

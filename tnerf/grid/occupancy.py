@@ -24,17 +24,24 @@ class OccupancyGridState(NamedTuple):
     step: jnp.ndarray         # scalar i32 update counter
 
 
-def init_occupancy(grid: GridConfig) -> OccupancyGridState:
-    """All-occupied start (matches the reference: all cells in the AS).
+def init_occupancy(grid: GridConfig, mask=None) -> OccupancyGridState:
+    """All-occupied start (matches the reference: all cells in the AS),
+    or the static mesh mask when one is given (mesh-bounded scenes,
+    grid.mesh_path — see grid.mesh.mesh_occupancy_mask).
 
     density_ema starts at 0 so the FIRST update already reflects the
     field (ema = max(0*decay, sigma) = sigma); the bitfield stays dense
-    until that first update.
+    (within the mask) until that first update.
     """
     res = grid.resolution
+    bits = (
+        jnp.ones((res, res, res), bool)
+        if mask is None
+        else jnp.asarray(mask).reshape(res, res, res).astype(bool)
+    )
     return OccupancyGridState(
         density_ema=jnp.zeros((res, res, res), jnp.float32),
-        bitfield=jnp.ones((res, res, res), bool),
+        bitfield=bits,
         step=jnp.zeros((), jnp.int32),
     )
 
@@ -55,6 +62,7 @@ def update_occupancy(
     density_fn,
     grid: GridConfig,
     key: jax.Array,
+    mask=None,
 ) -> OccupancyGridState:
     """One occupancy refresh: jittered density probe per cell -> EMA ->
     threshold.
@@ -64,6 +72,10 @@ def update_occupancy(
     One uniform jittered probe point per cell per update; the EMA
     integrates over updates (decay `grid.ema_decay`), so cells are
     effectively multi-sampled across time without a res^3 x K probe cost.
+    mask: optional static [res,res,res] bool bound (mesh-bounded scenes):
+    the bitfield — and the EMA itself — are clamped to it, so density
+    blooming outside the mesh can never re-occupy excluded cells (and a
+    density_cdf payload derives the same masked bits).
     """
     res = grid.resolution
     lo = jnp.asarray(grid.aabb_min, jnp.float32)
@@ -74,6 +86,8 @@ def update_occupancy(
     sigma = density_fn((centers + jitter).reshape(-1, 3)).reshape(res, res, res)
     ema = jnp.minimum(state.density_ema * grid.ema_decay, 1e4)
     ema = jnp.maximum(ema, sigma)  # decay-max EMA (Instant-NGP update rule)
+    if mask is not None:
+        ema = jnp.where(jnp.asarray(mask).reshape(res, res, res), ema, 0.0)
     bits = ema > grid.density_threshold
     return OccupancyGridState(
         density_ema=ema, bitfield=bits, step=state.step + 1
@@ -98,14 +112,17 @@ def renderer_payload(state, sampler_cfg, grid_cfg):
     bitfield is all-ones but the EMA is all-zero — deriving bits from the
     raw EMA would mask EVERY sample and zero the training gradient for
     the whole grid.warmup_steps window.  The f32 payload therefore
-    substitutes a constant density strictly above the threshold until the
-    first update: bits derive to all-occupied, and constant weights make
-    density_cdf placement near-uniform — the same dense-start semantics
-    the bool payload has.  (jnp.where keeps the payload dtype static so
-    the jitted train step never retraces at the warmup boundary.)"""
+    substitutes a constant density strictly above the threshold in every
+    bitfield cell until the first update: bits derive back to exactly
+    the init bitfield (all-ones, or the mesh mask for mesh-bounded
+    scenes), and constant weights make density_cdf placement
+    near-uniform — the same dense-start semantics the bool payload has.
+    (jnp.where keeps the payload dtype static so the jitted train step
+    never retraces at the warmup boundary.)"""
     if state is None:
         return None
     if sampler_cfg.placement == "density_cdf":
         fill = jnp.float32(2.0 * grid_cfg.density_threshold + 1.0)
-        return jnp.where(state.step > 0, state.density_ema, fill)
+        dense_start = jnp.where(state.bitfield, fill, 0.0)
+        return jnp.where(state.step > 0, state.density_ema, dense_start)
     return state.bitfield

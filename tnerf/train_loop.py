@@ -243,7 +243,21 @@ def run_training(
              field.arch, n_params / 1e6, cfg.render.pipeline)
 
     use_grid = cfg.render.pipeline != "uniform"  # grid_* and fused all use occupancy
-    occ: Optional[OccupancyGridState] = init_occupancy(cfg.grid) if use_grid else None
+    # Mesh-bounded scenes (grid.mesh_path): the voxelized mesh is a
+    # STATIC mask — marching starts from it and occupancy updates prune
+    # within it (never escape it).  Rebuilt from config, not checkpointed.
+    occ_mask = None
+    if use_grid and cfg.grid.mesh_path:
+        from tnerf.grid.mesh import mesh_occupancy_mask
+
+        occ_mask = jnp.asarray(mesh_occupancy_mask(cfg.grid))
+        log.info(
+            "mesh bound %s: %.1f%% of cells occupied at init",
+            cfg.grid.mesh_path, 100.0 * float(occ_mask.mean()),
+        )
+    occ: Optional[OccupancyGridState] = (
+        init_occupancy(cfg.grid, occ_mask) if use_grid else None
+    )
 
     ckpt_dir = os.path.join(out_dir, "checkpoints")
     start_step = 0
@@ -314,7 +328,8 @@ def run_training(
 
         def _update_occ(occ_state, params, key):
             return update_occupancy(
-                occ_state, lambda x: field.density(params, x), cfg.grid, key
+                occ_state, lambda x: field.density(params, x), cfg.grid, key,
+                mask=occ_mask,
             )
 
         # Occupancy state is logically replicated; pin the output so XLA
