@@ -245,3 +245,60 @@ def test_dp_render_sharded_with_ray_compaction():
              replicate(occ, mesh))
     np.testing.assert_allclose(np.asarray(got.rgb), np.asarray(want.rgb),
                                atol=1e-3)
+
+
+@pytest.mark.parametrize("mesh_axes", ["1d", "2d"])
+def test_sharded_occupancy_update_matches_replicated(mesh_axes):
+    """SURVEY §2.4 sharded occupancy refresh: probing cells sharded over
+    the mesh (1-D data, or 2-D data x sample) must reproduce the
+    single-device update_occupancy exactly — same jitter key, same probe
+    set, each position evaluated by one chip."""
+    from tnerf.grid.occupancy import init_occupancy, update_occupancy
+    from tnerf.parallel.occupancy import make_sharded_occupancy_update
+
+    cfg = Config().apply_overrides([
+        "grid.resolution=12",  # 12^3 = 1728: NOT divisible by 8 -> pads
+        "field_.hidden_width=16", "field_.hidden_layers=1",
+        "field_.n_frequencies=2",
+    ])
+    field = NeRFField(cfg.field_, cfg.grid)
+    params = field.init(jax.random.PRNGKey(3))
+    mesh = (
+        make_mesh(8, "data") if mesh_axes == "1d"
+        else make_mesh(4, "data", "sample", 2)
+    )
+    mask = np.zeros((12, 12, 12), bool)
+    mask[2:10, 2:10, 2:10] = True
+
+    for m in (None, mask):
+        occ0 = init_occupancy(cfg.grid, m)
+        key = jax.random.PRNGKey(7)
+        # jit the reference exactly like train_loop's replicated path:
+        # jit-vs-eager fusion of the jitter arithmetic shifts probe
+        # positions by 1 ulp (see docs/ROUND3.md parity note)
+        ref_step = jax.jit(
+            lambda s, p, k: update_occupancy(
+                s, lambda x: field.density(p, x), cfg.grid, k, mask=m
+            )
+        )
+        ref = ref_step(occ0, params, key)
+        upd = make_sharded_occupancy_update(
+            lambda p, x: field.density(p, x), cfg.grid, mesh, mask=m
+        )
+        got = upd(replicate(occ0, mesh), replicate(params, mesh),
+                  replicate(key, mesh))
+        np.testing.assert_allclose(
+            np.asarray(got.density_ema), np.asarray(ref.density_ema),
+            atol=1e-6,
+        )
+        np.testing.assert_array_equal(
+            np.asarray(got.bitfield), np.asarray(ref.bitfield)
+        )
+        assert int(got.step) == 1
+        # a second update chains on the sharded EMA
+        got2 = upd(got, replicate(params, mesh), replicate(key, mesh))
+        ref2 = ref_step(ref, params, key)
+        np.testing.assert_allclose(
+            np.asarray(got2.density_ema), np.asarray(ref2.density_ema),
+            atol=1e-6,
+        )

@@ -325,21 +325,38 @@ def run_training(
 
     update_occ = None
     if use_grid:
+        if mesh is not None and n_tp == 1:
+            # SURVEY §2.4 "sharded occupancy update": the res^3 density
+            # probes shard over every mesh axis (params are replicated
+            # on DP / DPxSP meshes) instead of running replicated on
+            # each chip; bit-identical by construction.  Table-parallel
+            # keeps the replicated update — its density eval needs the
+            # cross-shard encode of the TP renderer's own shard_map.
+            from tnerf.parallel.occupancy import make_sharded_occupancy_update
 
-        def _update_occ(occ_state, params, key):
-            return update_occupancy(
-                occ_state, lambda x: field.density(params, x), cfg.grid, key,
+            update_occ = make_sharded_occupancy_update(
+                lambda p, x: field.density(p, x), cfg.grid, mesh,
                 mask=occ_mask,
             )
+        else:
 
-        # Occupancy state is logically replicated; pin the output so XLA
-        # cannot hand back a data-sharded bitfield (the eval render
-        # wrapper and the next train step constrain it replicated).
-        occ_out = (
-            None if mesh is None
-            else jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec())
-        )
-        update_occ = jax.jit(_update_occ, out_shardings=occ_out)
+            def _update_occ(occ_state, params, key):
+                return update_occupancy(
+                    occ_state, lambda x: field.density(params, x), cfg.grid,
+                    key, mask=occ_mask,
+                )
+
+            # Occupancy state is logically replicated; pin the output so
+            # XLA cannot hand back a data-sharded bitfield (the eval
+            # render wrapper and the next train step constrain it
+            # replicated).
+            occ_out = (
+                None if mesh is None
+                else jax.sharding.NamedSharding(
+                    mesh, jax.sharding.PartitionSpec()
+                )
+            )
+            update_occ = jax.jit(_update_occ, out_shardings=occ_out)
 
     key = jax.random.PRNGKey(cfg.train.seed + 1)
     if mesh is not None:
