@@ -36,3 +36,18 @@ def test_config_rejects_unknown_key(tmp_path):
     p.write_text(json.dumps({"samplerr": {}}))
     with pytest.raises(ValueError, match="samplerr"):
         Config.from_json_file(str(p))
+
+
+def test_diff_overrides_roundtrip_all_presets():
+    """Config.diff_overrides is the minimal reproduction recipe: applying
+    it to defaults must rebuild every shipped preset exactly, and the
+    default config must diff to nothing."""
+    import glob
+
+    from tnerf.config import Config
+
+    assert Config().diff_overrides() == []
+    for path in sorted(glob.glob("configs/*.json")):
+        cfg = Config.from_json_file(path)
+        again = Config().apply_overrides(cfg.diff_overrides())
+        assert again == cfg, path

@@ -138,3 +138,38 @@ def test_train_slice_huber_improves_psnr(cfg, scene):
         if first is None:
             first = float(aux["psnr"])
     assert float(aux["psnr"]) > first + 4.0
+
+
+def test_training_is_deterministic(tmp_path):
+    """Two runs with the same seed must produce IDENTICAL final metrics
+    (threefry RNG, on-device batching, occupancy updates — the whole
+    loop is reproducible; wall-clock metrics excluded)."""
+    import numpy as np
+
+    from tnerf.config import Config
+    from tnerf.data.procedural import generate_procedural_scene
+    from tnerf.train_loop import run_training
+
+    outs = []
+    for tag in ("a", "b"):
+        scene = generate_procedural_scene(
+            width=24, height=24, n_train=3, n_val=1, n_test=1, n_samples=64
+        )
+        cfg = Config().apply_overrides([
+            "scene.kind=procedural", "scene.scene_scale=1.0",
+            "render.pipeline=grid_march",
+            "sampler.samples_per_ray=16", "sampler.mode=stratified",
+            "sampler.near=2.0", "sampler.far=5.5",
+            "field_.hidden_width=16", "field_.hidden_layers=1",
+            "field_.n_frequencies=2",
+            "grid.resolution=8", "grid.warmup_steps=5", "grid.update_every=5",
+            "train.batch_size=128", "train.steps=20", "train.eval_every=0",
+            "train.checkpoint_every=0", "train.log_every=10",
+            f"logging.out_dir={tmp_path / tag}", "render.chunk_size=576",
+        ])
+        outs.append(run_training(cfg, datasets=scene))
+    a, b = outs
+    for k in a:
+        if k.startswith(("psnr", "ssim")):
+            assert a[k] == b[k], (k, a[k], b[k])
+    assert np.isfinite(a["psnr_test"])

@@ -133,11 +133,21 @@ def main(argv=None) -> int:
 
     sp = sub.add_parser("config", help="print resolved config JSON")
     common(sp)
+    sp.add_argument(
+        "--diff", action="store_true",
+        help="print only the overrides that differ from defaults "
+        "(one section.key=value per line, re-usable as -o flags)",
+    )
 
     args = p.parse_args(argv)
 
     if args.cmd == "config":
-        print(_load_cfg(args).to_json())
+        cfg = _load_cfg(args)
+        if args.diff:
+            for line in cfg.diff_overrides():
+                print(line)
+        else:
+            print(cfg.to_json())
         return 0
 
     cfg = _load_cfg(args)
