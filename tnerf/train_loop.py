@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import dataclasses
 import os
+import time
 from typing import Dict, Optional
 
 import jax
@@ -47,7 +48,7 @@ from tnerf.train import (
     make_train_step,
 )
 from tnerf.utils.checkpoint import restore_checkpoint, save_checkpoint
-from tnerf.utils.metrics import MetricsWriter, get_logger, maybe_profile, step_timer
+from tnerf.utils.metrics import MetricsWriter, get_logger, maybe_profile
 
 
 def build_field(cfg: Config) -> NeRFField:
@@ -377,53 +378,66 @@ def run_training(
     with maybe_profile(cfg.logging.profile, os.path.join(out_dir, "profile")):
         n_pixels = len(train_ds) * train_ds.height * train_ds.width
         steps_per_epoch = max(1, n_pixels // rays_per_step)
+        # Async dispatch: steps are ENQUEUED without a per-step host
+        # sync — the only host round-trips between log points are the
+        # occupancy-switch floats every grid.update_every steps.  A
+        # per-step block_until_ready + float(loss) costs two host<->
+        # device round-trips per step, which dominates wall time over a
+        # high-latency link (the measured isolated-step vs real-loop
+        # throughput gap).  rays/s is therefore measured per WINDOW
+        # (steps since the last sync point), which is also the honest
+        # number — it amortizes dispatch instead of timing one step.
+        window_t0 = time.perf_counter()
+        window_steps = 0
         for step in range(start_step, cfg.train.steps):
             key, k_batch, k_render, k_occ = jax.random.split(key, 4)
-            with step_timer() as t:
-                if cfg.train.shuffle == "epoch":
-                    epoch = step // steps_per_epoch
-                    batch = sampler.sample_epoch(
-                        jax.random.fold_in(jax.random.PRNGKey(cfg.train.seed), epoch),
-                        jnp.asarray(step % steps_per_epoch),
-                        rays_per_step,
-                    )
-                else:
-                    batch = sampler.sample(k_batch, rays_per_step)
-                if mesh is not None:
-                    batch = shard_batch(batch, mesh, cfg.parallel.axis_name)
-                bits = renderer_payload(occ, cfg.sampler, cfg.grid)
-                step_args = (state, batch, k_render) + ((bits,) if use_grid else ())
-                state, aux = train_step(*step_args)
-                if (
-                    use_grid
-                    and step >= cfg.grid.warmup_steps
-                    and step % cfg.grid.update_every == 0
-                ):
-                    occ = update_occ(occ, state.params, k_occ)
-                    occ_frac_host = float(occupancy_fraction(occ))
-                    switch_frac_host = (
-                        float(cdf_frac_fn(batch.rays, renderer_payload(occ, cfg.sampler, cfg.grid)))
-                        if cdf_frac_fn is not None
-                        else occ_frac_host
-                    )
-                    compacted = switch_frac_host < compact_switch_frac
-                    train_step = step_compact if compacted else step_dense
-                    # Eval follows the same switch: once the pruned grid
-                    # fits the compaction capacity, compacted rendering
-                    # is exact (no overflow drops) and, for fields with
-                    # an expensive per-sample encoding (hashgrid), ~5x
-                    # faster than dense-masked eval.
-                    if cfg.render.compact:
-                        renderer = renderer_compact if compacted else renderer_dense
-                jax.block_until_ready(aux["loss"])
+            if cfg.train.shuffle == "epoch":
+                epoch = step // steps_per_epoch
+                batch = sampler.sample_epoch(
+                    jax.random.fold_in(jax.random.PRNGKey(cfg.train.seed), epoch),
+                    jnp.asarray(step % steps_per_epoch),
+                    rays_per_step,
+                )
+            else:
+                batch = sampler.sample(k_batch, rays_per_step)
+            if mesh is not None:
+                batch = shard_batch(batch, mesh, cfg.parallel.axis_name)
+            bits = renderer_payload(occ, cfg.sampler, cfg.grid)
+            step_args = (state, batch, k_render) + ((bits,) if use_grid else ())
+            state, aux = train_step(*step_args)
+            window_steps += 1
+            if (
+                use_grid
+                and step >= cfg.grid.warmup_steps
+                and step % cfg.grid.update_every == 0
+            ):
+                occ = update_occ(occ, state.params, k_occ)
+                occ_frac_host = float(occupancy_fraction(occ))
+                switch_frac_host = (
+                    float(cdf_frac_fn(batch.rays, renderer_payload(occ, cfg.sampler, cfg.grid)))
+                    if cdf_frac_fn is not None
+                    else occ_frac_host
+                )
+                compacted = switch_frac_host < compact_switch_frac
+                train_step = step_compact if compacted else step_dense
+                # Eval follows the same switch: once the pruned grid
+                # fits the compaction capacity, compacted rendering
+                # is exact (no overflow drops) and, for fields with
+                # an expensive per-sample encoding (hashgrid), ~5x
+                # faster than dense-masked eval.
+                if cfg.render.compact:
+                    renderer = renderer_compact if compacted else renderer_dense
 
             if step % cfg.train.log_every == 0 or step == cfg.train.steps - 1:
+                jax.block_until_ready(aux["loss"])
+                sec = (time.perf_counter() - window_t0) / max(window_steps, 1)
+                loss_host = float(aux["loss"])
                 m = {
-                    "loss": float(aux["loss"]),
+                    "loss": loss_host,
                     "train_psnr": float(aux["psnr"]),
                     "acc_mean": float(aux["acc_mean"]),
-                    "rays_per_sec": rays_per_step / max(t.seconds, 1e-9),
-                    "step_seconds": t.seconds,
+                    "rays_per_sec": rays_per_step / max(sec, 1e-9),
+                    "step_seconds": sec,
                 }
                 if occ is not None:
                     m["occupancy_frac"] = float(occupancy_fraction(occ))
@@ -433,10 +447,16 @@ def run_training(
                     step, m["loss"], m["train_psnr"], m["rays_per_sec"],
                     f" occ={m['occupancy_frac']:.2f}" if occ is not None else "",
                 )
+                if not np.isfinite(loss_host):
+                    # advisory only — apply_if_finite already skipped the
+                    # bad update(s); detection granularity is log_every
+                    log.warning(
+                        "non-finite loss at step %d (update was skipped)", step
+                    )
+                window_t0 = time.perf_counter()
+                window_steps = 0
 
-            if not np.isfinite(float(aux["loss"])):
-                log.warning("non-finite loss at step %d (update was skipped)", step)
-
+            did_barrier = False
             if cfg.train.eval_every and (step + 1) % cfg.train.eval_every == 0:
                 em = _eval(cfg, renderer, state, occ, datasets, step, log,
                            metrics, mesh=eval_mesh)
@@ -444,10 +464,16 @@ def run_training(
                 best_psnr = _maybe_keep_best(
                     cfg, em, state, occ, step + 1, best_psnr, log, metrics
                 )
+                did_barrier = True
 
             if cfg.train.checkpoint_every and (step + 1) % cfg.train.checkpoint_every == 0:
                 payload = (state, occ) if occ is not None else state
                 save_checkpoint(ckpt_dir, step + 1, payload)
+                did_barrier = True
+            if did_barrier:
+                # eval/checkpoint wall time must not pollute the rays/s window
+                window_t0 = time.perf_counter()
+                window_steps = 0
 
     payload = (state, occ) if occ is not None else state
     save_checkpoint(ckpt_dir, cfg.train.steps, payload)
