@@ -51,3 +51,16 @@ def test_diff_overrides_roundtrip_all_presets():
         cfg = Config.from_json_file(path)
         again = Config().apply_overrides(cfg.diff_overrides())
         assert again == cfg, path
+
+
+def test_diff_overrides_tuple_has_no_spaces():
+    """Tuple values must render without spaces: the --diff output is
+    documented as re-usable unquoted -o flags, and a space would split
+    the line into multiple shell tokens."""
+    from tnerf.config import Config
+
+    cfg = Config().apply_overrides(['grid.aabb_min=[-1.5,-1.5,-1.5]'])
+    (line,) = cfg.diff_overrides()
+    assert line == "grid.aabb_min=[-1.5,-1.5,-1.5]"
+    assert " " not in line
+    assert Config().apply_overrides([line]) == cfg

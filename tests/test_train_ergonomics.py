@@ -154,3 +154,50 @@ def test_run_training_grad_accum_and_keep_best(tmp_path):
         if "best_psnr" in line
     ]
     assert best and np.isfinite(best[-1]["best_psnr"])
+
+
+def test_restore_best_psnr_survives_resume(tmp_path):
+    """The keep_best tracker must restore from metrics.jsonl on resume:
+    a fresh -inf tracker would let a worse post-resume eval overwrite
+    checkpoints_best at a higher step (which latest_checkpoint then
+    prefers)."""
+    import json
+
+    from tnerf.train_loop import _restore_best_psnr
+    from tnerf.utils.metrics import get_logger
+
+    out = tmp_path / "run"
+    out.mkdir()
+    with open(out / "metrics.jsonl", "w") as fh:
+        fh.write(json.dumps({"step": 9, "best_psnr": 28.5, "best_step": 10}) + "\n")
+        fh.write(json.dumps({"step": 19, "loss": 0.1}) + "\n")
+        fh.write(json.dumps({"step": 19, "best_psnr": 30.1, "best_step": 20}) + "\n")
+    cfg = Config().apply_overrides([
+        "train.keep_best=true", f"logging.out_dir={out}",
+    ])
+    log = get_logger()
+    assert _restore_best_psnr(cfg, 20, log) == 30.1
+    # fresh run (start_step 0) and keep_best off both start from -inf
+    assert _restore_best_psnr(cfg, 0, log) == -np.inf
+    cfg_off = cfg.apply_overrides(["train.keep_best=false"])
+    assert _restore_best_psnr(cfg_off, 20, log) == -np.inf
+    # missing file: no crash
+    cfg_missing = cfg.apply_overrides([f"logging.out_dir={tmp_path/'nope'}"])
+    assert _restore_best_psnr(cfg_missing, 20, log) == -np.inf
+
+
+def test_default_opt_state_layout_is_stable():
+    """A schedule-free TrainConfig must produce EXACTLY optax.adam's
+    state layout: anything extra (e.g. a schedule count leaf) silently
+    invalidates every previously written checkpoint via the restore
+    template's leaf-count check."""
+    params = {"w": jnp.ones((4,), jnp.float32)}
+    got = create_optimizer(TrainConfig()).init(params)
+    # TrainConfig default wraps apply_if_finite around plain adam
+    ref = optax.apply_if_finite(
+        optax.adam(1e-3, b1=0.9, b2=0.999, eps=1e-8),
+        max_consecutive_errors=1000,
+    ).init(params)
+    t_got = jax.tree.structure(got)
+    t_ref = jax.tree.structure(ref)
+    assert t_got == t_ref, (t_got, t_ref)

@@ -286,10 +286,12 @@ def main(argv=None) -> int:
                   "(choose from rgb, depth, acc)", file=sys.stderr)
             return 1
 
-        def channel_image(res, ch):
+        def channel_image(res, ch, depth_range=None):
+            if ch == "depth":
+                near, far = depth_range if depth_range else (None, None)
+                return depth_image(res.depth, res.acc, near=near, far=far)
             return {
                 "rgb": lambda: res.rgb,
-                "depth": lambda: depth_image(res.depth, res.acc),
                 "acc": lambda: acc_image(res.acc),
             }[ch]()
 
@@ -314,7 +316,7 @@ def main(argv=None) -> int:
                 ).mean())
             )
             os.makedirs(args.out, exist_ok=True)
-            frames = {ch: [] for ch in channels}
+            raws = []
             for pose in orbit_poses(args.orbit, radius, elev):
                 rays = camera_rays(
                     jax.numpy.asarray(pose), ds.width, ds.height, ds.focal,
@@ -325,9 +327,32 @@ def main(argv=None) -> int:
                     chunk_size=cfg.render.chunk_size, occupancy=payload,
                     mesh=mesh,
                 )
-                res = jax.device_get(res)
-                for ch in channels:
-                    frames[ch].append(np.asarray(channel_image(res, ch)))
+                raws.append(jax.device_get(res))
+            # ONE depth exposure across the whole orbit: per-frame
+            # auto-exposure stretches each frame's own hit-depth range
+            # to full contrast, so the same world depth maps to
+            # different grays frame-to-frame and the turntable flickers
+            depth_range = None
+            if "depth" in channels:
+                nears, fars = [], []
+                for r in raws:
+                    acc = np.asarray(r.acc, np.float32)
+                    hit = acc > 0.1
+                    if hit.any():
+                        th = (
+                            np.asarray(r.depth, np.float32)[hit]
+                            / np.maximum(acc[hit], 1e-6)
+                        )
+                        nears.append(float(th.min()))
+                        fars.append(float(th.max()))
+                depth_range = (min(nears), max(fars)) if nears else (0.0, 1.0)
+            frames = {
+                ch: [
+                    np.asarray(channel_image(r, ch, depth_range))
+                    for r in raws
+                ]
+                for ch in channels
+            }
             for ch in channels:
                 # rgb keeps the bare orbit_###.png names; extra channels
                 # get a suffix, mirroring the dataset-pose naming

@@ -433,8 +433,12 @@ class Config:
         for section, sub in self.to_dict().items():
             for k, v in sub.items():
                 if v != base[section][k]:
+                    # compact separators: a tuple must render without
+                    # spaces so the printed line survives unquoted
+                    # copy-back as a shell -o argument
                     rendered = (
-                        json.dumps(list(v)) if isinstance(v, tuple)
+                        json.dumps(list(v), separators=(",", ":"))
+                        if isinstance(v, tuple)
                         else v if isinstance(v, str)
                         else json.dumps(v)
                     )

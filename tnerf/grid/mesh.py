@@ -105,6 +105,19 @@ def voxelize_triangles(
     return occ
 
 
+def _dilate_once(occ: np.ndarray) -> np.ndarray:
+    """One 6-neighborhood dilation step — the single stencil shared by
+    fill_interior's flood and dilate()."""
+    grown = occ.copy()
+    grown[1:, :, :] |= occ[:-1, :, :]
+    grown[:-1, :, :] |= occ[1:, :, :]
+    grown[:, 1:, :] |= occ[:, :-1, :]
+    grown[:, :-1, :] |= occ[:, 1:, :]
+    grown[:, :, 1:] |= occ[:, :, :-1]
+    grown[:, :, :-1] |= occ[:, :, 1:]
+    return grown
+
+
 def fill_interior(shell: np.ndarray) -> np.ndarray:
     """Solid occupancy from a closed surface shell: a cell is interior if
     it is enclosed along all six axis-aligned directions (conservative
@@ -122,14 +135,7 @@ def fill_interior(shell: np.ndarray) -> np.ndarray:
     exterior[:, :, -1] |= frontier[:, :, -1]
     # BFS by repeated dilation (at most res iterations; typically far fewer)
     for _ in range(3 * res):
-        grown = exterior.copy()
-        grown[1:, :, :] |= exterior[:-1, :, :]
-        grown[:-1, :, :] |= exterior[1:, :, :]
-        grown[:, 1:, :] |= exterior[:, :-1, :]
-        grown[:, :-1, :] |= exterior[:, 1:, :]
-        grown[:, :, 1:] |= exterior[:, :, :-1]
-        grown[:, :, :-1] |= exterior[:, :, 1:]
-        grown &= ~shell
+        grown = _dilate_once(exterior) & ~shell
         if (grown == exterior).all():
             break
         exterior = grown
@@ -150,16 +156,8 @@ def dilate(occ: np.ndarray, cells: int = 1) -> np.ndarray:
     """6-neighborhood dilation by `cells` — a conservative safety margin
     around a voxelized mesh (samples near the surface and the trilinear
     support of grid-encoded fields extend past the exact cell)."""
-    occ = occ.copy()
     for _ in range(cells):
-        grown = occ.copy()
-        grown[1:, :, :] |= occ[:-1, :, :]
-        grown[:-1, :, :] |= occ[1:, :, :]
-        grown[:, 1:, :] |= occ[:, :-1, :]
-        grown[:, :-1, :] |= occ[:, 1:, :]
-        grown[:, :, 1:] |= occ[:, :, :-1]
-        grown[:, :, :-1] |= occ[:, :, 1:]
-        occ = grown
+        occ = _dilate_once(occ)
     return occ
 
 

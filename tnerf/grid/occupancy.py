@@ -57,6 +57,24 @@ def cell_centers(grid: GridConfig) -> jnp.ndarray:
     return lo + h * jnp.stack([ii, jj, kk], axis=-1)
 
 
+def ema_threshold_update(
+    density_ema: jnp.ndarray,
+    sigma: jnp.ndarray,
+    grid: GridConfig,
+    mask=None,
+) -> tuple:
+    """(new_ema, bits) from one round of density probes — the ONE
+    definition of the decay-max EMA + threshold (+ static-mask clamp)
+    rule, shared by the replicated and the sharded update so
+    single-chip and multi-chip training can never drift."""
+    res = grid.resolution
+    ema = jnp.minimum(density_ema * grid.ema_decay, 1e4)
+    ema = jnp.maximum(ema, sigma)  # decay-max EMA (Instant-NGP update rule)
+    if mask is not None:
+        ema = jnp.where(jnp.asarray(mask).reshape(res, res, res), ema, 0.0)
+    return ema, ema > grid.density_threshold
+
+
 def update_occupancy(
     state: OccupancyGridState,
     density_fn,
@@ -84,11 +102,7 @@ def update_occupancy(
     centers = cell_centers(grid)
     jitter = jax.random.uniform(key, centers.shape, jnp.float32, -0.5, 0.5) * h
     sigma = density_fn((centers + jitter).reshape(-1, 3)).reshape(res, res, res)
-    ema = jnp.minimum(state.density_ema * grid.ema_decay, 1e4)
-    ema = jnp.maximum(ema, sigma)  # decay-max EMA (Instant-NGP update rule)
-    if mask is not None:
-        ema = jnp.where(jnp.asarray(mask).reshape(res, res, res), ema, 0.0)
-    bits = ema > grid.density_threshold
+    ema, bits = ema_threshold_update(state.density_ema, sigma, grid, mask)
     return OccupancyGridState(
         density_ema=ema, bitfield=bits, step=state.step + 1
     )

@@ -27,7 +27,11 @@ from jax import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from tnerf.config import GridConfig
-from tnerf.grid.occupancy import OccupancyGridState, cell_centers
+from tnerf.grid.occupancy import (
+    OccupancyGridState,
+    cell_centers,
+    ema_threshold_update,
+)
 
 
 def make_sharded_occupancy_update(
@@ -51,10 +55,6 @@ def make_sharded_occupancy_update(
     lo = jnp.asarray(grid.aabb_min, jnp.float32)
     hi = jnp.asarray(grid.aabb_max, jnp.float32)
     h = (hi - lo) / res
-    mask3 = (
-        None if mask is None
-        else jnp.asarray(mask).reshape(res, res, res).astype(bool)
-    )
 
     def probe_local(params, pts_shard):
         sig = density_fn(params, pts_shard)
@@ -87,11 +87,7 @@ def make_sharded_occupancy_update(
         if pad:
             pts = jnp.pad(pts, ((0, pad), (0, 0)))
         sigma = sharded_probe(params, pts)[:n].reshape(res, res, res)
-        ema = jnp.minimum(state.density_ema * grid.ema_decay, 1e4)
-        ema = jnp.maximum(ema, sigma)
-        if mask3 is not None:
-            ema = jnp.where(mask3, ema, 0.0)
-        bits = ema > grid.density_threshold
+        ema, bits = ema_threshold_update(state.density_ema, sigma, grid, mask)
         return OccupancyGridState(
             density_ema=ema, bitfield=bits, step=state.step + 1
         )

@@ -66,10 +66,18 @@ def create_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
             decay_rate=cfg.lr_final_fraction,
         )
     else:
-        schedule = optax.constant_schedule(cfg.lr)
+        # plain float, NOT constant_schedule: a schedule adds a count
+        # leaf to the optimizer state, which would invalidate every
+        # checkpoint written by a schedule-free config (the treedef
+        # template check rejects the extra leaf on restore)
+        schedule = cfg.lr
     if warmup_updates > 0:
+        base = (
+            schedule if callable(schedule)
+            else optax.constant_schedule(schedule)
+        )
         schedule = optax.join_schedules(
-            [optax.linear_schedule(0.0, cfg.lr, warmup_updates), schedule],
+            [optax.linear_schedule(0.0, cfg.lr, warmup_updates), base],
             [warmup_updates],
         )
     if cfg.weight_decay > 0.0:

@@ -9,6 +9,7 @@ checkpointing/resume, metrics, render output (SURVEY §7.4).
 from __future__ import annotations
 
 import dataclasses
+import json
 import os
 import time
 from typing import Dict, Optional
@@ -374,7 +375,12 @@ def run_training(
             occ = replicate(occ, mesh)
     rays_per_step = cfg.train.batch_size
     final_metrics: Dict[str, float] = {}
-    best_psnr = -np.inf  # train.keep_best tracker
+    # Renderer occupancy payload: constant between occupancy updates —
+    # computed here and after each update_occ instead of re-dispatching
+    # res^3 selects every step of the async loop (density_cdf's payload
+    # is two jnp.where ops over the full grid).
+    occ_payload = renderer_payload(occ, cfg.sampler, cfg.grid)
+    best_psnr = _restore_best_psnr(cfg, start_step, log)  # keep_best tracker
     with maybe_profile(cfg.logging.profile, os.path.join(out_dir, "profile")):
         n_pixels = len(train_ds) * train_ds.height * train_ds.width
         steps_per_epoch = max(1, n_pixels // rays_per_step)
@@ -402,8 +408,10 @@ def run_training(
                 batch = sampler.sample(k_batch, rays_per_step)
             if mesh is not None:
                 batch = shard_batch(batch, mesh, cfg.parallel.axis_name)
-            bits = renderer_payload(occ, cfg.sampler, cfg.grid)
-            step_args = (state, batch, k_render) + ((bits,) if use_grid else ())
+            step_args = (
+                (state, batch, k_render)
+                + ((occ_payload,) if use_grid else ())
+            )
             state, aux = train_step(*step_args)
             window_steps += 1
             if (
@@ -412,9 +420,10 @@ def run_training(
                 and step % cfg.grid.update_every == 0
             ):
                 occ = update_occ(occ, state.params, k_occ)
+                occ_payload = renderer_payload(occ, cfg.sampler, cfg.grid)
                 occ_frac_host = float(occupancy_fraction(occ))
                 switch_frac_host = (
-                    float(cdf_frac_fn(batch.rays, renderer_payload(occ, cfg.sampler, cfg.grid)))
+                    float(cdf_frac_fn(batch.rays, occ_payload))
                     if cdf_frac_fn is not None
                     else occ_frac_host
                 )
@@ -497,6 +506,33 @@ def run_training(
                 f"{final_metrics.get('psnr_test', float('nan')):.2f})"
             )
     return final_metrics
+
+
+def _restore_best_psnr(cfg, start_step, log):
+    """keep_best tracker across resumes: without this a resumed run
+    restarts the tracker at -inf, and its first eval — possibly WORSE
+    than the recorded best — would write a higher-step file into
+    checkpoints_best, which latest_checkpoint would then prefer.  The
+    best_psnr entries in the (append-only) metrics.jsonl are the source
+    of truth."""
+    if not (cfg.train.keep_best and start_step > 0):
+        return -np.inf
+    path = os.path.join(cfg.logging.out_dir, cfg.logging.metrics_file)
+    best = -np.inf
+    try:
+        with open(path) as fh:
+            for line in fh:
+                try:
+                    v = json.loads(line).get("best_psnr")
+                except ValueError:
+                    continue
+                if v is not None and np.isfinite(v):
+                    best = max(best, float(v))
+    except OSError:
+        return best
+    if np.isfinite(best):
+        log.info("keep_best resumed: best so far %.2f dB", best)
+    return best
 
 
 def _maybe_keep_best(cfg, eval_metrics, state, occ, step, best, log, metrics):
