@@ -131,3 +131,30 @@ def test_cli_render_channels(tmp_path):
         "--out", str(tmp_path / "o2"), *base,
     ]) == 1
     assert not (tmp_path / "o2" / "orbit_000.png").exists()
+
+    # custom camera path from a JSON pose list
+    import json
+
+    from tnerf.data.procedural import sphere_poses
+
+    poses = sphere_poses(2, radius=3.5)
+    pfile = tmp_path / "poses.json"
+    with open(pfile, "w") as fh:
+        json.dump({"poses": [np.asarray(p).tolist() for p in poses]}, fh)
+    pdir = tmp_path / "pathout"
+    assert main([
+        "render", "--path", str(pfile), "--out", str(pdir), *base,
+    ]) == 0
+    assert (pdir / "path_000.png").exists()
+    assert (pdir / "path_001.png").exists()
+    # --orbit and --path are mutually exclusive
+    assert main([
+        "render", "--orbit", "2", "--path", str(pfile),
+        "--out", str(tmp_path / "x"), *base,
+    ]) == 1
+    # malformed poses rejected with a diagnostic
+    badf = tmp_path / "bad.json"
+    badf.write_text("[[[1,2],[3,4]]]")
+    assert main([
+        "render", "--path", str(badf), "--out", str(tmp_path / "y"), *base,
+    ]) == 1

@@ -92,6 +92,13 @@ def main(argv=None) -> int:
         "dataset pose; --out becomes a directory of orbit_###.png frames",
     )
     sp.add_argument(
+        "--path", default=None, metavar="POSES_JSON",
+        help="render a custom camera path: JSON list of 4x4 (or 3x4) "
+        "c2w pose matrices, or {\"poses\": [...]}; --out becomes a "
+        "directory of path_###.png frames (mutually exclusive with "
+        "--orbit)",
+    )
+    sp.add_argument(
         "--channels", default="rgb", metavar="LIST",
         help="comma list of output channels: rgb, depth (expected-"
         "termination depth, inverted grayscale), acc (opacity).  With "
@@ -295,13 +302,15 @@ def main(argv=None) -> int:
                 "acc": lambda: acc_image(res.acc),
             }[ch]()
 
+        if args.orbit > 0 and args.path:
+            print("error: --orbit and --path are mutually exclusive",
+                  file=sys.stderr)
+            return 1
+        seq_poses, seq_tag = None, "orbit"
         if args.orbit > 0:
             import numpy as np
 
-            from tnerf.cameras import camera_rays
-            from tnerf.data.png_io import write_png_batch
             from tnerf.data.procedural import orbit_poses
-            from tnerf.render.renderer import render_image
 
             # orbit at the dataset cameras' mean radius/elevation so the
             # novel path stays inside the trained view distribution
@@ -315,9 +324,44 @@ def main(argv=None) -> int:
                         np.linalg.norm(eyes, axis=1), 1e-9), -1, 1)
                 ).mean())
             )
+            seq_poses = list(orbit_poses(args.orbit, radius, elev))
+        elif args.path:
+            import numpy as np
+
+            # custom camera path: a JSON list of 4x4 (or 3x4) c2w pose
+            # matrices, or {"poses": [...]} — same convention as the
+            # dataset transforms
+            seq_tag = "path"
+            with open(args.path) as fh:
+                d = json.load(fh)
+            pose_list = d["poses"] if isinstance(d, dict) else d
+            seq_poses = []
+            for i, p in enumerate(pose_list):
+                m = np.asarray(p, np.float32)
+                if m.shape == (3, 4):
+                    m = np.concatenate(
+                        [m, np.asarray([[0, 0, 0, 1]], np.float32)]
+                    )
+                if m.shape != (4, 4):
+                    print(f"error: pose {i} in {args.path} has shape "
+                          f"{m.shape}; expected 4x4 or 3x4 c2w",
+                          file=sys.stderr)
+                    return 1
+                seq_poses.append(m)
+            if not seq_poses:
+                print(f"error: {args.path} contains no poses",
+                      file=sys.stderr)
+                return 1
+        if seq_poses is not None:
+            import numpy as np
+
+            from tnerf.cameras import camera_rays
+            from tnerf.data.png_io import write_png_batch
+            from tnerf.render.renderer import render_image
+
             os.makedirs(args.out, exist_ok=True)
             raws = []
-            for pose in orbit_poses(args.orbit, radius, elev):
+            for pose in seq_poses:
                 rays = camera_rays(
                     jax.numpy.asarray(pose), ds.width, ds.height, ds.focal,
                     cfg.scene.scene_scale,
@@ -354,15 +398,15 @@ def main(argv=None) -> int:
                 for ch in channels
             }
             for ch in channels:
-                # rgb keeps the bare orbit_###.png names; extra channels
+                # rgb keeps the bare <tag>_###.png names; extra channels
                 # get a suffix, mirroring the dataset-pose naming
                 suffix = "" if ch == "rgb" or len(channels) == 1 else f"_{ch}"
                 paths = [
-                    os.path.join(args.out, f"orbit_{i:03d}{suffix}.png")
-                    for i in range(args.orbit)
+                    os.path.join(args.out, f"{seq_tag}_{i:03d}{suffix}.png")
+                    for i in range(len(seq_poses))
                 ]
                 write_png_batch(paths, np.stack(frames[ch]))
-            print(f"wrote {args.orbit} orbit frames "
+            print(f"wrote {len(seq_poses)} {seq_tag} frames "
                   f"({','.join(channels)}) to {args.out}/")
             if args.gif:
                 from PIL import Image
@@ -376,7 +420,7 @@ def main(argv=None) -> int:
                     )
                     for f in frames[gif_ch]
                 ]
-                gif = os.path.join(args.out, "orbit.gif")
+                gif = os.path.join(args.out, f"{seq_tag}.gif")
                 u8[0].save(
                     gif, save_all=True, append_images=u8[1:],
                     duration=100, loop=0,
