@@ -201,3 +201,37 @@ def test_default_opt_state_layout_is_stable():
     t_got = jax.tree.structure(got)
     t_ref = jax.tree.structure(ref)
     assert t_got == t_ref, (t_got, t_ref)
+
+
+def test_remat_is_semantically_invisible():
+    """train.remat (jax.checkpoint around the renderer) trades FLOPs for
+    activation memory; the training math must be identical."""
+    from tnerf.cameras import Rays, viewdirs_to_thetaphi
+    from tnerf.fields.nerf_field import NeRFField
+    from tnerf.render.renderer import make_uniform_renderer
+    from tnerf.train import RayBatch, init_train_state, make_train_step
+
+    cfg = Config().apply_overrides([
+        "field_.hidden_width=16", "field_.hidden_layers=1",
+        "field_.n_frequencies=2", "sampler.samples_per_ray=8",
+        "sampler.near=2.0", "sampler.far=5.5",
+    ])
+    field = NeRFField(cfg.field_, cfg.grid)
+    renderer = make_uniform_renderer(field, cfg.sampler, cfg.render)
+    opt = create_optimizer(cfg.train)
+    rng = np.random.default_rng(0)
+    o = np.array([[0.1, 0.0, -3.0]] * 8, np.float32)
+    d = np.array([[0.0, 0.0, 1.0]] * 8, np.float32)
+    rays = Rays(origins=jnp.asarray(o), directions=jnp.asarray(d),
+                viewdirs_tp=viewdirs_to_thetaphi(jnp.asarray(d)))
+    batch = RayBatch(rays=rays,
+                     gt_rgb=jnp.asarray(rng.uniform(0, 1, (8, 3)), jnp.float32))
+    outs = []
+    for remat in (False, True):
+        step = make_train_step(renderer, opt, remat=remat)
+        st = init_train_state(field, opt, 0)
+        st2, aux = step(st, batch, jax.random.PRNGKey(1))
+        outs.append((st2.params, float(aux["loss"])))
+    (p_a, l_a), (p_b, l_b) = outs
+    assert l_a == l_b
+    _allclose_tree(p_a, p_b, atol=1e-7)
