@@ -235,3 +235,52 @@ def test_remat_is_semantically_invisible():
     (p_a, l_a), (p_b, l_b) = outs
     assert l_a == l_b
     _allclose_tree(p_a, p_b, atol=1e-7)
+
+
+def test_interrupt_saves_checkpoint(tmp_path, monkeypatch):
+    """Ctrl-C mid-training persists the in-flight state before the
+    exception propagates, so train.resume continues from the interrupted
+    step (the reference's training state dies with the process)."""
+    import pytest
+
+    from tnerf.data.procedural import generate_procedural_scene
+    from tnerf.train import PixelSampler
+    from tnerf.train_loop import run_training
+    from tnerf.utils.checkpoint import latest_checkpoint
+
+    calls = {"n": 0}
+    orig = PixelSampler.sample
+
+    def interrupting(self, key, batch_size):
+        calls["n"] += 1
+        if calls["n"] > 7:
+            raise KeyboardInterrupt
+        return orig(self, key, batch_size)
+
+    monkeypatch.setattr(PixelSampler, "sample", interrupting)
+    scene = generate_procedural_scene(
+        width=24, height=24, n_train=3, n_val=0, n_test=1, n_samples=64
+    )
+    out = tmp_path / "run"
+    cfg = Config().apply_overrides([
+        "scene.kind=procedural", "scene.scene_scale=1.0",
+        "render.pipeline=grid_march",
+        "sampler.samples_per_ray=16", "sampler.near=2.0", "sampler.far=5.5",
+        "field_.hidden_width=16", "field_.hidden_layers=1",
+        "field_.n_frequencies=2",
+        "grid.resolution=8", "grid.warmup_steps=5", "grid.update_every=5",
+        "train.batch_size=128", "train.steps=50", "train.eval_every=0",
+        "train.checkpoint_every=0", "train.log_every=10",
+        f"logging.out_dir={out}", "render.chunk_size=576",
+    ])
+    with pytest.raises(KeyboardInterrupt):
+        run_training(cfg, datasets=scene)
+    found = latest_checkpoint(str(out / "checkpoints"))
+    assert found is not None
+    assert 0 < found[0] < 50
+    # and the interrupted run resumes cleanly from that step
+    monkeypatch.setattr(PixelSampler, "sample", orig)
+    m = run_training(
+        cfg.apply_overrides(["train.resume=true"]), datasets=scene
+    )
+    assert np.isfinite(m["psnr_test"])

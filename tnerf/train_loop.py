@@ -395,95 +395,111 @@ def run_training(
         # number — it amortizes dispatch instead of timing one step.
         window_t0 = time.perf_counter()
         window_steps = 0
-        for step in range(start_step, cfg.train.steps):
-            key, k_batch, k_render, k_occ = jax.random.split(key, 4)
-            if cfg.train.shuffle == "epoch":
-                epoch = step // steps_per_epoch
-                batch = sampler.sample_epoch(
-                    jax.random.fold_in(jax.random.PRNGKey(cfg.train.seed), epoch),
-                    jnp.asarray(step % steps_per_epoch),
-                    rays_per_step,
-                )
-            else:
-                batch = sampler.sample(k_batch, rays_per_step)
-            if mesh is not None:
-                batch = shard_batch(batch, mesh, cfg.parallel.axis_name)
-            step_args = (
-                (state, batch, k_render)
-                + ((occ_payload,) if use_grid else ())
-            )
-            state, aux = train_step(*step_args)
-            window_steps += 1
-            if (
-                use_grid
-                and step >= cfg.grid.warmup_steps
-                and step % cfg.grid.update_every == 0
-            ):
-                occ = update_occ(occ, state.params, k_occ)
-                occ_payload = renderer_payload(occ, cfg.sampler, cfg.grid)
-                occ_frac_host = float(occupancy_fraction(occ))
-                switch_frac_host = (
-                    float(cdf_frac_fn(batch.rays, occ_payload))
-                    if cdf_frac_fn is not None
-                    else occ_frac_host
-                )
-                compacted = switch_frac_host < compact_switch_frac
-                train_step = step_compact if compacted else step_dense
-                # Eval follows the same switch: once the pruned grid
-                # fits the compaction capacity, compacted rendering
-                # is exact (no overflow drops) and, for fields with
-                # an expensive per-sample encoding (hashgrid), ~5x
-                # faster than dense-masked eval.
-                if cfg.render.compact:
-                    renderer = renderer_compact if compacted else renderer_dense
-
-            if step % cfg.train.log_every == 0 or step == cfg.train.steps - 1:
-                jax.block_until_ready(aux["loss"])
-                sec = (time.perf_counter() - window_t0) / max(window_steps, 1)
-                loss_host = float(aux["loss"])
-                m = {
-                    "loss": loss_host,
-                    "train_psnr": float(aux["psnr"]),
-                    "acc_mean": float(aux["acc_mean"]),
-                    "rays_per_sec": rays_per_step / max(sec, 1e-9),
-                    "step_seconds": sec,
-                }
-                if occ is not None:
-                    m["occupancy_frac"] = float(occupancy_fraction(occ))
-                metrics.write(step, **m)
-                log.info(
-                    "step %d loss=%.5f psnr=%.2f rays/s=%.0f%s",
-                    step, m["loss"], m["train_psnr"], m["rays_per_sec"],
-                    f" occ={m['occupancy_frac']:.2f}" if occ is not None else "",
-                )
-                if not np.isfinite(loss_host):
-                    # advisory only — apply_if_finite already skipped the
-                    # bad update(s); detection granularity is log_every
-                    log.warning(
-                        "non-finite loss at step %d (update was skipped)", step
+        try:
+            for step in range(start_step, cfg.train.steps):
+                key, k_batch, k_render, k_occ = jax.random.split(key, 4)
+                if cfg.train.shuffle == "epoch":
+                    epoch = step // steps_per_epoch
+                    batch = sampler.sample_epoch(
+                        jax.random.fold_in(jax.random.PRNGKey(cfg.train.seed), epoch),
+                        jnp.asarray(step % steps_per_epoch),
+                        rays_per_step,
                     )
-                window_t0 = time.perf_counter()
-                window_steps = 0
-
-            did_barrier = False
-            if cfg.train.eval_every and (step + 1) % cfg.train.eval_every == 0:
-                em = _eval(cfg, renderer, state, occ, datasets, step, log,
-                           metrics, mesh=eval_mesh)
-                final_metrics.update(em)
-                best_psnr = _maybe_keep_best(
-                    cfg, em, state, occ, step + 1, best_psnr, log, metrics
+                else:
+                    batch = sampler.sample(k_batch, rays_per_step)
+                if mesh is not None:
+                    batch = shard_batch(batch, mesh, cfg.parallel.axis_name)
+                step_args = (
+                    (state, batch, k_render)
+                    + ((occ_payload,) if use_grid else ())
                 )
-                did_barrier = True
+                state, aux = train_step(*step_args)
+                window_steps += 1
+                if (
+                    use_grid
+                    and step >= cfg.grid.warmup_steps
+                    and step % cfg.grid.update_every == 0
+                ):
+                    occ = update_occ(occ, state.params, k_occ)
+                    occ_payload = renderer_payload(occ, cfg.sampler, cfg.grid)
+                    occ_frac_host = float(occupancy_fraction(occ))
+                    switch_frac_host = (
+                        float(cdf_frac_fn(batch.rays, occ_payload))
+                        if cdf_frac_fn is not None
+                        else occ_frac_host
+                    )
+                    compacted = switch_frac_host < compact_switch_frac
+                    train_step = step_compact if compacted else step_dense
+                    # Eval follows the same switch: once the pruned grid
+                    # fits the compaction capacity, compacted rendering
+                    # is exact (no overflow drops) and, for fields with
+                    # an expensive per-sample encoding (hashgrid), ~5x
+                    # faster than dense-masked eval.
+                    if cfg.render.compact:
+                        renderer = renderer_compact if compacted else renderer_dense
 
-            if cfg.train.checkpoint_every and (step + 1) % cfg.train.checkpoint_every == 0:
-                payload = (state, occ) if occ is not None else state
-                save_checkpoint(ckpt_dir, step + 1, payload)
-                did_barrier = True
-            if did_barrier:
-                # eval/checkpoint wall time must not pollute the rays/s window
-                window_t0 = time.perf_counter()
-                window_steps = 0
+                if step % cfg.train.log_every == 0 or step == cfg.train.steps - 1:
+                    jax.block_until_ready(aux["loss"])
+                    sec = (time.perf_counter() - window_t0) / max(window_steps, 1)
+                    loss_host = float(aux["loss"])
+                    m = {
+                        "loss": loss_host,
+                        "train_psnr": float(aux["psnr"]),
+                        "acc_mean": float(aux["acc_mean"]),
+                        "rays_per_sec": rays_per_step / max(sec, 1e-9),
+                        "step_seconds": sec,
+                    }
+                    if occ is not None:
+                        m["occupancy_frac"] = float(occupancy_fraction(occ))
+                    metrics.write(step, **m)
+                    log.info(
+                        "step %d loss=%.5f psnr=%.2f rays/s=%.0f%s",
+                        step, m["loss"], m["train_psnr"], m["rays_per_sec"],
+                        f" occ={m['occupancy_frac']:.2f}" if occ is not None else "",
+                    )
+                    if not np.isfinite(loss_host):
+                        # advisory only — apply_if_finite already skipped the
+                        # bad update(s); detection granularity is log_every
+                        log.warning(
+                            "non-finite loss at step %d (update was skipped)", step
+                        )
+                    window_t0 = time.perf_counter()
+                    window_steps = 0
 
+                did_barrier = False
+                if cfg.train.eval_every and (step + 1) % cfg.train.eval_every == 0:
+                    em = _eval(cfg, renderer, state, occ, datasets, step, log,
+                               metrics, mesh=eval_mesh)
+                    final_metrics.update(em)
+                    best_psnr = _maybe_keep_best(
+                        cfg, em, state, occ, step + 1, best_psnr, log, metrics
+                    )
+                    did_barrier = True
+
+                if cfg.train.checkpoint_every and (step + 1) % cfg.train.checkpoint_every == 0:
+                    payload = (state, occ) if occ is not None else state
+                    save_checkpoint(ckpt_dir, step + 1, payload)
+                    did_barrier = True
+                if did_barrier:
+                    # eval/checkpoint wall time must not pollute the rays/s window
+                    window_t0 = time.perf_counter()
+                    window_steps = 0
+
+        except KeyboardInterrupt:
+            # Interrupt-safe shutdown (a capability the reference
+            # lacks: its training state dies with the process,
+            # main.cu:328-342).  The loop variables in this scope
+            # hold the last completed step's state — persist it so
+            # train.resume continues from the interrupted step
+            # instead of the last periodic checkpoint.
+            payload = (state, occ) if occ is not None else state
+            save_checkpoint(ckpt_dir, step, payload)
+            log.warning(
+                "interrupted at step %d: checkpoint saved to %s "
+                "(continue with train.resume=true)", step, ckpt_dir,
+            )
+            metrics.close()
+            raise
     payload = (state, occ) if occ is not None else state
     save_checkpoint(ckpt_dir, cfg.train.steps, payload)
     em = _eval(cfg, renderer, state, occ, datasets, cfg.train.steps, log,
