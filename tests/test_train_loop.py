@@ -303,3 +303,43 @@ def test_acceptance_gate_raises_on_low_min_view():
         # evidence survives the failed gate
         assert os.path.exists(os.path.join(tmp, "checkpoints"))
         assert os.path.exists(os.path.join(tmp, "metrics.jsonl"))
+
+
+def test_run_dir_is_self_describing(tmp_path):
+    """run_training writes the resolved config.json into the run dir;
+    summarize_runs reads it back and the config reproduces the run
+    settings exactly."""
+    import json
+    import subprocess
+    import sys as _sys
+
+    from tnerf.config import Config
+    from tnerf.data.procedural import generate_procedural_scene
+    from tnerf.train_loop import run_training
+
+    scene = generate_procedural_scene(
+        width=24, height=24, n_train=2, n_val=0, n_test=1, n_samples=64
+    )
+    out = tmp_path / "run"
+    cfg = Config().apply_overrides([
+        "scene.kind=procedural", "scene.scene_scale=1.0",
+        "render.pipeline=grid_march",
+        "sampler.samples_per_ray=8", "sampler.near=2.0", "sampler.far=5.5",
+        "field_.hidden_width=16", "field_.hidden_layers=1",
+        "field_.n_frequencies=2",
+        "grid.resolution=8", "grid.warmup_steps=4", "grid.update_every=4",
+        "train.batch_size=64", "train.steps=8", "train.eval_every=0",
+        "train.checkpoint_every=0", "train.log_every=4",
+        f"logging.out_dir={out}", "render.chunk_size=576",
+    ])
+    run_training(cfg, datasets=scene)
+    assert Config.from_json_file(str(out / "config.json")) == cfg
+    # the summarizer renders a row for it
+    proc = subprocess.run(
+        [_sys.executable, "tools/summarize_runs.py", str(out)],
+        capture_output=True, text=True,
+    )
+    assert proc.returncode == 0, proc.stderr
+    assert "| run |" in proc.stdout and "run |" in proc.stdout
+    # config column present (truncated at 90 chars, so check an early knob)
+    assert "grid.resolution=8" in proc.stdout

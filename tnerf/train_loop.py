@@ -137,6 +137,11 @@ def run_training(
         jax.config.update("jax_debug_infs", True)
     out_dir = cfg.logging.out_dir
     os.makedirs(out_dir, exist_ok=True)
+    # Provenance: the resolved config rides with the run, so a run dir
+    # is self-describing (tools/summarize_runs.py, and `--config
+    # <run>/config.json` reproduces it).
+    with open(os.path.join(out_dir, "config.json"), "w") as fh:
+        fh.write(cfg.to_json())
     metrics = MetricsWriter(os.path.join(out_dir, cfg.logging.metrics_file))
 
     if datasets is None:
