@@ -158,3 +158,66 @@ def test_cli_render_channels(tmp_path):
     assert main([
         "render", "--path", str(badf), "--out", str(tmp_path / "y"), *base,
     ]) == 1
+
+
+def test_cli_suite_end_to_end(tmp_path, capsys):
+    """`tnerf suite` (BASELINE config 4 shape): evaluates each scene's
+    checkpoint from <out_dir>/<scene>/checkpoints against the test
+    split, honors proc_* scene knobs (regression: it regenerated GT at
+    library defaults), skips scenes without checkpoints, and prints the
+    summary JSON with mean PSNR."""
+    import json
+
+    from tnerf.cli import main
+
+    out_base = tmp_path / "suite"
+    base = [
+        "--override", "scene.kind=procedural",
+        "--override", "scene.scene_scale=1.0",
+        "--override", "scene.proc_width=24",
+        "--override", "scene.proc_height=24",
+        "--override", "scene.proc_n_train=2",
+        "--override", "scene.proc_n_val=0",
+        "--override", "scene.proc_n_test=1",
+        "--override", "render.pipeline=grid_march",
+        "--override", "sampler.samples_per_ray=8",
+        "--override", "sampler.near=2.0", "--override", "sampler.far=5.5",
+        "--override", "field_.hidden_width=16",
+        "--override", "field_.hidden_layers=1",
+        "--override", "field_.n_frequencies=2",
+        "--override", "grid.resolution=8",
+        "--override", "grid.warmup_steps=4",
+        "--override", "grid.update_every=4",
+        "--override", "train.batch_size=64",
+        "--override", "train.steps=8",
+        "--override", "train.eval_every=0",
+        "--override", "train.checkpoint_every=0",
+        "--override", "train.log_every=4",
+        "--override", "render.chunk_size=576",
+    ]
+    # train the 'prims' scene into the suite layout
+    assert main([
+        "train", "--override", "scene.name=prims",
+        "--override", f"logging.out_dir={out_base / 'prims'}", *base,
+    ]) == 0
+    rc = main([
+        "suite", "--scenes", "prims,missing_scene",
+        "--override", f"logging.out_dir={out_base}", *base,
+    ])
+    captured = capsys.readouterr()
+    assert rc == 0
+    # stdout also carries the train command's metrics JSON — the suite
+    # summary is the final blob
+    summary = json.loads(captured.out[captured.out.rfind('{\n  "scenes"'):])
+    assert "prims" in summary["scenes"]
+    assert "missing_scene" not in summary["scenes"]
+    assert np.isfinite(summary["mean_psnr_test"])
+    # proc_* knobs honored: the evaluated GT is the 24x24 export, so the
+    # suite render dir holds 24x24 images
+    from tnerf.data.png_io import read_png
+
+    import glob as _glob
+
+    renders = sorted(_glob.glob(str(out_base / "prims" / "suite_renders" / "*.png")))
+    assert renders
+    assert read_png(renders[0], channels=3).shape == (24, 24, 3)
