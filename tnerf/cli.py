@@ -293,12 +293,12 @@ def main(argv=None) -> int:
                   "(choose from rgb, depth, acc)", file=sys.stderr)
             return 1
 
-        def channel_image(res, ch, depth_range=None):
-            if ch == "depth":
-                near, far = depth_range if depth_range else (None, None)
-                return depth_image(res.depth, res.acc, near=near, far=far)
+        def channel_image(res, ch):
             return {
                 "rgb": lambda: res.rgb,
+                # single-image depth keeps per-image auto exposure; the
+                # orbit/path sequence path exposes globally instead
+                "depth": lambda: depth_image(res.depth, res.acc),
                 "acc": lambda: acc_image(res.acc),
             }[ch]()
 
@@ -332,12 +332,24 @@ def main(argv=None) -> int:
             # matrices, or {"poses": [...]} — same convention as the
             # dataset transforms
             seq_tag = "path"
-            with open(args.path) as fh:
-                d = json.load(fh)
-            pose_list = d["poses"] if isinstance(d, dict) else d
+            try:
+                with open(args.path) as fh:
+                    d = json.load(fh)
+            except (OSError, ValueError) as e:
+                print(f"error: cannot read poses from {args.path}: {e}",
+                      file=sys.stderr)
+                return 1
+            pose_list = d.get("poses") if isinstance(d, dict) else d
+            if not isinstance(pose_list, list):
+                print(f"error: {args.path} must be a JSON list of poses "
+                      "or {\"poses\": [...]}", file=sys.stderr)
+                return 1
             seq_poses = []
             for i, p in enumerate(pose_list):
-                m = np.asarray(p, np.float32)
+                try:
+                    m = np.asarray(p, np.float32)
+                except (ValueError, TypeError):
+                    m = np.zeros((0,), np.float32)  # ragged -> shape error below
                 if m.shape == (3, 4):
                     m = np.concatenate(
                         [m, np.asarray([[0, 0, 0, 1]], np.float32)]
@@ -360,7 +372,12 @@ def main(argv=None) -> int:
             from tnerf.render.renderer import render_image
 
             os.makedirs(args.out, exist_ok=True)
-            raws = []
+            # Non-depth channels convert per frame (no need to hold the
+            # full RenderResult for the whole sequence); depth keeps raw
+            # (depth, acc) planes because its exposure is a second,
+            # global pass.
+            frames = {ch: [] for ch in channels}
+            depth_raw = []
             for pose in seq_poses:
                 rays = camera_rays(
                     jax.numpy.asarray(pose), ds.width, ds.height, ds.focal,
@@ -371,32 +388,40 @@ def main(argv=None) -> int:
                     chunk_size=cfg.render.chunk_size, occupancy=payload,
                     mesh=mesh,
                 )
-                raws.append(jax.device_get(res))
-            # ONE depth exposure across the whole orbit: per-frame
-            # auto-exposure stretches each frame's own hit-depth range
-            # to full contrast, so the same world depth maps to
-            # different grays frame-to-frame and the turntable flickers
-            depth_range = None
+                res = jax.device_get(res)
+                for ch in channels:
+                    if ch != "depth":
+                        frames[ch].append(np.asarray(channel_image(res, ch)))
+                if "depth" in channels:
+                    depth_raw.append((
+                        np.asarray(res.depth, np.float32),
+                        np.asarray(res.acc, np.float32),
+                    ))
             if "depth" in channels:
-                nears, fars = [], []
-                for r in raws:
-                    acc = np.asarray(r.acc, np.float32)
-                    hit = acc > 0.1
+                # ONE depth exposure across the whole sequence: per-frame
+                # auto-exposure stretches each frame's own hit-depth
+                # range to full contrast, so the same world depth maps to
+                # different grays frame-to-frame and the turntable
+                # flickers.  hit_depths is the same normalization
+                # depth_image applies.
+                from tnerf.eval import hit_depths
+
+                t_all = []
+                for dep, acc in depth_raw:
+                    hit, th = hit_depths(dep, acc)
                     if hit.any():
-                        th = (
-                            np.asarray(r.depth, np.float32)[hit]
-                            / np.maximum(acc[hit], 1e-6)
-                        )
-                        nears.append(float(th.min()))
-                        fars.append(float(th.max()))
-                depth_range = (min(nears), max(fars)) if nears else (0.0, 1.0)
-            frames = {
-                ch: [
-                    np.asarray(channel_image(r, ch, depth_range))
-                    for r in raws
+                        t_all.append((float(th[hit].min()),
+                                      float(th[hit].max())))
+                depth_range = (
+                    (min(n for n, _ in t_all), max(f for _, f in t_all))
+                    if t_all else (0.0, 1.0)
+                )
+                frames["depth"] = [
+                    np.asarray(depth_image(
+                        dep, acc, near=depth_range[0], far=depth_range[1]
+                    ))
+                    for dep, acc in depth_raw
                 ]
-                for ch in channels
-            }
             for ch in channels:
                 # rgb keeps the bare <tag>_###.png names; extra channels
                 # get a suffix, mirroring the dataset-pose naming

@@ -91,6 +91,19 @@ def render_dataset_view(
     ).rgb
 
 
+def hit_depths(
+    depth: np.ndarray, acc: np.ndarray, acc_threshold: float = 0.1
+) -> tuple:
+    """(hit_mask, E[t | hit]) per pixel — the opacity normalization and
+    hit test shared by depth_image and the CLI's global orbit/path
+    exposure pass (one definition, so the exposure range is always
+    computed over exactly the pixels depth_image maps)."""
+    depth = np.asarray(depth, np.float32)
+    acc = np.asarray(acc, np.float32)
+    hit = acc > acc_threshold
+    return hit, np.where(hit, depth / np.maximum(acc, 1e-6), 0.0)
+
+
 def depth_image(
     depth: np.ndarray,
     acc: np.ndarray,
@@ -108,10 +121,7 @@ def depth_image(
     the rest are treated as background.  With no explicit [near, far],
     the range is the opaque pixels' min/max (full-contrast auto
     exposure)."""
-    depth = np.asarray(depth, np.float32)
-    acc = np.asarray(acc, np.float32)
-    hit = acc > acc_threshold
-    t_hit = np.where(hit, depth / np.maximum(acc, 1e-6), 0.0)
+    hit, t_hit = hit_depths(depth, acc, acc_threshold)
     if near is None:
         near = float(t_hit[hit].min()) if hit.any() else 0.0
     if far is None:

@@ -139,9 +139,13 @@ def run_training(
     os.makedirs(out_dir, exist_ok=True)
     # Provenance: the resolved config rides with the run, so a run dir
     # is self-describing (tools/summarize_runs.py, and `--config
-    # <run>/config.json` reproduces it).
-    with open(os.path.join(out_dir, "config.json"), "w") as fh:
-        fh.write(cfg.to_json())
+    # <run>/config.json` reproduces it).  resume is forced off in the
+    # written copy — it is run-lifecycle state, not part of the
+    # experiment definition — and a resumed run keeps the original file.
+    prov = os.path.join(out_dir, "config.json")
+    if not (cfg.train.resume and os.path.exists(prov)):
+        with open(prov, "w") as fh:
+            fh.write(cfg.apply_overrides(["train.resume=false"]).to_json())
     metrics = MetricsWriter(os.path.join(out_dir, cfg.logging.metrics_file))
 
     if datasets is None:
@@ -400,6 +404,10 @@ def run_training(
         # number — it amortizes dispatch instead of timing one step.
         window_t0 = time.perf_counter()
         window_steps = 0
+        # pre-bind for the interrupt handler: an interrupt before the
+        # first loop iteration (or an already-complete resume) must not
+        # hit an unbound loop variable
+        step = start_step
         try:
             for step in range(start_step, cfg.train.steps):
                 key, k_batch, k_render, k_occ = jax.random.split(key, 4)

@@ -78,11 +78,14 @@ def main(argv: list[str]) -> int:
     for root in roots:
         if os.path.isfile(os.path.join(root, "metrics.jsonl")):
             candidates = [root]
-        else:
+        elif os.path.isdir(root):
             candidates = sorted(
                 os.path.join(root, d) for d in os.listdir(root)
                 if os.path.isdir(os.path.join(root, d))
             )
+        else:
+            print(f"warning: {root} is not a directory", file=sys.stderr)
+            candidates = []
         for c in candidates:
             s = summarize_run(c)
             if s is not None:
