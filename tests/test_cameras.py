@@ -105,3 +105,50 @@ def test_orbit_poses_geometry():
     np.testing.assert_allclose(
         np.einsum("nij,nkj->nik", R, R), np.broadcast_to(np.eye(3), (n, 3, 3)), atol=1e-5
     )
+
+
+def test_scalar_focal_equals_expanded_intrinsics():
+    """The scalar-focal camera is bit-identical to the 4-tuple
+    (f, f, W/2, H/2) form — the intrinsics generalization must not
+    perturb the reference camera model by even an ulp."""
+    import jax.numpy as jnp
+
+    from tnerf.cameras import camera_rays, pixel_rays
+
+    pose = np.eye(4, dtype=np.float32)
+    pose[:3, 3] = [0.2, -0.1, 2.5]
+    W, H, f = 9, 7, 11.0
+    a = camera_rays(jnp.asarray(pose), W, H, f)
+    b = camera_rays(jnp.asarray(pose), W, H, (f, f, W / 2, H / 2))
+    np.testing.assert_array_equal(np.asarray(a.directions),
+                                  np.asarray(b.directions))
+    pix = jnp.asarray([[0.0, 0.0], [4.0, 3.0], [8.0, 6.0]], np.float32)
+    poses = jnp.asarray(np.stack([pose] * 3))
+    pa = pixel_rays(poses, pix, W, H, f)
+    pb = pixel_rays(poses, pix, W, H, (f, f, W / 2, H / 2))
+    np.testing.assert_array_equal(np.asarray(pa.directions),
+                                  np.asarray(pb.directions))
+
+
+def test_full_intrinsics_principal_point_and_anisotropy():
+    """With (fx, fy, cx, cy): the pixel whose center sits at (cx, cy)
+    looks straight down -z, and fy scales vertical offsets independently
+    of fx."""
+    import jax.numpy as jnp
+
+    from tnerf.cameras import camera_rays, resolve_intrinsics
+
+    W, H = 8, 8
+    fx, fy, cx, cy = 10.0, 20.0, 3.5, 5.5  # pixel (3,5) center on-axis
+    rays = camera_rays(jnp.asarray(np.eye(4, dtype=np.float32)), W, H,
+                       (fx, fy, cx, cy))
+    d = np.asarray(rays.directions)  # [H, W, 3]
+    np.testing.assert_allclose(d[5, 3], [0.0, 0.0, -1.0], atol=1e-7)
+    # one pixel right of axis: x offset 1/fx; one pixel down: y = +1/fy
+    # (image rows grow downward; camera +y is up)
+    dr = d[5, 4] / -d[5, 4][2]
+    np.testing.assert_allclose(dr[0], 1.0 / fx, rtol=1e-5)
+    dd = d[6, 3] / -d[6, 3][2]
+    np.testing.assert_allclose(dd[1], -1.0 / fy, rtol=1e-5)
+    # scalar expansion helper
+    assert resolve_intrinsics(10, 6, 4.0) == (4.0, 4.0, 5.0, 3.0)

@@ -5,7 +5,7 @@ import numpy as np
 import pytest
 
 from tnerf.config import Config
-from tnerf.data.dataset import SYNTHETIC_SCENES, load_data
+from tnerf.data.dataset import SYNTHETIC_SCENES, load_data, load_images_json
 from tnerf.data.procedural import (
     export_nerf_synthetic_format,
     generate_procedural_scene,
@@ -126,3 +126,81 @@ def test_unknown_procedural_scene_errors():
 
     with pytest.raises(ValueError, match="unknown procedural scene"):
         generate_procedural_scene("nope", n_train=1)
+
+
+def test_ngp_style_transforms_load(tiny_scene, tmp_path):
+    """instant-ngp-style transforms (fl_x/fl_y/cx/cy instead of
+    camera_angle_x) load through the same reader: centered isotropic
+    intrinsics degenerate to the scalar-focal camera; off-center or
+    anisotropic ones surface as dataset.intrinsics and flow into ray
+    generation via dataset.camera."""
+    import json
+    import shutil
+
+    from tnerf.cameras import camera_rays
+
+    scene_dir = tmp_path / "ngp"
+    export_nerf_synthetic_format(tiny_scene, str(scene_dir))
+    orig = tiny_scene["train"]
+    w = h = orig.width
+
+    def rewrite(extra):
+        for split in ("train", "val", "test"):
+            p = scene_dir / f"transforms_{split}.json"
+            meta = json.loads(p.read_text())
+            meta.pop("camera_angle_x", None)
+            meta.update(extra)
+            p.write_text(json.dumps(meta))
+
+    # centered isotropic ngp intrinsics == the scalar camera
+    rewrite({"fl_x": float(orig.focal)})
+    ds = load_images_json(str(scene_dir), "train")
+    assert ds.intrinsics is None
+    assert abs(ds.focal - orig.focal) < 1e-6
+    assert np.isscalar(ds.camera) or isinstance(ds.camera, float)
+
+    # off-center anisotropic intrinsics surface as the 4-tuple
+    # half-integer principal point => a pixel CENTER sits exactly on-axis
+    intr = {"fl_x": 40.0, "fl_y": 44.0, "cx": w / 2 + 1.5, "cy": h / 2 - 2.5}
+    rewrite(intr)
+    ds2 = load_images_json(str(scene_dir), "train")
+    assert ds2.intrinsics == (40.0, 44.0, intr["cx"], intr["cy"])
+    assert ds2.focal == 40.0
+    # rays generated from dataset.camera use the principal point: the
+    # on-axis direction sits at (cx, cy), not the image center
+    rays = camera_rays(np.eye(4, dtype=np.float32), ds2.width, ds2.height,
+                       ds2.camera)
+    d = np.asarray(rays.directions)
+    iy, ix = int(intr["cy"] - 0.5), int(intr["cx"] - 0.5)
+    np.testing.assert_allclose(d[iy, ix], [0, 0, -1.0], atol=1e-7)
+
+    # a transforms file with neither key fails fast
+    for split in ("train",):
+        p = scene_dir / f"transforms_{split}.json"
+        meta = json.loads(p.read_text())
+        for k in ("fl_x", "fl_y", "cx", "cy"):
+            meta.pop(k, None)
+        p.write_text(json.dumps(meta))
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="camera_angle_x"):
+        load_images_json(str(scene_dir), "train")
+
+
+def test_ngp_intrinsics_downscale(tiny_scene, tmp_path):
+    """Intrinsics are stated at the original resolution; a downscaled
+    load divides fx/fy/cx/cy with the image dimensions."""
+    import json
+
+    scene_dir = tmp_path / "ngp2"
+    export_nerf_synthetic_format(tiny_scene, str(scene_dir))
+    orig = tiny_scene["train"]
+    w = h = orig.width
+    p = scene_dir / "transforms_train.json"
+    meta = json.loads(p.read_text())
+    meta.pop("camera_angle_x")
+    meta.update({"fl_x": 40.0, "fl_y": 44.0, "cx": w / 2 + 2.0, "cy": h / 2})
+    p.write_text(json.dumps(meta))
+    ds = load_images_json(str(scene_dir), "train", downscale=2)
+    assert ds.width == w // 2
+    assert ds.intrinsics == (20.0, 22.0, w / 4 + 1.0, h / 4)

@@ -44,17 +44,37 @@ def focal_from_angle(width: int, camera_angle_x: float) -> float:
     return 0.5 * float(width) / math.tan(0.5 * float(camera_angle_x))
 
 
-def pixel_directions_cam(width: int, height: int, focal_px: float) -> jnp.ndarray:
+def resolve_intrinsics(width: int, height: int, focal) -> tuple:
+    """(fx, fy, cx, cy) from either a scalar pixel focal (centered
+    isotropic pinhole — the reference / NeRF-synthetic camera model) or
+    a 4-tuple (fx, fy, cx, cy) (instant-ngp-style transforms.json with
+    fl_x/fl_y/cx/cy).  The scalar form expands to cx = W/2, cy = H/2,
+    bit-identical to the pre-intrinsics arithmetic."""
+    if isinstance(focal, (tuple, list)):
+        if len(focal) != 4:
+            raise ValueError(
+                f"focal tuple must be (fx, fy, cx, cy), got {focal!r}"
+            )
+        fx, fy, cx, cy = (float(v) for v in focal)
+        return fx, fy, cx, cy
+    # scalar path stays symbolic: callers jit over a traced focal (the
+    # procedural GT renderer), so no float() coercion here
+    return focal, focal, 0.5 * width, 0.5 * height
+
+
+def pixel_directions_cam(width: int, height: int, focal_px) -> jnp.ndarray:
     """[H, W, 3] camera-space ray directions (not normalized).
 
     NeRF convention: +x right, +y up, camera looks down -z; pixel centers
-    at half-integer coordinates.
+    at half-integer coordinates.  focal_px: scalar or (fx, fy, cx, cy)
+    (see resolve_intrinsics).
     """
+    fx, fy, cx, cy = resolve_intrinsics(width, height, focal_px)
     i = jnp.arange(width, dtype=jnp.float32) + 0.5
     j = jnp.arange(height, dtype=jnp.float32) + 0.5
     ii, jj = jnp.meshgrid(i, j, indexing="xy")  # [H, W]
-    x = (ii - 0.5 * width) / focal_px
-    y = -(jj - 0.5 * height) / focal_px
+    x = (ii - cx) / fx
+    y = -(jj - cy) / fy
     z = -jnp.ones_like(x)
     return jnp.stack([x, y, z], axis=-1)
 
@@ -123,9 +143,11 @@ def pixel_rays(
     poses:  [B, 4, 4] camera-to-world (already gathered per ray)
     pix_xy: [B, 2] float pixel coordinates (x=col, y=row), pixel centers
             at +0.5 like :func:`pixel_directions_cam`.
+    focal_px: scalar or (fx, fy, cx, cy) — see resolve_intrinsics.
     """
-    x = (pix_xy[..., 0] + 0.5 - 0.5 * width) / focal_px
-    y = -(pix_xy[..., 1] + 0.5 - 0.5 * height) / focal_px
+    fx, fy, cx, cy = resolve_intrinsics(width, height, focal_px)
+    x = (pix_xy[..., 0] + 0.5 - cx) / fx
+    y = -(pix_xy[..., 1] + 0.5 - cy) / fy
     z = -jnp.ones_like(x)
     dirs_cam = jnp.stack([x, y, z], axis=-1)  # [B, 3]
     # fp32-exact rotation apply (see note in camera_rays re matmul precision)

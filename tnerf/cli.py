@@ -230,7 +230,7 @@ def main(argv=None) -> int:
         ds0 = next(iter(datasets.values()))
         probe_rays = camera_rays(
             jax.numpy.asarray(ds0.poses[0]), ds0.width, ds0.height,
-            ds0.focal, cfg.scene.scene_scale,
+            ds0.camera, cfg.scene.scene_scale,
         )
     kf = 1.0
     if guard_on:
@@ -380,8 +380,8 @@ def main(argv=None) -> int:
             depth_raw = []
             for pose in seq_poses:
                 rays = camera_rays(
-                    jax.numpy.asarray(pose), ds.width, ds.height, ds.focal,
-                    cfg.scene.scene_scale,
+                    jax.numpy.asarray(pose), ds.width, ds.height,
+                    ds.camera, cfg.scene.scene_scale,
                 )
                 res = render_image(
                     renderer, state.params, rays,

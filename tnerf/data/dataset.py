@@ -37,13 +37,24 @@ class ImageDataset:
 
     images: np.ndarray   # [N, H, W, C] float32 in [0,1]
     poses: np.ndarray    # [N, 4, 4] float32 camera-to-world
-    focal: float         # pixels
+    focal: float         # pixels (fx; scalar proxy even when intrinsics set)
     width: int
     height: int
     channels: int
     split: str = "train"
     # Per-view [near, far] depth bounds (LLFF); None for synthetic scenes.
     near_far: "np.ndarray | None" = None
+    # Full pinhole intrinsics (fx, fy, cx, cy) for instant-ngp-style
+    # transforms (fl_x/fl_y/cx/cy); None = centered isotropic pinhole
+    # described by `focal` (the reference's camera model).
+    intrinsics: "tuple | None" = None
+
+    @property
+    def camera(self):
+        """What camera_rays/pixel_rays take as `focal_px`: the (fx, fy,
+        cx, cy) tuple when the scene carries full intrinsics, else the
+        scalar focal."""
+        return self.intrinsics if self.intrinsics is not None else self.focal
 
     def __len__(self) -> int:
         return self.images.shape[0]
@@ -68,7 +79,11 @@ def load_images_json(
     tf_path = os.path.join(scene_dir, f"transforms_{split}.json")
     with open(tf_path) as fh:
         meta = json.load(fh)
-    camera_angle_x = float(meta["camera_angle_x"])
+    if "camera_angle_x" not in meta and "fl_x" not in meta:
+        raise ValueError(
+            f"{tf_path} has neither camera_angle_x (NeRF-synthetic) nor "
+            "fl_x (instant-ngp style) — cannot derive a camera"
+        )
     paths: List[str] = []
     poses: List[np.ndarray] = []
     for frame in meta["frames"]:
@@ -102,10 +117,27 @@ def load_images_json(
         ).mean(axis=(2, 4))
     poses_arr = np.stack(poses)
     h, w = images_arr.shape[1:3]
-    focal = focal_from_angle(w, camera_angle_x)
+    intrinsics = None
+    if "fl_x" in meta:
+        # instant-ngp-style transforms: explicit pixel intrinsics,
+        # optionally anisotropic / off-center.  Values are stated at the
+        # ORIGINAL resolution; a downscaled load divides them along with
+        # the image dimensions.
+        fx = float(meta["fl_x"])
+        fy = float(meta.get("fl_y", fx))
+        cx = float(meta.get("cx", 0.5 * w * downscale))
+        cy = float(meta.get("cy", 0.5 * h * downscale))
+        d = float(max(downscale, 1))
+        fx, fy, cx, cy = fx / d, fy / d, cx / d, cy / d
+        focal = fx
+        if not (fx == fy and cx == 0.5 * w and cy == 0.5 * h):
+            intrinsics = (fx, fy, cx, cy)
+    else:
+        focal = focal_from_angle(w, float(meta["camera_angle_x"]))
     return ImageDataset(
         images=images_arr, poses=poses_arr, focal=focal,
         width=w, height=h, channels=images_arr.shape[-1], split=split,
+        intrinsics=intrinsics,
     )
 
 

@@ -65,7 +65,7 @@ def render_dataset_view_result(
         jax.numpy.asarray(dataset.poses[index]),
         dataset.width,
         dataset.height,
-        dataset.focal,
+        dataset.camera,
         scene_scale,
     )
     res = render_image(

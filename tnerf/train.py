@@ -117,6 +117,8 @@ class PixelSampler:
         self.width = dataset.width
         self.height = dataset.height
         self.focal = float(dataset.focal)
+        # scalar focal, or (fx, fy, cx, cy) for full-intrinsics scenes
+        self.camera = dataset.camera
         self.scene_scale = float(scene_scale)
 
     @partial(jax.jit, static_argnames=("self", "batch_size"))
@@ -171,7 +173,7 @@ class PixelSampler:
         poses = self.poses[img]
         pix = jnp.stack([x.astype(jnp.float32), y.astype(jnp.float32)], axis=-1)
         rays = pixel_rays(
-            poses, pix, self.width, self.height, self.focal, self.scene_scale
+            poses, pix, self.width, self.height, self.camera, self.scene_scale
         )
         return RayBatch(rays=rays, gt_rgb=gt)
 
