@@ -204,3 +204,38 @@ def test_ngp_intrinsics_downscale(tiny_scene, tmp_path):
     ds = load_images_json(str(scene_dir), "train", downscale=2)
     assert ds.width == w // 2
     assert ds.intrinsics == (20.0, 22.0, w / 4 + 1.0, h / 4)
+
+
+def test_jpeg_frames_load_through_reader(tiny_scene, tmp_path):
+    """transforms frames with explicit .jpg extensions (common in
+    instant-ngp datasets) load through the reader: the native PNG
+    decoder declines them and the PIL fallback decodes — pinned so the
+    fallback chain can't silently regress to an error or garbage."""
+    import json
+    import os
+
+    from PIL import Image
+
+    from tnerf.data.dataset import load_images_json
+    from tnerf.data.procedural import export_nerf_synthetic_format
+
+    sdir = tmp_path / "jpgscene"
+    export_nerf_synthetic_format(tiny_scene, str(sdir))
+    meta = json.loads((sdir / "transforms_train.json").read_text())
+    for fr in meta["frames"]:
+        p = os.path.join(sdir, fr["file_path"])
+        if not os.path.splitext(p)[1]:
+            p += ".png"
+        img = Image.open(p).convert("RGBA")
+        bg = Image.new("RGBA", img.size, (255, 255, 255, 255))
+        j = os.path.splitext(p)[0] + ".jpg"
+        Image.alpha_composite(bg, img).convert("RGB").save(j, quality=95)
+        fr["file_path"] = os.path.relpath(j, sdir)
+    (sdir / "transforms_train.json").write_text(json.dumps(meta))
+    ds = load_images_json(str(sdir), "train")
+    assert ds.images.shape[:1] == (len(meta["frames"]),)
+    got = ds.composited(white_background=True)
+    ref = tiny_scene["train"].images
+    # jpg is lossy; the mean error bounds decode correctness, not codec
+    # quality (max single-pixel error can be large at sharp edges)
+    assert float(np.abs(got - ref).mean()) < 0.05
