@@ -95,3 +95,81 @@ def test_export_llff_roundtrip(tmp_path):
             d.images[..., :3], images[idx], atol=1.0 / 255.0 + 1e-6
         )
         np.testing.assert_allclose(d.near_far, [[1.5, 6.0]] * len(idx))
+
+
+def test_auto_near_far_from_llff_bounds(tmp_path):
+    """sampler.near/far = -1 derives the t-range from the LLFF depth
+    bounds (0.9*min, 1.1*max, scene_scale units); scenes without bounds
+    reject the auto setting."""
+    import pytest
+
+    from tnerf.config import Config
+    from tnerf.data.dataset import ImageDataset
+    from tnerf.data.procedural import export_llff_format, frontal_poses
+    from tnerf.train_loop import resolve_near_far
+
+    rng = np.random.default_rng(7)
+    n, w, h = 4, 16, 12
+    ds = ImageDataset(
+        images=rng.uniform(0, 1, (n, h, w, 3)).astype(np.float32),
+        poses=frontal_poses(n, seed=1).astype(np.float32), focal=20.0,
+        width=w, height=h, channels=3, split="all",
+    )
+    export_llff_format(ds, str(tmp_path / "ff"), near=2.0, far=5.0)
+    out = load_data("llff", "ff", root=str(tmp_path))
+
+    cfg = Config().apply_overrides([
+        "sampler.near=-1", "sampler.far=-1", "scene.scene_scale=0.5",
+    ])
+    r = resolve_near_far(cfg, out["train"])
+    np.testing.assert_allclose(r.sampler.near, 0.9 * 2.0 * 0.5, rtol=1e-6)
+    np.testing.assert_allclose(r.sampler.far, 1.1 * 5.0 * 0.5, rtol=1e-6)
+    # one-sided auto keeps the explicit side
+    r2 = resolve_near_far(
+        cfg.apply_overrides(["sampler.near=0.3"]), out["train"]
+    )
+    assert r2.sampler.near == 0.3
+    np.testing.assert_allclose(r2.sampler.far, 1.1 * 5.0 * 0.5, rtol=1e-6)
+    # both explicit: no-op (returns cfg unchanged)
+    explicit = Config().apply_overrides(["sampler.near=1.0", "sampler.far=2.0"])
+    assert resolve_near_far(explicit, out["train"]) is explicit
+    # scene without bounds rejects auto
+    no_bounds = ImageDataset(
+        images=ds.images, poses=ds.poses, focal=20.0,
+        width=w, height=h, channels=3,
+    )
+    with pytest.raises(ValueError, match="depth bounds"):
+        resolve_near_far(cfg, no_bounds)
+
+
+def test_llff_training_with_auto_near_far(tmp_path):
+    """End-to-end: train on an LLFF export with sampler.near/far=-1 —
+    the resolved range flows into every renderer (train + eval)."""
+    from tnerf.config import Config
+    from tnerf.data.dataset import ImageDataset
+    from tnerf.data.procedural import export_llff_format, frontal_poses
+    from tnerf.train_loop import run_training
+
+    rng = np.random.default_rng(11)
+    n, w, h = 5, 16, 12
+    ds = ImageDataset(
+        images=rng.uniform(0, 1, (n, h, w, 3)).astype(np.float32),
+        poses=frontal_poses(n, seed=2).astype(np.float32), focal=20.0,
+        width=w, height=h, channels=3, split="all",
+    )
+    export_llff_format(ds, str(tmp_path / "ff"), near=1.0, far=4.0)
+    cfg = Config().apply_overrides([
+        "scene.kind=llff", "scene.name=ff", f"scene.root={tmp_path}",
+        "scene.scene_scale=1.0", "scene.white_background=false",
+        "render.white_background=false",
+        "render.pipeline=grid_march",
+        "sampler.samples_per_ray=8", "sampler.near=-1", "sampler.far=-1",
+        "field_.hidden_width=16", "field_.hidden_layers=1",
+        "field_.n_frequencies=2",
+        "grid.resolution=8", "grid.warmup_steps=4", "grid.update_every=4",
+        "train.batch_size=64", "train.steps=8", "train.eval_every=0",
+        "train.checkpoint_every=0", "train.log_every=4",
+        f"logging.out_dir={tmp_path / 'run'}", "render.chunk_size=576",
+    ])
+    m = run_training(cfg)
+    assert np.isfinite(m["psnr_test"])

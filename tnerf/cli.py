@@ -181,8 +181,17 @@ def main(argv=None) -> int:
     )
     from tnerf.grid.occupancy import init_occupancy, renderer_payload
     from tnerf.train import create_optimizer, init_train_state
-    from tnerf.train_loop import build_field, build_renderer
+    from tnerf.train_loop import build_field, build_renderer, resolve_near_far
 
+    # data first: sampler.near/far = -1 (auto) resolves from the
+    # dataset's depth bounds BEFORE any renderer is built
+    validate_scene_background(cfg.scene.kind, cfg.scene.name, cfg.scene.white_background)
+    datasets = load_data(
+        cfg.scene.kind, cfg.scene.name, root=cfg.scene.root,
+        srgb_to_linear=cfg.scene.srgb_to_linear, downscale=cfg.scene.downscale,
+        proc=scene_proc_kwargs(cfg.scene),
+    )
+    cfg = resolve_near_far(cfg, next(iter(datasets.values())))
     field = build_field(cfg)
     renderer = build_renderer(cfg, field, for_eval=True)
     optimizer = create_optimizer(cfg.train)
@@ -199,12 +208,6 @@ def main(argv=None) -> int:
     # renderers consume (density EMA under density_cdf placement).
     bits = occ.bitfield if occ is not None else None
     payload = renderer_payload(occ, cfg.sampler, cfg.grid)
-    validate_scene_background(cfg.scene.kind, cfg.scene.name, cfg.scene.white_background)
-    datasets = load_data(
-        cfg.scene.kind, cfg.scene.name, root=cfg.scene.root,
-        srgb_to_linear=cfg.scene.srgb_to_linear, downscale=cfg.scene.downscale,
-        proc=scene_proc_kwargs(cfg.scene),
-    )
     # Capacity guard: the keep fraction depends on the RESTORED
     # occupancy (trained EMA grids are much fatter than analytic
     # ones); kept rays beyond ray_compact_fraction silently render
@@ -537,7 +540,7 @@ def _run_suite(cfg, scenes) -> int:
     from tnerf.eval import evaluate
     from tnerf.grid.occupancy import init_occupancy, renderer_payload
     from tnerf.train import create_optimizer, init_train_state
-    from tnerf.train_loop import build_field, build_renderer
+    from tnerf.train_loop import build_field, build_renderer, resolve_near_far
 
     results = {}
     for scene in scenes:
@@ -557,6 +560,7 @@ def _run_suite(cfg, scenes) -> int:
         except (FileNotFoundError, ValueError) as e:
             print(f"{scene}: SKIP (no data: {e})", file=sys.stderr)
             continue
+        scfg = resolve_near_far(scfg, datasets["test"])
         field = build_field(scfg)
         renderer = build_renderer(scfg, field, compact=False, for_eval=True)
         optimizer = create_optimizer(scfg.train)

@@ -121,6 +121,10 @@ class SamplerConfig:
     # Fixed-count ray-marching path (TPU-native fast path; the reference's
     # dead "ray sample" OptiX pipeline #2 intended exactly this fusion).
     samples_per_ray: int = 96
+    # Ray t-range.  -1 = derive from the dataset's per-view depth
+    # bounds (LLFF poses_bounds): near = 0.9*min, far = 1.1*max, in
+    # scene_scale units — the standard LLFF recipe
+    # (train_loop.resolve_near_far).  Scenes without bounds reject -1.
     near: float = 0.05
     far: float = 4.0
     # Occupancy-aware per-ray range tightening (grid_march): probe the

@@ -126,6 +126,28 @@ def build_renderer(
     raise ValueError(f"unknown render pipeline {p!r}")
 
 
+def resolve_near_far(cfg: Config, dataset: ImageDataset) -> Config:
+    """Resolve sampler.near/far = -1 (auto) from the dataset's per-view
+    depth bounds (LLFF poses_bounds): near = 0.9*min, far = 1.1*max, in
+    scene_scale units — the standard LLFF recipe.  No-op when both are
+    explicit; scenes without bounds reject the auto setting."""
+    if cfg.sampler.near >= 0 and cfg.sampler.far >= 0:
+        return cfg
+    if dataset.near_far is None:
+        raise ValueError(
+            "sampler.near/far=-1 (auto) needs a dataset with per-view "
+            "depth bounds (LLFF poses_bounds); this scene has none — "
+            "set explicit sampler.near and sampler.far"
+        )
+    lo = float(np.min(dataset.near_far)) * cfg.scene.scene_scale
+    hi = float(np.max(dataset.near_far)) * cfg.scene.scene_scale
+    near = 0.9 * lo if cfg.sampler.near < 0 else cfg.sampler.near
+    far = 1.1 * hi if cfg.sampler.far < 0 else cfg.sampler.far
+    return dataclasses.replace(
+        cfg, sampler=dataclasses.replace(cfg.sampler, near=near, far=far)
+    )
+
+
 def run_training(
     cfg: Config,
     datasets: Optional[Dict[str, ImageDataset]] = None,
@@ -163,6 +185,12 @@ def run_training(
         cfg.scene.kind, cfg.scene.name, len(train_ds),
         train_ds.width, train_ds.height, train_ds.focal,
     )
+    if cfg.sampler.near < 0 or cfg.sampler.far < 0:
+        cfg = resolve_near_far(cfg, train_ds)
+        log.info(
+            "auto near/far from dataset bounds: [%.3f, %.3f]",
+            cfg.sampler.near, cfg.sampler.far,
+        )
 
     # --- device mesh (SURVEY §2.4: shard rays, replicate params, XLA
     # all-reduces grads over ICI from the sharding constraints; optional
