@@ -584,6 +584,7 @@ def gate_metrics() -> dict:
         if not os.path.exists(path):
             continue
         last = {}
+        rates = []
         with open(path) as fh:
             for line in fh:
                 try:
@@ -592,10 +593,21 @@ def gate_metrics() -> dict:
                     continue
                 if "psnr_test" in rec:
                     last = rec
+                if "rays_per_sec" in rec:
+                    rates.append(float(rec["rays_per_sec"]))
         if last:
             out[f"{name}_psnr_test"] = round(last["psnr_test"], 2)
             if "psnr_test_min" in last:
                 out[f"{name}_psnr_test_min"] = round(last["psnr_test_min"], 2)
+        if rates:
+            # REAL-loop training throughput of record: median of the
+            # second half of the run's logged window rates (skips the
+            # compile-dominated early windows; async dispatch makes each
+            # sample a multi-step window average, not one-step timing)
+            tail = sorted(rates[len(rates) // 2:])
+            out[f"{name}_loop_krays_per_sec"] = round(
+                tail[len(tail) // 2] / 1e3, 1
+            )
 
     # Same-checkpoint march-vs-fused parity (north-star clause): the
     # committed artifact tools/render_parity.py writes — full test split
