@@ -4,7 +4,7 @@ Everything here is the public API documented in docs/API.md; the CLI
 (`python -m tnerf.cli`) wraps the same calls.  Runs hermetically (the
 procedural scene needs no dataset on disk) on CPU or TPU:
 
-    python examples/train_and_render.py [out_dir]
+    python examples/train_and_render.py [out_dir] [steps]
 """
 
 import sys
@@ -18,6 +18,7 @@ from tnerf.eval import depth_image, render_dataset_view_result
 from tnerf.train_loop import run_training
 
 out_dir = sys.argv[1] if len(sys.argv) > 1 else "./runs/example"
+steps = int(sys.argv[2]) if len(sys.argv) > 2 else 500
 
 # 1. configure: start from defaults, override like the CLI's -o flags
 cfg = Config().apply_overrides([
@@ -25,8 +26,10 @@ cfg = Config().apply_overrides([
     "scene.proc_width=64", "scene.proc_height=64",
     "render.pipeline=grid_march",
     "sampler.samples_per_ray=32", "sampler.near=2.0", "sampler.far=5.5",
-    "grid.resolution=32", "grid.warmup_steps=50", "grid.update_every=10",
-    "train.batch_size=1024", "train.steps=500", "train.eval_every=250",
+    "grid.resolution=32", f"grid.warmup_steps={max(steps // 10, 1)}",
+    "grid.update_every=10",
+    f"train.batch_size=1024", f"train.steps={steps}",
+    f"train.eval_every={max(steps // 2, 1)}",
     "train.keep_best=true",
     f"logging.out_dir={out_dir}",
 ])

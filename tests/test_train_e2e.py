@@ -173,3 +173,25 @@ def test_training_is_deterministic(tmp_path):
         if k.startswith(("psnr", "ssim")):
             assert a[k] == b[k], (k, a[k], b[k])
     assert np.isfinite(a["psnr_test"])
+
+
+def test_example_script_runs(tmp_path):
+    """examples/train_and_render.py (the documented library-usage entry
+    point) runs end-to-end and writes the view + depth PNGs."""
+    import os
+    import subprocess
+    import sys as _sys
+
+    out = tmp_path / "ex"
+    env = dict(os.environ)
+    # the subprocess needs the repo importable; APPEND (never replace —
+    # a bare PYTHONPATH would drop the TPU plugin path when run there)
+    env["PYTHONPATH"] = os.getcwd() + os.pathsep + env.get("PYTHONPATH", "")
+    proc = subprocess.run(
+        [_sys.executable, "examples/train_and_render.py", str(out), "12"],
+        capture_output=True, text=True, timeout=480, env=env,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert (out / "example_view.png").exists()
+    assert (out / "example_depth.png").exists()
+    assert (out / "config.json").exists()
