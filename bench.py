@@ -577,6 +577,7 @@ def gate_metrics() -> dict:
         "gate_march_cdf": "runs/hard_r3_march_cdf",
         "gate_march_dcdf": "runs/hard_r3_march_dcdf",
         "gate_hashgrid_dcdf": "runs/hard_r3_hashgrid_dcdf",
+        "gate_hashgrid_best": "runs/hard_r3_hashgrid_best",
     }
     here = os.path.dirname(os.path.abspath(__file__))
     for name, rel in gates.items():
