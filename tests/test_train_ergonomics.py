@@ -203,6 +203,48 @@ def test_default_opt_state_layout_is_stable():
     assert t_got == t_ref, (t_got, t_ref)
 
 
+def test_table_lr_mult_scales_only_table_updates():
+    """table_lr_mult=c multiplies the Adam update of the hashgrid /
+    triplane subtrees by exactly c and leaves MLP leaves untouched."""
+    params = {
+        "triplane": {"planes": jnp.ones((4,)), "lines": jnp.ones((3,))},
+        "hashgrid": {"tables": jnp.ones((5,))},
+        "trunk": {"w": jnp.ones((2,))},
+    }
+    grads = jax.tree.map(lambda p: 0.3 * jnp.ones_like(p), params)
+    cfg1 = TrainConfig(skip_nonfinite=False)
+    cfgc = TrainConfig(skip_nonfinite=False, table_lr_mult=10.0)
+    o1, oc = create_optimizer(cfg1), create_optimizer(cfgc)
+    u1, _ = o1.update(grads, o1.init(params), params)
+    uc, _ = oc.update(grads, oc.init(params), params)
+    np.testing.assert_allclose(
+        np.asarray(uc["triplane"]["planes"]),
+        10.0 * np.asarray(u1["triplane"]["planes"]), rtol=1e-6,
+    )
+    np.testing.assert_allclose(
+        np.asarray(uc["hashgrid"]["tables"]),
+        10.0 * np.asarray(u1["hashgrid"]["tables"]), rtol=1e-6,
+    )
+    np.testing.assert_allclose(
+        np.asarray(uc["trunk"]["w"]), np.asarray(u1["trunk"]["w"]), rtol=0,
+    )
+
+
+def test_table_lr_mult_default_keeps_state_layout():
+    """table_lr_mult=1.0 must NOT add optimizer-state leaves (checkpoint
+    compatibility — same contract as the schedule-free lr float)."""
+    params = {"hashgrid": {"tables": jnp.ones((4,))}, "trunk": {"w": jnp.ones((2,))}}
+    got = create_optimizer(TrainConfig()).init(params)
+    ref = create_optimizer(TrainConfig(table_lr_mult=1.0)).init(params)
+    assert jax.tree.structure(got) == jax.tree.structure(ref)
+    # and it matches plain adam-under-apply_if_finite exactly
+    plain = optax.apply_if_finite(
+        optax.adam(1e-3, b1=0.9, b2=0.999, eps=1e-8),
+        max_consecutive_errors=1000,
+    ).init(params)
+    assert jax.tree.structure(got) == jax.tree.structure(plain)
+
+
 def test_remat_is_semantically_invisible():
     """train.remat (jax.checkpoint around the renderer) trades FLOPs for
     activation memory; the training math must be identical."""

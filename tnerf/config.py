@@ -173,7 +173,7 @@ class FieldConfig:
     128 neurons, 8 hidden layers, 5-D input -> 4-D RGBsigma output.
     """
 
-    encoding: str = "frequency"  # frequency | hashgrid
+    encoding: str = "frequency"  # frequency | hashgrid | triplane
     n_frequencies: int = 10
     n_frequencies_view: int = 4
     # Viewing-direction parameterization: "thetaphi" matches the reference
@@ -215,6 +215,17 @@ class FieldConfig:
     # With hashgrid, Instant-NGP uses a shallow MLP.
     hash_hidden_width: int = 64
     hash_hidden_layers: int = 2
+    # Triplane / vector-matrix (TensoRF-style VM) settings, used when
+    # encoding == "triplane": three R x R feature planes times three
+    # R-entry feature lines, F features per plane-line pair (feature dim
+    # 3*F into a shallow MLP).  tri_gather_mode mirrors hash_gather_mode
+    # ("auto" = MXU one-hot matmuls on TPU while R*R <= 2^15, XLA gather
+    # otherwise — tnerf/fields/triplane.py:resolve_tri_mode).
+    tri_resolution: int = 128
+    tri_features: int = 16
+    tri_gather_mode: str = "auto"
+    tri_hidden_width: int = 64
+    tri_hidden_layers: int = 2
     # Compute dtype for matmuls ("bfloat16" hits the MXU natively — the
     # TPU analog of tcnn's fp16 tensor-core path, main.cu:328-353).
     compute_dtype: str = "bfloat16"
@@ -313,6 +324,14 @@ class TrainConfig:
     # the optimizer state gains accumulation buffers, so checkpoints are
     # only restorable under the same setting.
     grad_accum_steps: int = 1
+    # LR multiplier for feature-TABLE params (hashgrid "tables", triplane
+    # "planes"/"lines") relative to train.lr — Instant-NGP and TensoRF
+    # both train their grids ~10x hotter than the MLP.  Implemented as a
+    # post-Adam masked update scale, which is exactly an LR multiplier.
+    # 1.0 = off (default; keeps the optimizer-state layout of existing
+    # checkpoints unchanged — any other value adds a masked-scale link,
+    # so checkpoints are only restorable under the same setting).
+    table_lr_mult: float = 1.0
     weight_decay: float = 0.0
     seed: int = 1337
     # Ray batching: "random" = iid with replacement; "epoch" = device-side

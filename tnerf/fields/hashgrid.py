@@ -26,6 +26,12 @@ import jax
 import jax.numpy as jnp
 
 from tnerf.config import FieldConfig
+from tnerf.fields.onehot import (
+    onehot_lookup,
+    onehot_outer,
+    pack_tables,
+    unpack_tables,
+)
 
 _PRIMES = (1, 2654435761, 805459861)
 
@@ -293,43 +299,17 @@ def _onehot_encode(tables, x, cfg, chunk):
     """tables [L*T, F] f32, x [Npad, 3] (Npad % chunk == 0) -> [Npad, L*F] f32."""
     L, F = cfg.hash_levels, cfg.hash_features_per_level
     T = 1 << cfg.hash_log2_table_size
-    rows = T // 128
     cdtype = _onehot_dtypes(cfg)
-    # [L, ROWS, F*128] with lane m = f*128 + k  (k = idx & 127)
-    tbl_m = (
-        tables.reshape(L, rows, 128, F)
-        .transpose(0, 1, 3, 2)
-        .reshape(L, rows, F * 128)
-        .astype(cdtype)
-    )
-    iota_rows = jax.lax.broadcasted_iota(jnp.int32, (1, 1, rows), 2)
-    iota_lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 128), 2)
+    # [L, ROWS, F*128] with lane m = f*128 + k  (k = idx & 127).
+    # Compute in compute_dtype throughout: EXACT even in bf16 — the
+    # one-hot selects a single already-compute_dtype table value; every
+    # other product is a true zero.  Measured 2.6x over an f32 dot
+    # output (the [L,C,F*128] intermediate halves in bytes).
+    tbl_m = pack_tables(tables.reshape(L, T, F), cdtype)
     K = cfg.hash_nearest_levels
 
     def lookup(tbl_m_sub, idx_t):  # [Ls,ROWS,F*128], [Ls,C] -> [Ls,C,F]
-        oh_row = (idx_t[:, :, None] >> 7 == iota_rows).astype(cdtype)
-        # Dot output in compute_dtype: EXACT even in bf16 — the one-hot
-        # selects a single already-compute_dtype table value; every
-        # other product is a true zero.  Measured 2.6x over an f32
-        # output (the [L,C,F*128] intermediate halves in bytes).
-        m = jax.lax.dot_general(
-            oh_row,
-            tbl_m_sub,
-            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=cdtype,
-        )  # [Ls, C, F*128]
-        oh_lane = ((idx_t[:, :, None] & 127) == iota_lane).astype(cdtype)
-        # Per-feature static 128-lane slices (NOT a [L,C,F,128] reshape:
-        # the trailing [2,128] dims force degenerate T(2,128) tiling —
-        # measured 10 ms per pass at this size).
-        return jnp.stack(
-            [
-                jnp.sum(m[:, :, f * 128 : (f + 1) * 128] * oh_lane,
-                        axis=-1, dtype=cdtype)
-                for f in range(F)
-            ],
-            axis=-1,
-        )  # [Ls, C, F] — exact: one nonzero per (sample, level, feature)
+        return onehot_lookup(tbl_m_sub, idx_t, cdtype)
 
     def encode_chunk(_, xc):  # [C, 3] -> [C, L*F]
         c_sz = xc.shape[0]
@@ -370,26 +350,10 @@ def _onehot_encode_bwd(cfg, chunk, x, g):
     T = 1 << cfg.hash_log2_table_size
     rows = T // 128
     cdtype = _onehot_dtypes(cfg)
-    iota_rows = jax.lax.broadcasted_iota(jnp.int32, (1, 1, rows), 2)
-    iota_lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 128), 2)
     K = cfg.hash_nearest_levels
 
     def outer(idx_t, wg):  # [Ls,C] idx, [Ls,C,F] f32 cot -> [Ls,ROWS,F*128]
-        oh_row = (idx_t[:, :, None] >> 7 == iota_rows).astype(cdtype)
-        oh_lane = ((idx_t[:, :, None] & 127) == iota_lane).astype(cdtype)
-        # Build [Ls, C, F*128] by per-feature concat of [Ls,C,128] tiles
-        # (a [L,C,F,128] broadcast-reshape lowers to T(2,128) tiling:
-        # 10 ms per fusion at this size, 82 ms/step total).
-        G2 = jnp.concatenate(
-            [wg[:, :, f : f + 1].astype(cdtype) * oh_lane for f in range(F)],
-            axis=-1,
-        )  # [Ls, C, F*128]
-        return jax.lax.dot_general(
-            oh_row,
-            G2,
-            dimension_numbers=(((1,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
-        )  # [Ls, ROWS, F*128]
+        return onehot_outer(idx_t, wg, rows, cdtype)
 
     def bwd_chunk(acc, inp):
         xc, gc = inp  # [C,3], [C, L*F]
@@ -415,11 +379,7 @@ def _onehot_encode_bwd(cfg, chunk, x, g):
     dtbl_m, _ = _chunk_iter(
         (x, g), chunk, bwd_chunk, jnp.zeros((L, rows, F * 128), jnp.float32)
     )
-    dtables = (
-        dtbl_m.reshape(L, rows, F, 128)
-        .transpose(0, 1, 3, 2)
-        .reshape(L * T, F)
-    )
+    dtables = unpack_tables(dtbl_m, F).reshape(L * T, F)
     # Positions: zero cotangent by design (see apply_hashgrid_onehot doc).
     return dtables, jnp.zeros_like(x)
 

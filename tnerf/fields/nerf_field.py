@@ -101,9 +101,21 @@ class NeRFField:
         xn = self.normalize_positions(x)
         if self.config.encoding == "frequency":
             return frequency_encoding(xn, self.config.n_frequencies)
-        if self.config.encoding == "hashgrid":
-            raise ValueError("hashgrid encoding is applied via params; use apply()")
+        if self.config.encoding in ("hashgrid", "triplane"):
+            raise ValueError(
+                f"{self.config.encoding} encoding is applied via params; use apply()"
+            )
         raise ValueError(f"unknown encoding {self.config.encoding!r}")
+
+    def _feature_encode(self, params: dict, positions: jnp.ndarray) -> jnp.ndarray:
+        """Parameterized (table-backed) spatial encodings: hashgrid or
+        triplane features from [0,1]^3-normalized positions."""
+        xn01 = 0.5 * (self.normalize_positions(positions) + 1.0)
+        if self.config.encoding == "triplane":
+            from tnerf.fields.triplane import apply_triplane
+
+            return apply_triplane(params["triplane"], xn01, self.config)
+        return self._apply_hashgrid(params["hashgrid"], xn01)
 
     def _encode_view(self, viewdirs: jnp.ndarray) -> jnp.ndarray:
         """viewdirs: [..., 2] (theta, phi) or [..., 3] unit vector."""
@@ -134,6 +146,8 @@ class NeRFField:
     def _pos_enc_dim(self) -> int:
         if self.config.encoding == "frequency":
             return frequency_encoding_dim(3, self.config.n_frequencies)
+        if self.config.encoding == "triplane":
+            return 3 * self.config.tri_features
         # hashgrid: levels * features
         return self.config.hash_levels * self.config.hash_features_per_level
 
@@ -147,6 +161,8 @@ class NeRFField:
     def _mlp_shape(self) -> Tuple[int, int]:
         if self.config.encoding == "hashgrid":
             return self.config.hash_hidden_width, self.config.hash_hidden_layers
+        if self.config.encoding == "triplane":
+            return self.config.tri_hidden_width, self.config.tri_hidden_layers
         return self.config.hidden_width, self.config.hidden_layers
 
     # ---- params ------------------------------------------------------------
@@ -158,6 +174,10 @@ class NeRFField:
             from tnerf.fields.hashgrid import init_hashgrid
 
             params["hashgrid"] = init_hashgrid(k_enc, self.config)
+        elif self.config.encoding == "triplane":
+            from tnerf.fields.triplane import init_triplane
+
+            params["triplane"] = init_triplane(k_enc, self.config)
         if self.arch == "fused5d":
             in_dim = self._pos_enc_dim + self._view_enc_dim
             params["trunk"] = init_mlp(k_trunk, in_dim, width, layers, 4)
@@ -178,9 +198,8 @@ class NeRFField:
     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
         """positions [..., 3], viewdirs [..., 2|3] -> (rgb [..., 3], sigma [...])."""
         dtype = jnp.bfloat16 if self.config.compute_dtype == "bfloat16" else jnp.float32
-        if self.config.encoding == "hashgrid":
-            xn01 = 0.5 * (self.normalize_positions(positions) + 1.0)
-            pos_enc = self._apply_hashgrid(params["hashgrid"], xn01)
+        if self.config.encoding in ("hashgrid", "triplane"):
+            pos_enc = self._feature_encode(params, positions)
         else:
             pos_enc = self._encode_pos(positions)
         view_enc = self._encode_view(viewdirs)
@@ -210,9 +229,8 @@ class NeRFField:
         """Density-only query (for occupancy-grid updates — cheaper than
         apply() for twobranch; same cost for fused5d)."""
         if self.arch == "twobranch":
-            if self.config.encoding == "hashgrid":
-                xn01 = 0.5 * (self.normalize_positions(positions) + 1.0)
-                pos_enc = self._apply_hashgrid(params["hashgrid"], xn01)
+            if self.config.encoding in ("hashgrid", "triplane"):
+                pos_enc = self._feature_encode(params, positions)
             else:
                 pos_enc = self._encode_pos(positions)
             dtype = jnp.bfloat16 if self.config.compute_dtype == "bfloat16" else jnp.float32

@@ -87,6 +87,22 @@ def create_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
         )
     else:
         opt = optax.adam(schedule, b1=cfg.beta1, b2=cfg.beta2, eps=cfg.eps)
+    if cfg.table_lr_mult != 1.0:
+        # Scale the post-Adam UPDATE of feature-table leaves: Adam's
+        # update is -lr * m_hat/(sqrt(v_hat)+eps), so a post-scale by c
+        # is exactly an LR multiplier of c for those params (with adamw
+        # it also scales the decay term — table weight decay stays
+        # proportional).  Table leaves are the top-level "hashgrid" /
+        # "triplane" encoding subtrees of the param dict.
+        def _table_mask(params):
+            return {
+                k: jax.tree.map(lambda _: k in ("hashgrid", "triplane"), v)
+                for k, v in params.items()
+            }
+
+        opt = optax.chain(
+            opt, optax.masked(optax.scale(cfg.table_lr_mult), _table_mask)
+        )
     if accum > 1:
         opt = optax.MultiSteps(
             opt, every_k_schedule=accum

@@ -53,7 +53,7 @@ from tnerf.utils.metrics import MetricsWriter, get_logger, maybe_profile
 
 
 def build_field(cfg: Config) -> NeRFField:
-    arch = "twobranch" if cfg.field_.encoding == "hashgrid" else "fused5d"
+    arch = "twobranch" if cfg.field_.encoding in ("hashgrid", "triplane") else "fused5d"
     return NeRFField(cfg.field_, cfg.grid, arch=arch)
 
 
