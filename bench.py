@@ -201,7 +201,10 @@ def bench_render(width=800, height=800, res=64, samples=128, overrides=(),
         "scene.scene_scale=1.0",
         *overrides,
     ])
-    arch = "twobranch" if cfg.field_.encoding == "hashgrid" else "fused5d"
+    arch = (
+        "twobranch" if cfg.field_.encoding in ("hashgrid", "triplane")
+        else "fused5d"
+    )
     field = NeRFField(cfg.field_, cfg.grid, arch=arch)
     params = field.init(jax.random.PRNGKey(0))
     tparams, occ, trained = _restore_gate(field, cfg, ckpt_run)
@@ -578,6 +581,7 @@ def gate_metrics() -> dict:
         "gate_march_dcdf": "runs/hard_r3_march_dcdf",
         "gate_hashgrid_dcdf": "runs/hard_r3_hashgrid_dcdf",
         "gate_hashgrid_best": "runs/hard_r3_hashgrid_best",
+        "gate_triplane": "runs/hard_r3_triplane",
     }
     here = os.path.dirname(os.path.abspath(__file__))
     for name, rel in gates.items():
@@ -765,6 +769,23 @@ def main():
                 "render.ray_compact_fraction=0.75",
             ),
         )
+    # Triplane (TensoRF-style VM) render on its trained gate checkpoint
+    # (runs/hard_r3_triplane, queued TPU experiment): R=128 planes on
+    # the MXU one-hot path, same march/compaction shape as the hashgrid
+    # row.  Skipped until the gate run exists.
+    tri_render = None
+    if _os.path.exists("runs/hard_r3_triplane/checkpoints"):
+        tri_render = attempt(
+            bench_render, samples=48, res=128, strided=True, compact=True,
+            scene_field="hard",
+            config_file="configs/procedural_hard_triplane.json",
+            ckpt_run="runs/hard_r3_triplane",
+            overrides=(
+                "sampler.tighten_res=32", "sampler.occupancy_mask_res=0",
+                "render.ray_compact=true", "render.ray_compact_fraction=0.65",
+                "render.compact_fraction=0.25",
+            ),
+        )
     fused = attempt(bench_fused_render)
     train = attempt(bench_fused_train)
     hg = attempt(bench_hashgrid_train)
@@ -783,6 +804,8 @@ def main():
     put(hg_render, "fps_800x800", "hashgrid_fps_800x800")
     put(hg_cdf_render, "render_mrays_per_sec", "hashgrid_cdf_render_mrays_per_sec")
     put(hg_cdf_render, "fps_800x800", "hashgrid_cdf_fps_800x800")
+    put(tri_render, "render_mrays_per_sec", "triplane_render_mrays_per_sec")
+    put(tri_render, "fps_800x800", "triplane_fps_800x800")
     put(march_cdf_render, "render_mrays_per_sec", "march_cdf_render_mrays_per_sec")
     put(march_cdf_render, "fps_800x800", "march_cdf_fps_800x800")
     put(march_dcdf_render, "render_mrays_per_sec", "march_dcdf_render_mrays_per_sec")
