@@ -180,6 +180,48 @@ def test_num_params():
     assert n == triplane_num_params(cfg)
 
 
+def test_table_l1_regularizer_pulls_unobserved_entries_to_zero():
+    """With table_l1_weight set, a table entry with ZERO photometric
+    gradient still gets a shrink-toward-zero update; with 0 it does not."""
+    from types import SimpleNamespace
+
+    from tnerf.train import RayBatch, TrainState, create_optimizer, make_train_step
+    from tnerf.config import TrainConfig
+    from tnerf.cameras import Rays
+
+    params = {
+        "triplane": {
+            "planes": jnp.full((3, 4, 2), 0.5),
+            "lines": jnp.full((3, 2, 2), 0.5),
+        },
+        "trunk": {"w": jnp.ones((2, 2))},
+    }
+
+    def fake_renderer(p, rays, key, occ):
+        # photometric loss only sees the trunk; tables are "unobserved"
+        rgb = jnp.ones((4, 3)) * jnp.mean(p["trunk"]["w"])
+        return SimpleNamespace(rgb=rgb, acc=jnp.ones((4,)))
+
+    batch = RayBatch(
+        rays=Rays(
+            origins=jnp.zeros((4, 3)), directions=jnp.ones((4, 3)),
+            viewdirs_tp=jnp.zeros((4, 2)),
+        ),
+        gt_rgb=jnp.zeros((4, 3)),
+    )
+    opt = create_optimizer(TrainConfig(skip_nonfinite=False))
+    for w, moved in [(0.0, False), (0.01, True)]:
+        step = make_train_step(fake_renderer, opt, table_l1=w)
+        st = TrainState(params, opt.init(params), jnp.zeros((), jnp.int32))
+        st2, aux = step(st, batch, jax.random.PRNGKey(0))
+        delta = float(
+            jnp.abs(st2.params["triplane"]["planes"] - params["triplane"]["planes"]).sum()
+        )
+        assert (delta > 0) == moved, (w, delta)
+        if moved:  # the update shrinks magnitude (L1 pulls toward zero)
+            assert float(st2.params["triplane"]["planes"].mean()) < 0.5
+
+
 # ---- field / training integration ------------------------------------------
 
 
@@ -234,3 +276,159 @@ def test_run_training_triplane(tmp_path):
     lines = [json.loads(l) for l in open(f"{tmp_path}/metrics.jsonl")]
     losses = [l["loss"] for l in lines if "loss" in l]
     assert np.isfinite(losses).all() and losses[-1] < losses[0]
+
+
+# ---- progressive (coarse-to-fine) upsampling --------------------------------
+
+
+def test_upsample_preserves_field_on_nested_grids():
+    """(R_new-1) % (R_old-1) == 0: every old vertex is a new vertex, so
+    the resampled tables represent the SAME interpolant — apply agrees
+    everywhere, not just at vertices."""
+    from tnerf.fields.triplane import upsample_triplane
+
+    cfg_old = small_cfg(tri_resolution=5)
+    cfg_new = small_cfg(tri_resolution=9)
+    params = init_triplane(jax.random.PRNGKey(0), cfg_old)
+    up = upsample_triplane(params, 9)
+    assert up["planes"].shape == (3, 81, 4)
+    assert up["lines"].shape == (3, 9, 4)
+    x = jax.random.uniform(jax.random.PRNGKey(1), (256, 3))
+    a = apply_triplane_gather(params, x, cfg_old)
+    b = apply_triplane_gather(up, x, cfg_new)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=0, atol=1e-5)
+
+
+def test_upsample_matches_old_interpolant_at_new_vertices():
+    """Any R_new: the resized line table equals the old interpolant
+    sampled at the new vertex positions (align-corners semantics)."""
+    from tnerf.fields.triplane import _resize_vertex_axis
+
+    r_old, r_new = 6, 10
+    line = np.random.RandomState(0).randn(r_old).astype(np.float32)
+    got = np.asarray(_resize_vertex_axis(jnp.asarray(line), 0, r_new))
+    pos_new = np.linspace(0.0, 1.0, r_new)
+    want = np.interp(pos_new, np.linspace(0.0, 1.0, r_old), line)
+    np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+def test_tri_stage_plan_endpoints_and_validation():
+    from tnerf.train_loop import _tri_stage_plan
+
+    cfg = Config().apply_overrides([
+        "field_.encoding=triplane", "field_.tri_resolution=128",
+        "field_.tri_init_resolution=32",
+        "field_.tri_upsample_steps=[100, 200]", "train.steps=500",
+    ])
+    plan = _tri_stage_plan(cfg)
+    assert plan[0] == (100, 32) and plan[-1] == (500, 128)
+    assert [r for _, r in plan] == sorted(r for _, r in plan)
+
+    bad = cfg.apply_overrides(["field_.tri_upsample_steps=[600]"])
+    with pytest.raises(ValueError, match="strictly increasing"):
+        _tri_stage_plan(bad)
+    bad = cfg.apply_overrides(["field_.tri_init_resolution=0"])
+    with pytest.raises(ValueError, match="tri_init_resolution"):
+        _tri_stage_plan(bad)
+    bad = cfg.apply_overrides(["field_.encoding=hashgrid"])
+    with pytest.raises(ValueError, match="triplane"):
+        _tri_stage_plan(bad)
+
+
+def test_run_training_progressive(tmp_path):
+    """End-to-end staged run: final checkpoint is at the FINAL
+    resolution, loss decreases, and a stale-checkpoint dir without
+    resume is rejected."""
+    import json
+
+    from tnerf.train_loop import run_training
+    from tnerf.utils.checkpoint import latest_checkpoint
+
+    scene = generate_procedural_scene(
+        width=24, height=24, n_train=4, n_val=1, n_test=1, n_samples=64
+    )
+    cfg = Config().apply_overrides([
+        "scene.kind=procedural", "scene.scene_scale=1.0",
+        "render.pipeline=grid_march",
+        "field_.encoding=triplane", "field_.tri_resolution=16",
+        "field_.tri_init_resolution=6",
+        "field_.tri_upsample_steps=[10, 20]",
+        "field_.tri_features=4", "field_.tri_hidden_width=32",
+        "field_.tri_hidden_layers=2",
+        "sampler.samples_per_ray=32", "sampler.near=2.0", "sampler.far=5.5",
+        "grid.resolution=8", "grid.warmup_steps=5", "grid.update_every=5",
+        "train.batch_size=256", "train.steps=30", "train.eval_every=0",
+        "train.checkpoint_every=0", "train.log_every=10",
+        f"logging.out_dir={tmp_path}",
+        "render.chunk_size=1024",
+    ])
+    metrics = run_training(cfg, datasets=scene)
+    assert "psnr_test" in metrics and np.isfinite(metrics["psnr_test"])
+    step, path = latest_checkpoint(f"{tmp_path}/checkpoints")
+    assert step == 30
+    with np.load(path) as data:
+        shapes = [data[f] .shape for f in data.files]
+    assert (3, 16 * 16, 4) in shapes  # final-R planes live in the ckpt
+    assert (3, 6 * 6, 4) not in shapes
+    lines = [json.loads(l) for l in open(f"{tmp_path}/metrics.jsonl")]
+    losses = [l["loss"] for l in lines if "loss" in l]
+    assert np.isfinite(losses).all() and losses[-1] < losses[0]
+    # provenance records the PROGRESSIVE config, not a stage config
+    prov = json.loads(open(f"{tmp_path}/config.json").read())
+    assert prov["field_"]["tri_upsample_steps"] == [10, 20]
+    # a fresh (resume=false) progressive run over this dir must refuse
+    with pytest.raises(ValueError, match="resume"):
+        run_training(cfg, datasets=scene)
+    # resume=true continues (everything done -> final eval only)
+    m2 = run_training(
+        cfg.apply_overrides(["train.resume=true"]), datasets=scene
+    )
+    assert np.isfinite(m2["psnr_test"])
+
+
+def test_progressive_resume_mid_crash_window(tmp_path):
+    """A checkpoint left at a milestone step at the OLD resolution (crash
+    between stage end and the upsample rewrite) is detected by shape and
+    upsampled before the next stage runs."""
+    from tnerf.train_loop import _run_training_single, run_training
+    from tnerf.utils.checkpoint import latest_checkpoint
+
+    scene = generate_procedural_scene(
+        width=24, height=24, n_train=4, n_val=1, n_test=1, n_samples=64
+    )
+    cfg = Config().apply_overrides([
+        "scene.kind=procedural", "scene.scene_scale=1.0",
+        "render.pipeline=grid_march",
+        "field_.encoding=triplane", "field_.tri_resolution=16",
+        "field_.tri_init_resolution=6",
+        "field_.tri_upsample_steps=[10]",
+        "field_.tri_features=4", "field_.tri_hidden_width=32",
+        "field_.tri_hidden_layers=2",
+        "sampler.samples_per_ray=32", "sampler.near=2.0", "sampler.far=5.5",
+        "grid.resolution=8", "grid.warmup_steps=5", "grid.update_every=5",
+        "train.batch_size=256", "train.steps=20", "train.eval_every=0",
+        "train.checkpoint_every=0", "train.log_every=10",
+        f"logging.out_dir={tmp_path}",
+        "render.chunk_size=1024",
+    ])
+    # run ONLY stage 0 by training the stage config directly (simulates
+    # the crash window: milestone-step checkpoint still at R=6)
+    stage0 = cfg.apply_overrides([
+        "field_.tri_resolution=6", "field_.tri_upsample_steps=[]",
+        "field_.tri_init_resolution=0", "train.steps=10",
+    ])
+    _run_training_single(stage0, datasets=scene)
+    step, path = latest_checkpoint(f"{tmp_path}/checkpoints")
+    assert step == 10
+    with np.load(path) as data:
+        assert (3, 36, 4) in [data[f].shape for f in data.files]
+    # progressive resume picks it up, upsamples, finishes stage 1
+    metrics = run_training(
+        cfg.apply_overrides(["train.resume=true"]), datasets=scene
+    )
+    assert np.isfinite(metrics["psnr_test"])
+    step, path = latest_checkpoint(f"{tmp_path}/checkpoints")
+    assert step == 20
+    with np.load(path) as data:
+        shapes = [data[f].shape for f in data.files]
+    assert (3, 256, 4) in shapes

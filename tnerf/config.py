@@ -226,6 +226,16 @@ class FieldConfig:
     tri_gather_mode: str = "auto"
     tri_hidden_width: int = 64
     tri_hidden_layers: int = 2
+    # TensoRF's progressive (coarse-to-fine) grid growth: train at
+    # tri_init_resolution, then at each global step in
+    # tri_upsample_steps resample the planes/lines onto a finer vertex
+    # grid (log-linear ladder from init to tri_resolution; align-corners
+    # — tnerf/fields/triplane.py:upsample_triplane) and re-initialize
+    # the optimizer (TensoRF's lr_upsample_reset: the per-stage LR
+    # schedule restarts).  () = train at tri_resolution from step 0.
+    # tri_init_resolution is required (>0) when milestones are set.
+    tri_upsample_steps: Tuple[int, ...] = ()
+    tri_init_resolution: int = 0
     # Compute dtype for matmuls ("bfloat16" hits the MXU natively — the
     # TPU analog of tcnn's fp16 tensor-core path, main.cu:328-353).
     compute_dtype: str = "bfloat16"
@@ -332,6 +342,16 @@ class TrainConfig:
     # checkpoints unchanged — any other value adds a masked-scale link,
     # so checkpoints are only restorable under the same setting).
     table_lr_mult: float = 1.0
+    # L1 penalty weight on feature-table params (mean |entry| per table,
+    # summed over hashgrid/triplane subtrees) — TensoRF's sparsity prior:
+    # unobserved entries shrink to zero instead of keeping init noise
+    # (suppresses free-space floaters).  0 = off.
+    table_l1_weight: float = 0.0
+    # LR-schedule horizon in steps; 0 = train.steps.  Set when the
+    # schedule should span a different window than the loop bound (the
+    # progressive-triplane stage driver gives each stage its own decay
+    # over the stage's length — TensoRF's lr_upsample_reset).
+    schedule_total_steps: int = 0
     weight_decay: float = 0.0
     seed: int = 1337
     # Ray batching: "random" = iid with replacement; "epoch" = device-side

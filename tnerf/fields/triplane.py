@@ -69,6 +69,43 @@ def triplane_num_params(cfg: FieldConfig) -> int:
     return 3 * R * R * F + 3 * R * F
 
 
+def _resize_vertex_axis(a: jnp.ndarray, axis: int, r_new: int) -> jnp.ndarray:
+    """Align-corners linear resize along a VERTEX axis (the R vertices
+    span [0, 1] with R-1 cells — _tri_geometry's convention), so the
+    resized table samples the old interpolant exactly at the new vertex
+    positions.  jax.image.resize is half-pixel-centered and would shift
+    every vertex; hence the explicit gather+lerp."""
+    r_old = a.shape[axis]
+    pos = jnp.linspace(0.0, r_old - 1.0, r_new)
+    i0 = jnp.clip(jnp.floor(pos).astype(jnp.int32), 0, max(r_old - 2, 0))
+    f = (pos - i0.astype(jnp.float32)).astype(a.dtype)
+    a0 = jnp.take(a, i0, axis=axis)
+    a1 = jnp.take(a, jnp.minimum(i0 + 1, r_old - 1), axis=axis)
+    shape = [1] * a.ndim
+    shape[axis] = r_new
+    f = f.reshape(shape)
+    return a0 * (1.0 - f) + a1 * f
+
+
+def upsample_triplane(params: dict, r_new: int) -> dict:
+    """TensoRF's progressive-upsampling step: resample planes/lines to a
+    finer vertex grid (align-corners bilinear/linear), preserving the
+    represented field at the new vertices.  The TensoRF recipe grows the
+    grid at fixed step milestones during training (the stage driver in
+    tnerf/train_loop.py); the optimizer state is re-initialized at each
+    growth like TensoRF's lr_upsample_reset."""
+    planes, lines = params["planes"], params["lines"]
+    r_old = lines.shape[1]
+    f = planes.shape[-1]
+    p = planes.reshape(3, r_old, r_old, f)
+    p = _resize_vertex_axis(p, 1, r_new)
+    p = _resize_vertex_axis(p, 2, r_new)
+    return {
+        "planes": p.reshape(3, r_new * r_new, f),
+        "lines": _resize_vertex_axis(lines, 1, r_new),
+    }
+
+
 def _tri_geometry(x01: jnp.ndarray, R: int):
     """Vertex-grid geometry shared by both modes: x01 [..., 3] in [0,1]^3
     -> (ip0 [..., 3, 2] int32 plane base corner, fp [..., 3, 2] f32,

@@ -57,7 +57,8 @@ def create_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
     a non-finite microbatch is skipped entirely instead of poisoning the
     whole accumulation window."""
     accum = max(cfg.grad_accum_steps, 1)
-    updates_total = max(cfg.steps // accum, 1)
+    horizon = cfg.schedule_total_steps or cfg.steps
+    updates_total = max(horizon // accum, 1)
     warmup_updates = cfg.lr_warmup_steps // accum
     if cfg.lr_final_fraction != 1.0:
         schedule = optax.exponential_decay(
@@ -228,6 +229,7 @@ def make_train_step(
     remat: bool = False,
     loss: str = "l2",
     huber_delta: float = 0.1,
+    table_l1: float = 0.0,
 ) -> Callable[[TrainState, RayBatch, jax.Array], Tuple[TrainState, dict]]:
     """Build the jitted train step: photometric loss + Adam update.
 
@@ -235,6 +237,11 @@ def make_train_step(
     activations (per-sample encodings/hidden states — the big buffers)
     and recomputing them in backward: activation memory ~O(batch) instead
     of O(batch * samples * width).
+
+    table_l1 > 0 adds an L1 penalty (mean |entry| per table, summed) on
+    feature-table params — the hashgrid/triplane subtrees — TensoRF's
+    sparsity prior: unobserved table entries shrink to zero instead of
+    keeping their init noise (suppresses floaters in free space).
     """
     if remat:
         renderer = jax.checkpoint(renderer, static_argnums=())
@@ -245,6 +252,13 @@ def make_train_step(
         err = res.rgb - batch.gt_rgb
         mse = jnp.mean(jnp.square(err))
         obj = mse if loss == "l2" else photometric_loss(err, loss, huber_delta)
+        if table_l1 > 0.0:
+            for k in ("hashgrid", "triplane"):
+                if k in params:
+                    obj = obj + table_l1 * sum(
+                        jnp.abs(leaf).mean()
+                        for leaf in jax.tree.leaves(params[k])
+                    )
         aux = {
             "loss": obj,
             # PSNR always from the MSE: comparable across loss choices

@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import dataclasses
 import json
+import math
 import os
 import time
 from typing import Dict, Optional
@@ -44,11 +45,16 @@ from tnerf.render.grid_renderer import make_grid_renderer
 from tnerf.render.renderer import make_uniform_renderer
 from tnerf.train import (
     PixelSampler,
+    TrainState,
     create_optimizer,
     init_train_state,
     make_train_step,
 )
-from tnerf.utils.checkpoint import restore_checkpoint, save_checkpoint
+from tnerf.utils.checkpoint import (
+    latest_checkpoint,
+    restore_checkpoint,
+    save_checkpoint,
+)
 from tnerf.utils.metrics import MetricsWriter, get_logger, maybe_profile
 
 
@@ -152,7 +158,208 @@ def run_training(
     cfg: Config,
     datasets: Optional[Dict[str, ImageDataset]] = None,
 ) -> Dict[str, float]:
-    """Train a field per `cfg`; returns final metrics."""
+    """Train a field per `cfg`; returns final metrics.
+
+    With field_.tri_upsample_steps set (triplane encoding), training is
+    staged: TensoRF's progressive coarse-to-fine grid growth, realized
+    as chained single runs over the same checkpoint/metrics stream (the
+    planes/lines are resampled onto a finer vertex grid and the
+    optimizer re-initialized at each milestone — see _run_progressive).
+    """
+    if cfg.field_.tri_upsample_steps:
+        return _run_progressive(cfg, datasets)
+    return _run_training_single(cfg, datasets)
+
+
+def _load_datasets(cfg: Config) -> Dict[str, ImageDataset]:
+    validate_scene_background(
+        cfg.scene.kind, cfg.scene.name, cfg.scene.white_background
+    )
+    return load_data(
+        cfg.scene.kind, cfg.scene.name, root=cfg.scene.root,
+        srgb_to_linear=cfg.scene.srgb_to_linear, downscale=cfg.scene.downscale,
+        proc=scene_proc_kwargs(cfg.scene),
+    )
+
+
+def _tri_stage_plan(cfg: Config):
+    """[(end_step, resolution)] per progressive stage — a log-linear
+    resolution ladder from tri_init_resolution to tri_resolution
+    (TensoRF grows the voxel count log-linearly between milestones)."""
+    ms = cfg.field_.tri_upsample_steps
+    r0, rf = cfg.field_.tri_init_resolution, cfg.field_.tri_resolution
+    if cfg.field_.encoding != "triplane":
+        raise ValueError(
+            "field_.tri_upsample_steps is the triplane family's "
+            f"progressive schedule; field_.encoding={cfg.field_.encoding!r}"
+        )
+    if not (0 < r0 < rf):
+        raise ValueError(
+            "progressive triplane needs 0 < tri_init_resolution < "
+            f"tri_resolution, got {r0} vs {rf}"
+        )
+    if list(ms) != sorted(set(ms)) or ms[0] <= 0 or ms[-1] >= cfg.train.steps:
+        raise ValueError(
+            f"tri_upsample_steps must be strictly increasing within "
+            f"(0, train.steps={cfg.train.steps}), got {ms}"
+        )
+    n = len(ms)
+    res = [
+        max(2, round(math.exp(math.log(r0) + (math.log(rf) - math.log(r0)) * k / n)))
+        for k in range(n)
+    ] + [rf]
+    return list(zip(list(ms) + [cfg.train.steps], res))
+
+
+def _run_progressive(
+    cfg: Config, datasets: Optional[Dict[str, ImageDataset]]
+) -> Dict[str, float]:
+    """Progressive-triplane stage driver.  Each stage is a normal
+    _run_training_single over [prev_end, end) at that stage's
+    resolution, resuming from the shared checkpoint dir; between stages
+    the latest checkpoint is rewritten in place with upsampled
+    planes/lines and a FRESH optimizer state (TensoRF resets the
+    optimizer and restarts the LR schedule at every upsample — each
+    stage's schedule spans exactly the stage length via
+    train.schedule_total_steps).  keep_best and the final acceptance
+    gate apply only to the last stage: earlier-stage checkpoints have
+    smaller tables and would not restore under the final config."""
+    log = get_logger(level=cfg.logging.level)
+    plan = _tri_stage_plan(cfg)
+    out_dir = cfg.logging.out_dir
+    os.makedirs(out_dir, exist_ok=True)
+    prov = os.path.join(out_dir, "config.json")
+    if not (cfg.train.resume and os.path.exists(prov)):
+        with open(prov, "w") as fh:
+            fh.write(cfg.apply_overrides(["train.resume=false"]).to_json())
+    if datasets is None:
+        datasets = _load_datasets(cfg)
+    ckpt_dir = os.path.join(out_dir, "checkpoints")
+    use_grid = cfg.render.pipeline != "uniform"
+    prev_ends = [0] + [end for end, _ in plan[:-1]]
+
+    def stage_cfg(k: int) -> Config:
+        end, res = plan[k]
+        last = k == len(plan) - 1
+        field_ = dataclasses.replace(
+            cfg.field_, tri_resolution=res,
+            tri_upsample_steps=(), tri_init_resolution=0,
+        )
+        train = dataclasses.replace(
+            cfg.train, steps=end, resume=True,
+            schedule_total_steps=end - prev_ends[k],
+            keep_best=cfg.train.keep_best and last,
+            assert_test_psnr_min=cfg.train.assert_test_psnr_min if last else 0.0,
+        )
+        return dataclasses.replace(cfg, field_=field_, train=train)
+
+    def stage_template(scfg: Config):
+        """Abstract (state, occ?) pytree for shape-matching a checkpoint
+        to its stage (only the triplane leaves differ across stages)."""
+        field = build_field(scfg)
+        optimizer = create_optimizer(scfg.train)
+        st = jax.eval_shape(
+            lambda: init_train_state(field, optimizer, scfg.train.seed)
+        )
+        if not use_grid:
+            return st
+        occ_t = jax.eval_shape(lambda: init_occupancy(scfg.grid, None))
+        return (st, occ_t)
+
+    # Resume: shapes (not just the step) decide the current stage — a
+    # crash between a stage's final save and the upsample rewrite leaves
+    # the OLD resolution sitting at the milestone step.
+    start_k = 0
+    found = latest_checkpoint(ckpt_dir) if cfg.train.resume else None
+    if not cfg.train.resume and latest_checkpoint(ckpt_dir) is not None:
+        # Stages chain THROUGH the checkpoint stream (every stage runs
+        # with resume=true), so stale checkpoints from a previous run
+        # would be silently picked up as stage state.
+        raise ValueError(
+            f"{ckpt_dir} already has checkpoints: progressive training "
+            "resumes via the checkpoint stream — pass train.resume=true "
+            "to continue that run, or use a fresh out_dir"
+        )
+    if found is not None:
+        step_got, path = found
+        with np.load(path) as data:
+            got = [data[f"leaf_{i}"].shape for i in range(len(data.files))]
+        matched = None
+        for k in range(len(plan)):
+            tpl = [l.shape for l in jax.tree.leaves(stage_template(stage_cfg(k)))]
+            if tpl == got:
+                matched = k
+                break
+        if matched is None:
+            raise ValueError(
+                f"checkpoint {path} matches no progressive stage of this "
+                "config (tri_upsample_steps / resolutions changed?)"
+            )
+        start_k = matched
+        if step_got >= plan[matched][0] and matched < len(plan) - 1:
+            _upsample_checkpoint(
+                stage_cfg(matched), stage_cfg(matched + 1), ckpt_dir,
+                use_grid, log,
+            )
+            start_k = matched + 1
+        log.info("progressive resume: stage %d/%d", start_k + 1, len(plan))
+
+    final_metrics: Dict[str, float] = {}
+    for k in range(start_k, len(plan)):
+        end, res = plan[k]
+        log.info(
+            "progressive stage %d/%d: R=%d until step %d",
+            k + 1, len(plan), res, end,
+        )
+        final_metrics = _run_training_single(stage_cfg(k), datasets)
+        if k < len(plan) - 1:
+            _upsample_checkpoint(
+                stage_cfg(k), stage_cfg(k + 1), ckpt_dir, use_grid, log
+            )
+    return final_metrics
+
+
+def _upsample_checkpoint(scfg_old, scfg_new, ckpt_dir, use_grid, log):
+    """Rewrite the latest checkpoint at the next stage's resolution:
+    upsampled planes/lines, fresh optimizer state (next stage's
+    schedule), occupancy and step carried through unchanged."""
+    from tnerf.fields.triplane import upsample_triplane
+
+    field_old = build_field(scfg_old)
+    opt_old = create_optimizer(scfg_old.train)
+    template = init_train_state(field_old, opt_old, scfg_old.train.seed)
+    occ_t = init_occupancy(scfg_old.grid, None) if use_grid else None
+    tpl = (template, occ_t) if use_grid else template
+    restored = restore_checkpoint(ckpt_dir, tpl)
+    if restored is None:
+        raise RuntimeError(f"no checkpoint in {ckpt_dir} to upsample")
+    step_got, payload = restored
+    state, occ = payload if use_grid else (payload, None)
+    r_new = scfg_new.field_.tri_resolution
+    new_params = dict(state.params)
+    new_params["triplane"] = jax.device_get(
+        upsample_triplane(state.params["triplane"], r_new)
+    )
+    opt_new = create_optimizer(scfg_new.train)
+    new_state = TrainState(
+        params=new_params,
+        opt_state=opt_new.init(new_params),
+        step=state.step,
+    )
+    payload = (new_state, occ) if use_grid else new_state
+    save_checkpoint(ckpt_dir, step_got, payload)
+    log.info(
+        "upsampled triplane %d -> %d at step %d (optimizer reset)",
+        scfg_old.field_.tri_resolution, r_new, step_got,
+    )
+
+
+def _run_training_single(
+    cfg: Config,
+    datasets: Optional[Dict[str, ImageDataset]] = None,
+) -> Dict[str, float]:
+    """Train a field per `cfg` (one resolution stage); returns final
+    metrics."""
     log = get_logger(level=cfg.logging.level)
     if cfg.logging.debug_nans:
         jax.config.update("jax_debug_nans", True)
@@ -171,14 +378,7 @@ def run_training(
     metrics = MetricsWriter(os.path.join(out_dir, cfg.logging.metrics_file))
 
     if datasets is None:
-        validate_scene_background(
-            cfg.scene.kind, cfg.scene.name, cfg.scene.white_background
-        )
-        datasets = load_data(
-            cfg.scene.kind, cfg.scene.name, root=cfg.scene.root,
-            srgb_to_linear=cfg.scene.srgb_to_linear, downscale=cfg.scene.downscale,
-            proc=scene_proc_kwargs(cfg.scene),
-        )
+        datasets = _load_datasets(cfg)
     train_ds = datasets["train"]
     log.info(
         "scene=%s/%s: %d train views %dx%d focal=%.2f",
@@ -323,6 +523,7 @@ def run_training(
     loss_kw = dict(
         remat=cfg.train.remat, loss=cfg.train.loss,
         huber_delta=cfg.train.huber_delta,
+        table_l1=cfg.train.table_l1_weight,
     )
     step_dense = make_train_step(renderer_dense, optimizer, **loss_kw)
     step_compact = (
