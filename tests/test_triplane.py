@@ -222,6 +222,86 @@ def test_table_l1_regularizer_pulls_unobserved_entries_to_zero():
             assert float(st2.params["triplane"]["planes"].mean()) < 0.5
 
 
+def test_triplane_tv_semantics():
+    """TV is zero on constant tables, positive on noisy ones, and its
+    gradient pulls a spike toward its neighbors."""
+    from tnerf.fields.triplane import triplane_tv
+
+    const = {
+        "planes": jnp.full((3, 25, 2), 0.7),
+        "lines": jnp.full((3, 5, 2), -0.3),
+    }
+    assert float(triplane_tv(const)) == 0.0
+    noisy = {
+        "planes": jax.random.normal(jax.random.PRNGKey(0), (3, 25, 2)),
+        "lines": jax.random.normal(jax.random.PRNGKey(1), (3, 5, 2)),
+    }
+    assert float(triplane_tv(noisy)) > 0.0
+    # gradient at a spike points down (toward the flat neighborhood)
+    spiked = {
+        "planes": const["planes"].at[0, 12, 0].set(5.0),
+        "lines": const["lines"],
+    }
+    g = jax.grad(lambda p: triplane_tv(p))(spiked)
+    assert float(g["planes"][0, 12, 0]) > 0.0  # descent lowers the spike
+    assert float(jnp.abs(g["lines"]).sum()) == 0.0
+
+
+def test_table_tv_regularizer_smooths_unobserved_entries():
+    """With table_tv_weight set, a spiked plane entry with ZERO
+    photometric gradient still gets pulled toward its neighbors; the
+    knob also rejects non-triplane encodings at run_training level."""
+    from types import SimpleNamespace
+
+    from tnerf.train import RayBatch, TrainState, create_optimizer, make_train_step
+    from tnerf.config import TrainConfig
+    from tnerf.cameras import Rays
+
+    planes = jnp.zeros((3, 16, 2)).at[0, 5, 0].set(3.0)
+    params = {
+        "triplane": {"planes": planes, "lines": jnp.zeros((3, 4, 2))},
+        "trunk": {"w": jnp.ones((2, 2))},
+    }
+
+    def fake_renderer(p, rays, key, occ):
+        rgb = jnp.ones((4, 3)) * jnp.mean(p["trunk"]["w"])
+        return SimpleNamespace(rgb=rgb, acc=jnp.ones((4,)))
+
+    batch = RayBatch(
+        rays=Rays(
+            origins=jnp.zeros((4, 3)), directions=jnp.ones((4, 3)),
+            viewdirs_tp=jnp.zeros((4, 2)),
+        ),
+        gt_rgb=jnp.zeros((4, 3)),
+    )
+    opt = create_optimizer(TrainConfig(skip_nonfinite=False))
+    for w, moved in [(0.0, False), (0.01, True)]:
+        step = make_train_step(fake_renderer, opt, table_tv=w)
+        st = TrainState(params, opt.init(params), jnp.zeros((), jnp.int32))
+        st2, _ = step(st, batch, jax.random.PRNGKey(0))
+        delta = float(
+            jnp.abs(st2.params["triplane"]["planes"] - planes).sum()
+        )
+        assert (delta > 0) == moved, (w, delta)
+        if moved:
+            assert float(st2.params["triplane"]["planes"][0, 5, 0]) < 3.0
+
+
+def test_table_tv_rejects_non_triplane_encoding(tmp_path):
+    from tnerf.train_loop import run_training
+
+    scene = generate_procedural_scene(
+        width=16, height=16, n_train=2, n_val=1, n_test=1, n_samples=32
+    )
+    cfg = Config().apply_overrides([
+        "scene.kind=procedural", "render.pipeline=grid_march",
+        "train.table_tv_weight=0.01", "train.steps=2",
+        f"logging.out_dir={tmp_path}",
+    ])
+    with pytest.raises(ValueError, match="triplane"):
+        run_training(cfg, datasets=scene)
+
+
 # ---- field / training integration ------------------------------------------
 
 

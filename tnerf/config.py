@@ -347,6 +347,11 @@ class TrainConfig:
     # unobserved entries shrink to zero instead of keeping init noise
     # (suppresses free-space floaters).  0 = off.
     table_l1_weight: float = 0.0
+    # TV (total-variation) penalty weight on the triplane VM factors
+    # (mean squared adjacent-vertex difference per plane axis + lines) —
+    # TensoRF's smoothness prior.  Triplane-only: hash tables have no
+    # spatial adjacency.  0 = off.
+    table_tv_weight: float = 0.0
     # LR-schedule horizon in steps; 0 = train.steps.  Set when the
     # schedule should span a different window than the loop bound (the
     # progressive-triplane stage driver gives each stage its own decay

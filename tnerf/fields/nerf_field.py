@@ -61,9 +61,10 @@ class NeRFField:
     grid: GridConfig
     arch: str = "fused5d"  # fused5d | twobranch
     density_act: str = "softplus"
-    # (mesh, axis_name, data_axis | None) to shard the hash-grid level
-    # tables across a mesh axis (tnerf/parallel/table_parallel.py);
-    # None = local tables.
+    # (mesh, axis_name, data_axis | None) to shard the feature tables
+    # across a mesh axis (tnerf/parallel/table_parallel.py) — hash-grid
+    # level tables level-major, triplane planes/lines on the feature
+    # axis; None = local tables.
     table_parallel: Optional[tuple] = None
     # (axis_name, n_shards): apply() is being traced INSIDE a shard_map
     # whose mapped axes include axis_name, with params["hashgrid"]["tables"]
@@ -112,6 +113,14 @@ class NeRFField:
         triplane features from [0,1]^3-normalized positions."""
         xn01 = 0.5 * (self.normalize_positions(positions) + 1.0)
         if self.config.encoding == "triplane":
+            if self.table_parallel is not None:
+                from tnerf.parallel.table_parallel import tp_apply_triplane
+
+                mesh, ax, data_ax = self.table_parallel
+                return tp_apply_triplane(
+                    params["triplane"], xn01, self.config, mesh, ax,
+                    data_axis=data_ax,
+                )
             from tnerf.fields.triplane import apply_triplane
 
             return apply_triplane(params["triplane"], xn01, self.config)

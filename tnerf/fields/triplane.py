@@ -106,6 +106,25 @@ def upsample_triplane(params: dict, r_new: int) -> dict:
     }
 
 
+def triplane_tv(params: dict) -> jnp.ndarray:
+    """TensoRF's total-variation regularizer on the VM factors: mean
+    squared difference between ADJACENT vertices of each plane (both
+    in-plane axes) and each line.  Smooths the factor grids where the
+    photometric loss is unconstrained — the complement of the L1 prior
+    (train.table_l1_weight pulls unobserved entries to zero; TV pulls
+    neighboring entries together, suppressing high-frequency fit noise
+    that shows up as surface shimmer)."""
+    planes, lines = params["planes"], params["lines"]
+    r = lines.shape[1]
+    f = planes.shape[-1]
+    p = planes.reshape(3, r, r, f)
+    return (
+        jnp.square(jnp.diff(p, axis=1)).mean()
+        + jnp.square(jnp.diff(p, axis=2)).mean()
+        + jnp.square(jnp.diff(lines, axis=1)).mean()
+    )
+
+
 def _tri_geometry(x01: jnp.ndarray, R: int):
     """Vertex-grid geometry shared by both modes: x01 [..., 3] in [0,1]^3
     -> (ip0 [..., 3, 2] int32 plane base corner, fp [..., 3, 2] f32,
@@ -169,29 +188,43 @@ def apply_triplane(
     return apply_triplane_gather(params, x01, cfg)
 
 
+def vm_product_gather(
+    planes3: jnp.ndarray, lines3: jnp.ndarray, x01: jnp.ndarray, R: int
+) -> jnp.ndarray:
+    """The VM product in gather formulation on an arbitrary feature
+    width: planes3 [3, R*R, F'], lines3 [3, R, F'] -> [..., 3, F'].
+    Shared by apply_triplane_gather (F' = F) and the table-parallel
+    encode (F' = F/n per shard — the VM product is elementwise in the
+    feature axis, so feature-sharding needs no cross-shard arithmetic,
+    tnerf/parallel/table_parallel.py).  Corner loop instead of a
+    vectorized [..., 3, 4] index tensor for the same working-set reason
+    as apply_hashgrid_gather."""
+    f = planes3.shape[-1]
+    ip0, fp, il0, fl = _tri_geometry(x01, R)
+    planes = planes3.reshape(3 * R * R, f)
+    lines = lines3.reshape(3 * R, f)
+    off_p = jnp.arange(3, dtype=jnp.int32) * (R * R)
+    off_l = jnp.arange(3, dtype=jnp.int32) * R
+
+    B = jnp.zeros((*x01.shape[:-1], 3, f), jnp.float32)
+    for c in range(4):
+        idx, w = _plane_corner(c, ip0, fp, R)
+        B = B + w[..., None] * planes[idx + off_p]
+    Lin = jnp.zeros((*x01.shape[:-1], 3, f), jnp.float32)
+    for c in range(2):
+        w = fl if c else 1.0 - fl
+        Lin = Lin + w[..., None] * lines[il0 + c + off_l]
+    return B * Lin
+
+
 def apply_triplane_gather(
     params: dict, x01: jnp.ndarray, cfg: FieldConfig
 ) -> jnp.ndarray:
     """XLA-gather formulation; gradients by autodiff (the gather VJP is a
-    deterministic scatter-add).  Corner loop instead of a vectorized
-    [..., 3, 4] index tensor for the same working-set reason as
-    apply_hashgrid_gather."""
+    deterministic scatter-add)."""
     R, F = cfg.tri_resolution, cfg.tri_features
-    ip0, fp, il0, fl = _tri_geometry(x01, R)
-    planes = params["planes"].reshape(3 * R * R, F)
-    lines = params["lines"].reshape(3 * R, F)
-    off_p = jnp.arange(3, dtype=jnp.int32) * (R * R)
-    off_l = jnp.arange(3, dtype=jnp.int32) * R
-
-    B = jnp.zeros((*x01.shape[:-1], 3, F), jnp.float32)
-    for c in range(4):
-        idx, w = _plane_corner(c, ip0, fp, R)
-        B = B + w[..., None] * planes[idx + off_p]
-    Lin = jnp.zeros((*x01.shape[:-1], 3, F), jnp.float32)
-    for c in range(2):
-        w = fl if c else 1.0 - fl
-        Lin = Lin + w[..., None] * lines[il0 + c + off_l]
-    return (B * Lin).reshape(*x01.shape[:-1], 3 * F)
+    out = vm_product_gather(params["planes"], params["lines"], x01, R)
+    return out.reshape(*x01.shape[:-1], 3 * F)
 
 
 def apply_triplane_onehot(

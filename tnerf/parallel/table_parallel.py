@@ -1,10 +1,13 @@
-"""Table-parallel (TP) hash-grid encoding: shard the level tables.
+"""Table-parallel (TP) grid encodings: shard the feature tables.
 
 The hash-grid's parameters are L level tables of T entries (tcnn
 HashGrid role, /root/reference/main.cu:35-69 schema).  At production
 NGP scales (T=2^19+, many scenes, optimizer state x3) the tables — not
 the MLP — are the parameter memory; this module shards the LEVEL axis
 across a mesh axis so each chip stores and updates only L/n tables.
+The triplane family shards analogously on its FEATURE axis
+(tp_apply_triplane below — the VM product is elementwise in features,
+so the shard boundary needs no cross-chip arithmetic).
 
 The encode is embarrassingly parallel over levels: positions are
 replicated (they are activations, tiny next to the tables), each device
@@ -168,16 +171,77 @@ def tp_encode_local(
     return jax.lax.all_gather(feats, axis_name, axis=feats.ndim - 1, tiled=True)
 
 
+def tp_apply_triplane(
+    params: dict,
+    x01: jnp.ndarray,
+    cfg: FieldConfig,
+    mesh: Mesh,
+    axis_name: str = "model",
+    data_axis: str | None = None,
+) -> jnp.ndarray:
+    """apply_triplane with the FEATURE axis sharded over `axis_name`:
+    planes [3, R*R, F] and lines [3, R, F] split into contiguous
+    F/n-feature slices per chip.  The VM product is elementwise in the
+    feature axis, so each shard computes its feature slice from purely
+    local table entries (gather formulation — the TP design point is
+    parameter/optimizer-state scale, not encode FLOPs); the per-shard
+    [..., 3, F/n] products concatenate feature-minor on the last axis,
+    which is exactly the single-device feature order, then reshape to
+    [..., 3*F].  Table cotangents stay shard-local (the gather VJP's
+    scatter-add runs on-device); position cotangents psum across shards
+    — the same megatron-embedding pattern as tp_apply_hashgrid.
+
+    data_axis: as in tp_apply_hashgrid — composing with DP, the leading
+    batch axis shards over it when divisible, else positions replicate.
+    """
+    from tnerf.fields.triplane import vm_product_gather
+
+    R, F = cfg.tri_resolution, cfg.tri_features
+    n = mesh.shape[axis_name]
+    if F % n != 0:
+        raise ValueError(
+            f"tri_features={F} must divide over {n} '{axis_name}' devices"
+        )
+    lead = None
+    if (
+        data_axis is not None
+        and x01.ndim >= 2
+        and x01.shape[0] % mesh.shape[data_axis] == 0
+    ):
+        lead = data_axis
+    fn = shard_map(
+        lambda p, l, x: vm_product_gather(p, l, x, R),
+        mesh=mesh,
+        in_specs=(
+            P(None, None, axis_name),
+            P(None, None, axis_name),
+            P(lead, *((None,) * (x01.ndim - 1))),
+        ),
+        out_specs=P(lead, *((None,) * (x01.ndim - 1)), axis_name),
+        check_vma=False,
+    )
+    out = fn(params["planes"], params["lines"], x01)  # [..., 3, F]
+    return out.reshape(*x01.shape[:-1], 3 * F)
+
+
 def tp_state_sharding(tree, mesh: Mesh, axis_name: str = "model"):
     """Sharding pytree for a train state under table parallelism: every
-    [L*T, F] leaf living under a 'tables' key (the tables AND their
+    [L*T, F] leaf living under a 'tables' key, and every [3, M, F] leaf
+    under a triplane 'planes'/'lines' key (the tables AND their
     optimizer-state mirrors — Adam's mu/nu copy the param tree) shards
-    level-major over `axis_name`; everything else replicates."""
+    over `axis_name` (hashgrid: level-major rows; triplane: the feature
+    axis); everything else replicates."""
 
     def spec_for(path, leaf):
         keys = {getattr(k, "key", getattr(k, "name", None)) for k in path}
         if "tables" in keys and getattr(leaf, "ndim", 0) == 2:
             return NamedSharding(mesh, P(axis_name, None))
+        if (
+            keys & {"planes", "lines"}
+            and "triplane" in keys
+            and getattr(leaf, "ndim", 0) == 3
+        ):
+            return NamedSharding(mesh, P(None, None, axis_name))
         return NamedSharding(mesh, P())
 
     return jax.tree_util.tree_map_with_path(spec_for, tree)
@@ -188,3 +252,14 @@ def shard_hashgrid_params(params: dict, mesh: Mesh, axis_name: str = "model"):
     row blocks == whole levels because the layout is level-major)."""
     s = NamedSharding(mesh, P(axis_name, None))
     return {**params, "tables": jax.device_put(params["tables"], s)}
+
+
+def shard_triplane_params(params: dict, mesh: Mesh, axis_name: str = "model"):
+    """Place triplane planes/lines feature-sharded on the mesh
+    (contiguous F/n slices — tp_apply_triplane's layout)."""
+    s = NamedSharding(mesh, P(None, None, axis_name))
+    return {
+        **params,
+        "planes": jax.device_put(params["planes"], s),
+        "lines": jax.device_put(params["lines"], s),
+    }

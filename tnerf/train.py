@@ -230,6 +230,7 @@ def make_train_step(
     loss: str = "l2",
     huber_delta: float = 0.1,
     table_l1: float = 0.0,
+    table_tv: float = 0.0,
 ) -> Callable[[TrainState, RayBatch, jax.Array], Tuple[TrainState, dict]]:
     """Build the jitted train step: photometric loss + Adam update.
 
@@ -242,6 +243,11 @@ def make_train_step(
     feature-table params — the hashgrid/triplane subtrees — TensoRF's
     sparsity prior: unobserved table entries shrink to zero instead of
     keeping their init noise (suppresses floaters in free space).
+
+    table_tv > 0 adds TensoRF's total-variation penalty on the triplane
+    VM factors (adjacent-vertex smoothness; hash tables have no spatial
+    adjacency so TV only applies to the triplane subtree — the caller
+    validates the encoding, train_loop.py).
     """
     if remat:
         renderer = jax.checkpoint(renderer, static_argnums=())
@@ -259,6 +265,10 @@ def make_train_step(
                         jnp.abs(leaf).mean()
                         for leaf in jax.tree.leaves(params[k])
                     )
+        if table_tv > 0.0 and "triplane" in params:
+            from tnerf.fields.triplane import triplane_tv
+
+            obj = obj + table_tv * triplane_tv(params["triplane"])
         aux = {
             "loss": obj,
             # PSNR always from the MSE: comparable across loss choices

@@ -403,9 +403,16 @@ def _run_training_single(
             "parallel.sample_parallel shards the grid_intervals sample "
             f"axis; render.pipeline={cfg.render.pipeline!r}"
         )
-    if n_tp > 1 and cfg.field_.encoding != "hashgrid":
+    if n_tp > 1 and cfg.field_.encoding not in ("hashgrid", "triplane"):
         raise ValueError(
-            "parallel.table_parallel shards hash-grid level tables; "
+            "parallel.table_parallel shards hash-grid level tables or "
+            f"triplane features; field_.encoding={cfg.field_.encoding!r}"
+        )
+    if n_tp > 1 and n_sp > 1 and cfg.field_.encoding != "hashgrid":
+        raise ValueError(
+            "sample-parallel x table-parallel composition folds the "
+            "table-sharded encode into the SP shard_map (tp_encode_local)"
+            " — hashgrid only; "
             f"field_.encoding={cfg.field_.encoding!r}"
         )
     # SP and TP compose on a 3-axis (data, sample, model) mesh: the SP
@@ -524,7 +531,14 @@ def _run_training_single(
         remat=cfg.train.remat, loss=cfg.train.loss,
         huber_delta=cfg.train.huber_delta,
         table_l1=cfg.train.table_l1_weight,
+        table_tv=cfg.train.table_tv_weight,
     )
+    if cfg.train.table_tv_weight > 0.0 and cfg.field_.encoding != "triplane":
+        raise ValueError(
+            "train.table_tv_weight is the triplane family's smoothness "
+            "prior (hash tables have no spatial adjacency); "
+            f"field_.encoding={cfg.field_.encoding!r}"
+        )
     step_dense = make_train_step(renderer_dense, optimizer, **loss_kw)
     step_compact = (
         make_train_step(renderer_compact, optimizer, **loss_kw)
