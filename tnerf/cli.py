@@ -7,6 +7,7 @@ The reference has zero CLI — `int main()` takes no arguments
   tnerf render  --config cfg.json --checkpoint dir --pose-index 0 --out img.png
   tnerf eval    --config cfg.json --checkpoint dir
   tnerf suite   --scenes chair,drums,...      (batch test-set evaluation)
+  tnerf mesh    --config cfg.json --checkpoint dir --out mesh.obj
   tnerf config  [--config cfg.json]           (print the resolved config)
 
 Benchmarks are a repo-level driver (`python bench.py`, one JSON line),
@@ -138,6 +139,23 @@ def main(argv=None) -> int:
         help="comma-separated scene names",
     )
 
+    sp = sub.add_parser(
+        "mesh",
+        help="extract an isosurface OBJ from a checkpoint (marching "
+        "tetrahedra over the field's density; no dataset required)",
+    )
+    common(sp)
+    sp.add_argument("--checkpoint", required=False)
+    sp.add_argument("--out", default="mesh.obj")
+    sp.add_argument(
+        "--resolution", type=int, default=128,
+        help="density sampling cells per AABB axis (vertex grid is N+1)",
+    )
+    sp.add_argument(
+        "--threshold", type=float, default=None,
+        help="density iso level (default: grid.density_threshold)",
+    )
+
     sp = sub.add_parser("config", help="print resolved config JSON")
     common(sp)
     sp.add_argument(
@@ -168,6 +186,47 @@ def main(argv=None) -> int:
 
     if args.cmd == "suite":
         return _run_suite(cfg, args.scenes.split(","))
+
+    if args.cmd == "mesh":
+        # No dataset needed: the field + checkpoint fully determine the
+        # density; sampling happens in AABB (world) coordinates.
+        import os
+
+        import jax
+        import jax.numpy as jnp
+
+        from tnerf.grid.marching import extract_density_mesh, save_obj
+        from tnerf.grid.occupancy import init_occupancy
+        from tnerf.train import create_optimizer, init_train_state
+        from tnerf.train_loop import build_field
+
+        field = build_field(cfg)
+        optimizer = create_optimizer(cfg.train)
+        state = init_train_state(field, optimizer, cfg.train.seed)
+        use_grid = cfg.render.pipeline != "uniform"
+        occ = init_occupancy(cfg.grid) if use_grid else None
+        ckpt_dir = args.checkpoint or os.path.join(
+            cfg.logging.out_dir, "checkpoints"
+        )
+        step, state, occ, err = _restore_state(ckpt_dir, state, occ)
+        if err:
+            print(f"error: {err}", file=sys.stderr)
+            return 1
+        print(f"restored step {step} from {ckpt_dir}", file=sys.stderr)
+        density = jax.jit(field.density)
+        verts, faces = extract_density_mesh(
+            lambda x: density(state.params, jnp.asarray(x)),
+            cfg.grid, resolution=args.resolution, level=args.threshold,
+        )
+        if faces.shape[0] == 0:
+            print(
+                "error: empty isosurface — is --threshold above the "
+                "field's max density?", file=sys.stderr,
+            )
+            return 1
+        save_obj(args.out, verts, faces)
+        print(f"wrote {args.out}: {len(verts)} vertices, {len(faces)} faces")
+        return 0
 
     # render / eval need a restored state
     import os

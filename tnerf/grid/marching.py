@@ -1,0 +1,227 @@
+"""Isosurface extraction: trained density field -> triangle mesh (OBJ).
+
+The inverse of the mesh-bounded INPUT path (tnerf/grid/mesh.py voxelizes
+a mesh into occupancy): sample the field's density on a dense vertex
+grid over the scene AABB and extract the iso-surface as a triangle
+mesh.  The reference has no mesh export; this completes the round trip
+its dead tet-mesh reader implies (SURVEY §2.3) — a mesh extracted here
+reloads through `load_obj` + `voxelize_triangles` as a scene bound.
+
+Marching TETRAHEDRA rather than marching cubes: each cube splits into
+six tetrahedra around its main diagonal, and a tet's 16 inside/outside
+cases derive from first principles at import time (1 inside -> one
+triangle, 2 inside -> a quad, 3 inside -> one inverted triangle) — no
+256-entry lookup table to transcribe, no ambiguous saddle cases, and
+the shared cube-face diagonals of the 6-tet split match between
+neighboring cubes, so the extracted surface is watertight by
+construction (every interior mesh edge is shared by exactly two
+triangles — pinned in tests/test_marching.py).
+
+Everything is vectorized numpy over x-slabs of cubes (no per-cell
+Python); surface vertices are deduplicated per crossing EDGE of the
+vertex grid, and triangle winding is globally oriented outward (normals
+against the density gradient).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Callable, Tuple
+
+import numpy as np
+
+from tnerf.config import GridConfig
+
+# Cube corners in the conventional order (x, y, z offsets).
+_CUBE = np.asarray(
+    [
+        (0, 0, 0), (1, 0, 0), (1, 1, 0), (0, 1, 0),
+        (0, 0, 1), (1, 0, 1), (1, 1, 1), (0, 1, 1),
+    ],
+    np.int64,
+)
+# Six tetrahedra tiling the cube around the 0-6 main diagonal.  The
+# induced cube-face diagonals are translation-consistent (the +x face's
+# 1-6 diagonal is the -x face's 0-7 diagonal of the next cube), which
+# is what makes the global surface watertight.
+_TETS = ((0, 5, 1, 6), (0, 1, 2, 6), (0, 2, 3, 6),
+         (0, 3, 7, 6), (0, 7, 4, 6), (0, 4, 5, 6))
+
+
+def _tet_cases():
+    """cases[mask] = list of triangles, each triangle a list of 3 tet
+    EDGES (pairs of tet-corner ids); mask bit i set <=> corner i inside."""
+    cases = []
+    for mask in range(16):
+        ins = [i for i in range(4) if mask >> i & 1]
+        outs = [i for i in range(4) if not mask >> i & 1]
+        tris = []
+        if len(ins) == 1:
+            a, (x, y, z) = ins[0], outs
+            tris = [[(a, x), (a, y), (a, z)]]
+        elif len(ins) == 3:
+            b, (x, y, z) = outs[0], ins
+            tris = [[(b, x), (b, y), (b, z)]]
+        elif len(ins) == 2:
+            (a, b), (c, d) = ins, outs
+            tris = [[(a, c), (a, d), (b, d)], [(a, c), (b, d), (b, c)]]
+        cases.append(tris)
+    return cases
+
+
+_CASES = _tet_cases()
+
+
+def marching_tetrahedra(
+    values: np.ndarray,
+    level: float,
+    origin=(0.0, 0.0, 0.0),
+    spacing=(1.0, 1.0, 1.0),
+) -> Tuple[np.ndarray, np.ndarray]:
+    """values [X, Y, Z] sampled at vertex positions origin + idx*spacing
+    -> (verts [N, 3] f32 world coords, faces [M, 3] i32, wound with
+    outward normals — density decreasing across the surface).  A vertex
+    is INSIDE iff its value > level."""
+    values = np.asarray(values, np.float32)
+    X, Y, Z = values.shape
+    if min(X, Y, Z) < 2:
+        raise ValueError(f"need >=2 vertices per axis, got {values.shape}")
+    flat = values.ravel()
+    inside = flat > np.float32(level)
+
+    def gid(i, j, k):  # vertex grid id
+        return (i * Y + j) * Z + k
+
+    lo_parts, hi_parts = [], []
+    # x-slab chunking bounds peak memory at ~a few M cubes per pass
+    yz = (Y - 1) * (Z - 1)
+    step = max(1, (1 << 22) // max(yz, 1))
+    jj, kk = np.meshgrid(
+        np.arange(Y - 1, dtype=np.int64),
+        np.arange(Z - 1, dtype=np.int64),
+        indexing="ij",
+    )
+    jj, kk = jj.ravel(), kk.ravel()
+    for x0 in range(0, X - 1, step):
+        nx = min(step, X - 1 - x0)
+        ii = (x0 + np.arange(nx, dtype=np.int64))[:, None]
+        # corner vertex ids for every cube in the slab: [8, nx*yz]
+        cg = np.stack([
+            gid(ii + dx, jj[None] + dy, kk[None] + dz).ravel()
+            for dx, dy, dz in _CUBE
+        ])
+        for tet in _TETS:
+            g4 = cg[list(tet)]  # [4, ncubes]
+            m = (
+                inside[g4[0]].astype(np.int8)
+                | inside[g4[1]].astype(np.int8) << 1
+                | inside[g4[2]].astype(np.int8) << 2
+                | inside[g4[3]].astype(np.int8) << 3
+            )
+            for mask in range(1, 15):
+                tris = _CASES[mask]
+                if not tris:
+                    continue
+                sel = np.nonzero(m == mask)[0]
+                if sel.size == 0:
+                    continue
+                gs = g4[:, sel]  # [4, nsel]
+                for tri in tris:
+                    lo_parts.append(
+                        np.stack([gs[a] for a, _ in tri], axis=1)
+                    )
+                    hi_parts.append(
+                        np.stack([gs[b] for _, b in tri], axis=1)
+                    )
+    if not lo_parts:
+        return np.zeros((0, 3), np.float32), np.zeros((0, 3), np.int32)
+    # [M, 3] crossing-edge endpoint ids (orderless: interpolation and
+    # winding below are both direction-independent)
+    ea = np.concatenate(lo_parts)
+    eb = np.concatenate(hi_parts)
+    lo = np.minimum(ea, eb)
+    hi = np.maximum(ea, eb)
+    key = lo.astype(np.int64) * (X * Y * Z) + hi
+    uniq, inv = np.unique(key.ravel(), return_inverse=True)
+    faces = inv.reshape(-1, 3).astype(np.int32)
+
+    lo_u = uniq // (X * Y * Z)
+    hi_u = uniq % (X * Y * Z)
+    va, vb = flat[lo_u], flat[hi_u]
+    t = ((np.float32(level) - va) / (vb - va)).astype(np.float32)
+
+    def vpos(g):
+        idx = np.stack([g // (Y * Z), (g // Z) % Y, g % Z], axis=1)
+        return np.asarray(origin, np.float32) + idx.astype(np.float32) * np.asarray(
+            spacing, np.float32
+        )
+
+    verts = vpos(lo_u) + t[:, None] * (vpos(hi_u) - vpos(lo_u))
+
+    # Global outward winding: face normal must oppose the density
+    # gradient (density is high inside).  Central-difference gradient at
+    # each unique edge's inside end, averaged over the face.
+    gi = np.stack([lo_u // (Y * Z), (lo_u // Z) % Y, lo_u % Z], axis=1)
+    grad = np.empty((lo_u.shape[0], 3), np.float32)
+    for ax, n_ax in enumerate((X, Y, Z)):
+        up = gi.copy()
+        dn = gi.copy()
+        up[:, ax] = np.minimum(up[:, ax] + 1, n_ax - 1)
+        dn[:, ax] = np.maximum(dn[:, ax] - 1, 0)
+        grad[:, ax] = (
+            flat[(up[:, 0] * Y + up[:, 1]) * Z + up[:, 2]]
+            - flat[(dn[:, 0] * Y + dn[:, 1]) * Z + dn[:, 2]]
+        )
+    v0, v1, v2 = verts[faces[:, 0]], verts[faces[:, 1]], verts[faces[:, 2]]
+    nrm = np.cross(v1 - v0, v2 - v0)
+    gmean = (grad[faces[:, 0]] + grad[faces[:, 1]] + grad[faces[:, 2]]) / 3.0
+    flip = np.einsum("ij,ij->i", nrm, gmean) > 0
+    faces[flip] = faces[flip][:, ::-1]
+    # drop degenerate (zero-area) faces from level==vertex-value ties
+    area2 = np.einsum("ij,ij->i", nrm, nrm)
+    faces = faces[area2 > 0]
+    return verts.astype(np.float32), faces
+
+
+def extract_density_mesh(
+    density_fn: Callable[[np.ndarray], np.ndarray],
+    grid: GridConfig,
+    resolution: int = 128,
+    level: float | None = None,
+    chunk: int = 1 << 17,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Sample `density_fn` ([N, 3] AABB-coords -> [N] sigma) on a
+    (resolution+1)^3 vertex grid over the scene AABB and extract the
+    iso-surface at `level` (default grid.density_threshold — the same
+    sigma the occupancy grid considers occupied)."""
+    lo = np.asarray(grid.aabb_min, np.float32)
+    hi = np.asarray(grid.aabb_max, np.float32)
+    n = resolution + 1
+    axes = [np.linspace(lo[a], hi[a], n, dtype=np.float32) for a in range(3)]
+    pts = np.stack(
+        np.meshgrid(*axes, indexing="ij"), axis=-1
+    ).reshape(-1, 3)
+    sig = np.empty(pts.shape[0], np.float32)
+    for s in range(0, pts.shape[0], chunk):
+        sig[s : s + chunk] = np.asarray(
+            density_fn(pts[s : s + chunk]), np.float32
+        )
+    if level is None:
+        level = grid.density_threshold
+    spacing = (hi - lo) / resolution
+    return marching_tetrahedra(
+        sig.reshape(n, n, n), level, origin=lo, spacing=spacing
+    )
+
+
+def save_obj(path: str, verts: np.ndarray, faces: np.ndarray) -> None:
+    """Write a minimal Wavefront OBJ (the format load_obj reads back)."""
+    d = os.path.dirname(path)
+    if d:
+        os.makedirs(d, exist_ok=True)
+    with open(path, "w") as fh:
+        fh.write(f"# tnerf isosurface: {len(verts)} verts {len(faces)} faces\n")
+        for v in np.asarray(verts, np.float32):
+            fh.write(f"v {v[0]:.6f} {v[1]:.6f} {v[2]:.6f}\n")
+        for f in np.asarray(faces, np.int64) + 1:  # OBJ is 1-indexed
+            fh.write(f"f {f[0]} {f[1]} {f[2]}\n")
