@@ -159,3 +159,49 @@ def pixel_rays(
         directions=dirs_world,
         viewdirs_tp=viewdirs_to_thetaphi(dirs_world),
     )
+
+
+def se3_exp(delta: jnp.ndarray) -> jnp.ndarray:
+    """SE(3) exponential map: delta [..., 6] = (w rotation, v translation)
+    -> [..., 4, 4] rigid transform.  Closed-form Rodrigues with
+    small-angle-safe coefficients (Taylor series below theta^2 = 1e-8,
+    so gradients stay finite at delta = 0 — the pose-refinement
+    parameters START at exactly zero).  Oracle-tested against
+    scipy.linalg.expm of the twist matrix (tests/test_pose_opt.py).
+
+    Used by train.optimize_poses: per-training-image learned deltas
+    compose world-frame onto the dataset poses (c2w' = exp(delta) @ c2w)."""
+    w = delta[..., :3]
+    v = delta[..., 3:]
+    t2 = jnp.sum(w * w, axis=-1)[..., None, None]  # theta^2
+    small = t2 < 1e-8
+    t2s = jnp.where(small, 1.0, t2)  # safe denominator
+    t = jnp.sqrt(t2s)
+    # A = sin(t)/t, B = (1-cos t)/t^2, C = (t - sin t)/t^3
+    A = jnp.where(small, 1.0 - t2 / 6.0, jnp.sin(t) / t)
+    B = jnp.where(small, 0.5 - t2 / 24.0, (1.0 - jnp.cos(t)) / t2s)
+    C = jnp.where(small, 1.0 / 6.0 - t2 / 120.0, (t - jnp.sin(t)) / (t2s * t))
+    zeros = jnp.zeros_like(w[..., 0])
+    W = jnp.stack([
+        jnp.stack([zeros, -w[..., 2], w[..., 1]], axis=-1),
+        jnp.stack([w[..., 2], zeros, -w[..., 0]], axis=-1),
+        jnp.stack([-w[..., 1], w[..., 0], zeros], axis=-1),
+    ], axis=-2)
+    eye = jnp.broadcast_to(jnp.eye(3, dtype=delta.dtype), W.shape)
+    # explicit fp32 matmuls (platform default is bf16 — geometry rule)
+    W2 = jnp.sum(W[..., :, :, None] * W[..., None, :, :], axis=-2)
+    R = eye + A * W + B * W2
+    V = eye + B * W + C * W2
+    tr = jnp.sum(V * v[..., None, :], axis=-1)  # V @ v
+    top = jnp.concatenate([R, tr[..., :, None]], axis=-1)
+    bottom = jnp.broadcast_to(
+        jnp.asarray([0.0, 0.0, 0.0, 1.0], delta.dtype),
+        (*delta.shape[:-1], 1, 4),
+    )
+    return jnp.concatenate([top, bottom], axis=-2)
+
+
+def compose_pose(t_world: jnp.ndarray, pose: jnp.ndarray) -> jnp.ndarray:
+    """c2w' = t_world @ pose, as an explicit fp32 sum-product (jnp matmul
+    defaults to bf16 on TPU — geometry must not lose mantissa)."""
+    return jnp.sum(t_world[..., :, :, None] * pose[..., None, :, :], axis=-2)

@@ -197,12 +197,29 @@ def main(argv=None) -> int:
 
         from tnerf.grid.marching import extract_density_mesh, save_obj
         from tnerf.grid.occupancy import init_occupancy
-        from tnerf.train import create_optimizer, init_train_state
+        from tnerf.train import (
+            create_optimizer,
+            init_train_state,
+            pose_extra_params,
+        )
         from tnerf.train_loop import build_field
 
         field = build_field(cfg)
         optimizer = create_optimizer(cfg.train)
-        state = init_train_state(field, optimizer, cfg.train.seed)
+        extra = None
+        if cfg.train.optimize_poses:
+            # a pose-opt checkpoint carries the [N_train, 6] delta leaf;
+            # the restore template needs N_train, so load the train split
+            from tnerf.data.dataset import load_data, scene_proc_kwargs
+
+            ds = load_data(
+                cfg.scene.kind, cfg.scene.name, root=cfg.scene.root,
+                srgb_to_linear=cfg.scene.srgb_to_linear,
+                downscale=cfg.scene.downscale, splits=("train",),
+                proc=scene_proc_kwargs(cfg.scene),
+            )
+            extra = pose_extra_params(cfg, len(ds["train"]))
+        state = init_train_state(field, optimizer, cfg.train.seed, extra)
         use_grid = cfg.render.pipeline != "uniform"
         occ = init_occupancy(cfg.grid) if use_grid else None
         ckpt_dir = args.checkpoint or os.path.join(
@@ -254,7 +271,12 @@ def main(argv=None) -> int:
     field = build_field(cfg)
     renderer = build_renderer(cfg, field, for_eval=True)
     optimizer = create_optimizer(cfg.train)
-    state = init_train_state(field, optimizer, cfg.train.seed)
+    from tnerf.train import pose_extra_params
+
+    state = init_train_state(
+        field, optimizer, cfg.train.seed,
+        pose_extra_params(cfg, len(datasets["train"])),
+    )
     use_grid = cfg.render.pipeline != "uniform"  # grid_* and fused all use occupancy
     occ = init_occupancy(cfg.grid) if use_grid else None
     ckpt_dir = args.checkpoint or os.path.join(cfg.logging.out_dir, "checkpoints")
@@ -610,10 +632,16 @@ def _run_suite(cfg, scenes) -> int:
         ])
         try:
             validate_scene_background(scfg.scene.kind, scfg.scene.name, scfg.scene.white_background)
+            # pose-opt checkpoints carry a per-TRAIN-image delta leaf;
+            # the restore template needs the train split's size too
+            splits = (
+                ("train", "test") if scfg.train.optimize_poses
+                else ("test",)
+            )
             datasets = load_data(
                 scfg.scene.kind, scene, root=scfg.scene.root,
                 srgb_to_linear=scfg.scene.srgb_to_linear,
-                downscale=scfg.scene.downscale, splits=("test",),
+                downscale=scfg.scene.downscale, splits=splits,
                 proc=scene_proc_kwargs(scfg.scene),
             )
         except (FileNotFoundError, ValueError) as e:
@@ -623,7 +651,14 @@ def _run_suite(cfg, scenes) -> int:
         field = build_field(scfg)
         renderer = build_renderer(scfg, field, compact=False, for_eval=True)
         optimizer = create_optimizer(scfg.train)
-        state = init_train_state(field, optimizer, scfg.train.seed)
+        from tnerf.train import pose_extra_params
+
+        state = init_train_state(
+            field, optimizer, scfg.train.seed,
+            pose_extra_params(
+                scfg, len(datasets["train"]) if "train" in datasets else 0
+            ),
+        )
         use_grid = scfg.render.pipeline != "uniform"  # grid_* and fused all use occupancy
         occ = init_occupancy(scfg.grid) if use_grid else None
         ckpt_dir = os.path.join(scfg.logging.out_dir, "checkpoints")

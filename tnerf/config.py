@@ -352,6 +352,18 @@ class TrainConfig:
     # TensoRF's smoothness prior.  Triplane-only: hash tables have no
     # spatial adjacency.  0 = off.
     table_tv_weight: float = 0.0
+    # Camera-pose refinement (BARF/nerfstudio-style): learn a per-
+    # training-image SE(3) delta (params["pose_deltas"], [N, 6] se3,
+    # zero-init) composed world-frame onto the dataset poses; rays are
+    # regenerated inside the differentiated loss so photometric
+    # gradients reach the deltas.  Requires an encoding with position
+    # gradients (frequency, or gather-mode hashgrid/triplane) and a
+    # non-fused pipeline.  Eval uses the dataset poses unchanged.
+    optimize_poses: bool = False
+    # LR multiplier for the pose deltas relative to train.lr (poses
+    # want a much colder step than the field; 1.0 keeps the optimizer
+    # state layout of existing checkpoints).
+    pose_lr_mult: float = 1.0
     # LR-schedule horizon in steps; 0 = train.steps.  Set when the
     # schedule should span a different window than the loop bound (the
     # progressive-triplane stage driver gives each stage its own decay

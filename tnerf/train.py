@@ -30,7 +30,7 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
-from tnerf.cameras import Rays, pixel_rays
+from tnerf.cameras import Rays, compose_pose, pixel_rays, se3_exp
 from tnerf.config import Config, TrainConfig
 from tnerf.data.dataset import ImageDataset
 
@@ -43,6 +43,16 @@ class TrainState(NamedTuple):
 
 class RayBatch(NamedTuple):
     rays: Rays
+    gt_rgb: jnp.ndarray  # [B, 3]
+
+
+class PoseBatch(NamedTuple):
+    """Pre-ray batch for pose refinement (train.optimize_poses): ray
+    generation moves INSIDE the differentiated loss so gradients reach
+    the per-image pose deltas; the step regenerates rays from these."""
+
+    img: jnp.ndarray  # [B] i32 training-image index
+    pix: jnp.ndarray  # [B, 2] f32 pixel (x, y)
     gt_rgb: jnp.ndarray  # [B, 3]
 
 
@@ -104,6 +114,18 @@ def create_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
         opt = optax.chain(
             opt, optax.masked(optax.scale(cfg.table_lr_mult), _table_mask)
         )
+    if cfg.pose_lr_mult != 1.0:
+        # Same post-Adam masked-scale trick as table_lr_mult, applied to
+        # the pose-refinement deltas (train.optimize_poses).
+        def _pose_mask(params):
+            return {
+                k: jax.tree.map(lambda _: k == "pose_deltas", v)
+                for k, v in params.items()
+            }
+
+        opt = optax.chain(
+            opt, optax.masked(optax.scale(cfg.pose_lr_mult), _pose_mask)
+        )
     if accum > 1:
         opt = optax.MultiSteps(
             opt, every_k_schedule=accum
@@ -138,18 +160,23 @@ class PixelSampler:
         self.camera = dataset.camera
         self.scene_scale = float(scene_scale)
 
-    @partial(jax.jit, static_argnames=("self", "batch_size"))
-    def sample(self, key: jax.Array, batch_size: int) -> RayBatch:
-        """IID pixel draw with replacement (standard NeRF training)."""
+    @partial(jax.jit, static_argnames=("self", "batch_size", "meta"))
+    def sample(
+        self, key: jax.Array, batch_size: int, meta: bool = False
+    ) -> RayBatch:
+        """IID pixel draw with replacement (standard NeRF training).
+        meta=True returns a PoseBatch (indices + pixels, no rays) for
+        pose refinement — ray generation then happens inside the loss."""
         k_img, k_x, k_y = jax.random.split(key, 3)
         n = self.images.shape[0]
         img = jax.random.randint(k_img, (batch_size,), 0, n)
         x = jax.random.randint(k_x, (batch_size,), 0, self.width)
         y = jax.random.randint(k_y, (batch_size,), 0, self.height)
-        return self._gather(img, x, y)
+        return self._gather(img, x, y, meta)
 
     def sample_epoch(
-        self, epoch_key: jax.Array, step_in_epoch: jnp.ndarray, batch_size: int
+        self, epoch_key: jax.Array, step_in_epoch: jnp.ndarray,
+        batch_size: int, meta: bool = False,
     ) -> RayBatch:
         """Epoch-shuffled batching without replacement: a device-side
         permutation of ALL pixels, sliced per step — the reference's
@@ -161,7 +188,7 @@ class PixelSampler:
         the epoch key) — the per-step work is a B-element modular gather,
         not a re-shuffle of all N pixels."""
         perm = self._epoch_perm(epoch_key)
-        return self._slice_perm(perm, step_in_epoch, batch_size)
+        return self._slice_perm(perm, step_in_epoch, batch_size, meta)
 
     def _epoch_perm(self, epoch_key: jax.Array) -> jax.Array:
         kb = np.asarray(jax.random.key_data(epoch_key)).tobytes()
@@ -172,9 +199,10 @@ class PixelSampler:
             self._perm_cache_key = kb
         return self._perm_cache
 
-    @partial(jax.jit, static_argnames=("self", "batch_size"))
+    @partial(jax.jit, static_argnames=("self", "batch_size", "meta"))
     def _slice_perm(
-        self, perm: jax.Array, step_in_epoch: jnp.ndarray, batch_size: int
+        self, perm: jax.Array, step_in_epoch: jnp.ndarray, batch_size: int,
+        meta: bool = False,
     ) -> RayBatch:
         total = perm.shape[0]
         start = (step_in_epoch * batch_size) % total
@@ -183,14 +211,16 @@ class PixelSampler:
         rem = idx % (self.height * self.width)
         y = rem // self.width
         x = rem % self.width
-        return self._gather(img, x, y)
+        return self._gather(img, x, y, meta)
 
-    def _gather(self, img, x, y) -> RayBatch:
+    def _gather(self, img, x, y, meta: bool = False):
         gt = self.images[img, y, x]
-        poses = self.poses[img]
         pix = jnp.stack([x.astype(jnp.float32), y.astype(jnp.float32)], axis=-1)
+        if meta:
+            return PoseBatch(img=img.astype(jnp.int32), pix=pix, gt_rgb=gt)
         rays = pixel_rays(
-            poses, pix, self.width, self.height, self.camera, self.scene_scale
+            self.poses[img], pix, self.width, self.height, self.camera,
+            self.scene_scale,
         )
         return RayBatch(rays=rays, gt_rgb=gt)
 
@@ -231,6 +261,7 @@ def make_train_step(
     huber_delta: float = 0.1,
     table_l1: float = 0.0,
     table_tv: float = 0.0,
+    pose_setup: Optional[tuple] = None,
 ) -> Callable[[TrainState, RayBatch, jax.Array], Tuple[TrainState, dict]]:
     """Build the jitted train step: photometric loss + Adam update.
 
@@ -248,13 +279,30 @@ def make_train_step(
     VM factors (adjacent-vertex smoothness; hash tables have no spatial
     adjacency so TV only applies to the triplane subtree — the caller
     validates the encoding, train_loop.py).
+
+    pose_setup = (poses0 [N, 4, 4], width, height, camera, scene_scale)
+    enables pose refinement: the step consumes PoseBatch instead of
+    RayBatch, regenerates rays INSIDE the loss from
+    exp(params["pose_deltas"][img]) @ poses0[img], and the photometric
+    gradient flows through the ray geometry into the per-image deltas
+    (train.optimize_poses; requires an encoding with position
+    gradients — the caller validates, train_loop.py).
     """
     if remat:
         renderer = jax.checkpoint(renderer, static_argnums=())
     photometric_loss(jnp.zeros((1, 3)), loss, huber_delta)  # validate early
 
-    def loss_fn(params: dict, batch: RayBatch, key: jax.Array, occupancy):
-        res = renderer(params, batch.rays, key, occupancy)
+    def loss_fn(params: dict, batch, key: jax.Array, occupancy):
+        if pose_setup is not None:
+            poses0, w, h, cam, ss = pose_setup
+            delta = se3_exp(params["pose_deltas"][batch.img])
+            rays = pixel_rays(
+                compose_pose(delta, poses0[batch.img]), batch.pix, w, h,
+                cam, ss,
+            )
+        else:
+            rays = batch.rays
+        res = renderer(params, rays, key, occupancy)
         err = res.rgb - batch.gt_rgb
         mse = jnp.mean(jnp.square(err))
         obj = mse if loss == "l2" else photometric_loss(err, loss, huber_delta)
@@ -275,6 +323,10 @@ def make_train_step(
             "psnr": -10.0 * jnp.log10(jnp.maximum(mse, 1e-10)),
             "acc_mean": jnp.mean(res.acc),
         }
+        if pose_setup is not None:
+            aux["pose_delta_norm"] = jnp.mean(
+                jnp.linalg.norm(params["pose_deltas"], axis=-1)
+            )
         return obj, aux
 
     @jax.jit
@@ -294,10 +346,27 @@ def make_train_step(
     return train_step
 
 
+def pose_extra_params(cfg: Config, n_train_images: int) -> Optional[dict]:
+    """The extra init_train_state entries for train.optimize_poses (None
+    when off) — shared by the train loop and every CLI restore template
+    (a pose-opt checkpoint carries the [N, 6] delta leaf + its Adam
+    mirrors, so restore templates must include it)."""
+    if not cfg.train.optimize_poses:
+        return None
+    return {"pose_deltas": jnp.zeros((n_train_images, 6), jnp.float32)}
+
+
 def init_train_state(
-    field, optimizer: optax.GradientTransformation, seed: int
+    field, optimizer: optax.GradientTransformation, seed: int,
+    extra_params: Optional[dict] = None,
 ) -> TrainState:
+    """extra_params: additional top-level param entries initialized
+    alongside the field (e.g. {"pose_deltas": zeros[N, 6]} under
+    train.optimize_poses) — they must be present BEFORE optimizer.init
+    so the optimizer state mirrors them."""
     params = field.init(jax.random.PRNGKey(seed))
+    if extra_params:
+        params = {**params, **extra_params}
     return TrainState(
         params=params,
         opt_state=optimizer.init(params),

@@ -49,6 +49,7 @@ from tnerf.train import (
     create_optimizer,
     init_train_state,
     make_train_step,
+    pose_extra_params,
 )
 from tnerf.utils.checkpoint import (
     latest_checkpoint,
@@ -354,6 +355,42 @@ def _upsample_checkpoint(scfg_old, scfg_new, ckpt_dir, use_grid, log):
     )
 
 
+def _validate_pose_opt(cfg: Config) -> None:
+    """Pose refinement needs photometric gradients to reach the ray
+    geometry: fail loudly on configurations whose backward treats
+    positions as constants instead of silently learning nothing."""
+    if cfg.render.pipeline == "fused":
+        raise ValueError(
+            "train.optimize_poses needs ray-geometry gradients; the "
+            "fused kernel's VJP treats rays as non-differentiable — "
+            "use grid_march, grid_intervals or uniform"
+        )
+    if cfg.field_.encoding == "hashgrid":
+        from tnerf.fields.hashgrid import resolve_gather_mode
+
+        if resolve_gather_mode(cfg.field_) != "gather":
+            raise ValueError(
+                "train.optimize_poses needs position gradients, but the "
+                "hash grid's onehot path returns zero position "
+                "cotangents — set field_.hash_gather_mode=gather"
+            )
+    if cfg.field_.encoding == "triplane":
+        from tnerf.fields.triplane import resolve_tri_mode
+
+        if resolve_tri_mode(cfg.field_) != "gather":
+            raise ValueError(
+                "train.optimize_poses needs position gradients, but the "
+                "triplane onehot path returns zero position cotangents "
+                "— set field_.tri_gather_mode=gather"
+            )
+        if cfg.field_.tri_upsample_steps:
+            raise ValueError(
+                "train.optimize_poses does not compose with progressive "
+                "triplane stages (stage templates would need the pose "
+                "leaves threaded through the upsample rewrite)"
+            )
+
+
 def _run_training_single(
     cfg: Config,
     datasets: Optional[Dict[str, ImageDataset]] = None,
@@ -483,7 +520,12 @@ def _run_training_single(
         renderer_compact = build_renderer(cfg, field, compact=True)
     renderer = renderer_dense
     optimizer = create_optimizer(cfg.train)
-    state = init_train_state(field, optimizer, cfg.train.seed)
+    if cfg.train.optimize_poses:
+        _validate_pose_opt(cfg)
+    state = init_train_state(
+        field, optimizer, cfg.train.seed,
+        pose_extra_params(cfg, len(train_ds)),
+    )
     n_params = sum(int(np.prod(l.shape)) for l in jax.tree.leaves(state.params))
     log.info("field=%s/%s params=%.2fM pipeline=%s", cfg.field_.encoding,
              field.arch, n_params / 1e6, cfg.render.pipeline)
@@ -527,11 +569,18 @@ def _run_training_single(
         )
 
     sampler = PixelSampler(train_ds, cfg.scene.scene_scale, cfg.scene.white_background)
+    pose_setup = None
+    if cfg.train.optimize_poses:
+        pose_setup = (
+            sampler.poses, sampler.width, sampler.height, sampler.camera,
+            sampler.scene_scale,
+        )
     loss_kw = dict(
         remat=cfg.train.remat, loss=cfg.train.loss,
         huber_delta=cfg.train.huber_delta,
         table_l1=cfg.train.table_l1_weight,
         table_tv=cfg.train.table_tv_weight,
+        pose_setup=pose_setup,
     )
     if cfg.train.table_tv_weight > 0.0 and cfg.field_.encoding != "triplane":
         raise ValueError(
@@ -654,15 +703,19 @@ def _run_training_single(
         try:
             for step in range(start_step, cfg.train.steps):
                 key, k_batch, k_render, k_occ = jax.random.split(key, 4)
+                # meta only when pose refinement is on: keeps the
+                # default call signature stable for sampler test stubs
+                meta_kw = {"meta": True} if cfg.train.optimize_poses else {}
                 if cfg.train.shuffle == "epoch":
                     epoch = step // steps_per_epoch
                     batch = sampler.sample_epoch(
                         jax.random.fold_in(jax.random.PRNGKey(cfg.train.seed), epoch),
                         jnp.asarray(step % steps_per_epoch),
                         rays_per_step,
+                        **meta_kw,
                     )
                 else:
-                    batch = sampler.sample(k_batch, rays_per_step)
+                    batch = sampler.sample(k_batch, rays_per_step, **meta_kw)
                 if mesh is not None:
                     batch = shard_batch(batch, mesh, cfg.parallel.axis_name)
                 step_args = (
