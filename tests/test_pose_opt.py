@@ -196,3 +196,83 @@ def test_pose_opt_composes_with_dp(tmp_path):
     ])
     m = run_training(cfg, datasets=scene)
     assert np.isfinite(m["psnr_test"])
+
+
+# ---- BARF coarse-to-fine frequency annealing ---------------------------------
+
+
+def test_barf_window_semantics():
+    from tnerf.fields.encodings import barf_window, frequency_encoding
+
+    L = 6
+    assert np.allclose(np.asarray(barf_window(jnp.asarray(0.0), L)), 0.0)
+    assert np.allclose(np.asarray(barf_window(jnp.asarray(1.0), L)), 1.0)
+    w_half = np.asarray(barf_window(jnp.asarray(0.5), L))
+    assert np.allclose(w_half[:3], 1.0) and np.allclose(w_half[3:], 0.0)
+    # monotone in alpha, per band
+    ws = np.stack([
+        np.asarray(barf_window(jnp.asarray(a), L))
+        for a in np.linspace(0, 1, 11)
+    ])
+    assert (np.diff(ws, axis=0) >= -1e-7).all()
+    # window of ones == unwindowed; zero window keeps only the raw input
+    x = jnp.asarray(np.random.RandomState(0).randn(5, 3), jnp.float32)
+    full = frequency_encoding(x, L)
+    np.testing.assert_array_equal(
+        np.asarray(frequency_encoding(x, L, window=jnp.ones(L))),
+        np.asarray(full),
+    )
+    zeroed = np.asarray(frequency_encoding(x, L, window=jnp.zeros(L)))
+    np.testing.assert_array_equal(zeroed[:, :3], np.asarray(x))
+    assert np.allclose(zeroed[:, 3:], 0.0)
+
+
+def test_freq_anneal_end_to_end_and_validation(tmp_path):
+    """run_training with freq_anneal_steps: the checkpoint carries the
+    schedule leaf at its final value (1.0 past the anneal window), and
+    the step-0 field genuinely starts coarse (only the raw-input columns
+    of the encoding are live).  Grid encodings and the fused pipeline
+    are rejected."""
+    from tnerf.grid.occupancy import init_occupancy
+    from tnerf.train import create_optimizer, init_train_state, pose_extra_params
+    from tnerf.train_loop import build_field, run_training
+    from tnerf.utils.checkpoint import restore_checkpoint
+
+    scene = generate_procedural_scene(
+        width=24, height=24, n_train=4, n_val=1, n_test=1, n_samples=64
+    )
+    out = str(tmp_path / "anneal")
+    cfg = Config().apply_overrides([
+        "scene.kind=procedural", "scene.scene_scale=1.0",
+        "render.pipeline=grid_march",
+        "grid.resolution=8", "grid.warmup_steps=5", "grid.update_every=5",
+        "sampler.samples_per_ray=32", "sampler.near=2.0", "sampler.far=5.5",
+        "field_.n_frequencies=4", "field_.hidden_width=32",
+        "field_.hidden_layers=2",
+        "train.freq_anneal_steps=10",
+        "train.batch_size=256", "train.steps=20", "train.eval_every=0",
+        "train.checkpoint_every=20", "train.log_every=10",
+        f"logging.out_dir={out}", "render.chunk_size=1024",
+    ])
+    m = run_training(cfg, datasets=scene)
+    assert np.isfinite(m["psnr_test"])
+    field = build_field(cfg)
+    opt = create_optimizer(cfg.train)
+    st = init_train_state(field, opt, cfg.train.seed, pose_extra_params(cfg, 4))
+    occ = init_occupancy(cfg.grid)
+    _, (st, occ) = restore_checkpoint(f"{out}/checkpoints", (st, occ))
+    assert float(st.params["freq_alpha"]) == 1.0
+
+    # alpha=0 params: the encoding's band columns are dead, raw passes
+    p0 = {**st.params, "freq_alpha": jnp.zeros(())}
+    x = jnp.asarray([[0.3, -0.2, 0.5]])
+    w0 = field._freq_window(p0)
+    assert np.allclose(np.asarray(w0), 0.0)
+
+    for bad, match in [
+        (["field_.encoding=hashgrid"], "frequency"),
+        (["render.pipeline=fused"], "fused"),
+    ]:
+        c = cfg.apply_overrides(bad + [f"logging.out_dir={tmp_path}/b"])
+        with pytest.raises(ValueError, match=match):
+            run_training(c, datasets=scene)

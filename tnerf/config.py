@@ -360,6 +360,15 @@ class TrainConfig:
     # gradients (frequency, or gather-mode hashgrid/triplane) and a
     # non-fused pipeline.  Eval uses the dataset poses unchanged.
     optimize_poses: bool = False
+    # BARF coarse-to-fine frequency annealing (Lin et al., ICCV 2021):
+    # positional-encoding bands fade in smoothly over the first K steps
+    # (band weights from fields/encodings.barf_window; the raw-input
+    # passthrough and the view encoding stay full).  The key enabler for
+    # METRIC pose recovery under optimize_poses — full-frequency
+    # encodings trap joint pose+field optimization in local minima —
+    # but usable on its own as a training regularizer.  frequency
+    # encoding + non-fused pipelines only.  0 = off.
+    freq_anneal_steps: int = 0
     # LR multiplier for the pose deltas relative to train.lr (poses
     # want a much colder step than the field; 1.0 keeps the optimizer
     # state layout of existing checkpoints).

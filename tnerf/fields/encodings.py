@@ -25,6 +25,7 @@ def frequency_encoding(
     n_frequencies: int,
     include_input: bool = True,
     scale: float = math.pi,
+    window: "jnp.ndarray | None" = None,
 ) -> jnp.ndarray:
     """NeRF positional encoding: [..., D] -> [..., D*(2L (+1))].
 
@@ -32,16 +33,35 @@ def frequency_encoding(
     cos(2^{L-1} s p)) per input dim, optionally prepended with p itself.
     `scale` defaults to pi (tcnn Frequency semantics; inputs normalized to
     [-1, 1] see their full period at octave 0).
+
+    window: optional [L] per-band weights (BARF coarse-to-fine
+    annealing, `barf_window` — each band's sin AND cos scale by its
+    weight; the raw input passthrough is never windowed).
     """
     if n_frequencies <= 0:
         return x
     freqs = scale * (2.0 ** jnp.arange(n_frequencies, dtype=jnp.float32))
     xb = x[..., None] * freqs  # [..., D, L]
     enc = jnp.concatenate([jnp.sin(xb), jnp.cos(xb)], axis=-1)  # [..., D, 2L]
+    if window is not None:
+        enc = enc * jnp.concatenate([window, window])
     enc = enc.reshape(*x.shape[:-1], x.shape[-1] * 2 * n_frequencies)
     if include_input:
         enc = jnp.concatenate([x, enc], axis=-1)
     return enc
+
+
+def barf_window(alpha: jnp.ndarray, n_frequencies: int) -> jnp.ndarray:
+    """BARF's coarse-to-fine band weights (Lin et al., ICCV 2021 eq. 14):
+    alpha in [0, 1] sweeps the active bands from none to all — band k's
+    weight ramps smoothly ((1 - cos(pi t))/2) while alpha*L crosses
+    [k, k+1].  High bands of the positional encoding make the pose loss
+    landscape rugged; annealing them in is what makes joint
+    pose-and-field optimization recover poses metrically
+    (train.freq_anneal_steps)."""
+    k = jnp.arange(n_frequencies, dtype=jnp.float32)
+    t = jnp.clip(alpha * n_frequencies - k, 0.0, 1.0)
+    return 0.5 * (1.0 - jnp.cos(jnp.pi * t))
 
 
 def frequency_encoding_dim(in_dim: int, n_frequencies: int, include_input: bool = True) -> int:

@@ -98,15 +98,30 @@ class NeRFField:
         hi = jnp.asarray(self.grid.aabb_max, jnp.float32)
         return 2.0 * (x - lo) / (hi - lo) - 1.0
 
-    def _encode_pos(self, x: jnp.ndarray) -> jnp.ndarray:
+    def _encode_pos(self, x: jnp.ndarray, window=None) -> jnp.ndarray:
         xn = self.normalize_positions(x)
         if self.config.encoding == "frequency":
-            return frequency_encoding(xn, self.config.n_frequencies)
+            return frequency_encoding(
+                xn, self.config.n_frequencies, window=window
+            )
         if self.config.encoding in ("hashgrid", "triplane"):
             raise ValueError(
                 f"{self.config.encoding} encoding is applied via params; use apply()"
             )
         raise ValueError(f"unknown encoding {self.config.encoding!r}")
+
+    def _freq_window(self, params: dict):
+        """BARF coarse-to-fine band weights when the train step rides a
+        `freq_alpha` scalar in the params (train.freq_anneal_steps).
+        stop_gradient: alpha is schedule state, not a trainable."""
+        if self.config.encoding != "frequency" or "freq_alpha" not in params:
+            return None
+        from tnerf.fields.encodings import barf_window
+
+        return barf_window(
+            jax.lax.stop_gradient(params["freq_alpha"]),
+            self.config.n_frequencies,
+        )
 
     def _feature_encode(self, params: dict, positions: jnp.ndarray) -> jnp.ndarray:
         """Parameterized (table-backed) spatial encodings: hashgrid or
@@ -210,7 +225,7 @@ class NeRFField:
         if self.config.encoding in ("hashgrid", "triplane"):
             pos_enc = self._feature_encode(params, positions)
         else:
-            pos_enc = self._encode_pos(positions)
+            pos_enc = self._encode_pos(positions, self._freq_window(params))
         view_enc = self._encode_view(viewdirs)
 
         if self.arch == "fused5d":
@@ -241,7 +256,7 @@ class NeRFField:
             if self.config.encoding in ("hashgrid", "triplane"):
                 pos_enc = self._feature_encode(params, positions)
             else:
-                pos_enc = self._encode_pos(positions)
+                pos_enc = self._encode_pos(positions, self._freq_window(params))
             dtype = jnp.bfloat16 if self.config.compute_dtype == "bfloat16" else jnp.float32
             trunk_out = apply_mlp(params["trunk"], pos_enc, compute_dtype=dtype)
             return _density_activation(trunk_out[..., 0], self.density_act)

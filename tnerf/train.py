@@ -262,6 +262,7 @@ def make_train_step(
     table_l1: float = 0.0,
     table_tv: float = 0.0,
     pose_setup: Optional[tuple] = None,
+    freq_anneal: int = 0,
 ) -> Callable[[TrainState, RayBatch, jax.Array], Tuple[TrainState, dict]]:
     """Build the jitted train step: photometric loss + Adam update.
 
@@ -336,24 +337,43 @@ def make_train_step(
         key: jax.Array,
         occupancy: Optional[jnp.ndarray] = None,
     ):
+        params_in = state.params
+        if freq_anneal > 0:
+            # BARF schedule state rides in params (train.freq_anneal_steps):
+            # derived from the traced step, so no retrace per step; its
+            # gradient is cut inside the field (stop_gradient) and the
+            # Adam update of a zero gradient is zero, so the written-back
+            # leaf is exactly this step's alpha (checkpoints carry it —
+            # a restored mid-anneal eval renders with the right window).
+            alpha = jnp.clip(
+                state.step.astype(jnp.float32) / freq_anneal, 0.0, 1.0
+            )
+            params_in = {**params_in, "freq_alpha": alpha}
         (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params, batch, key, occupancy
+            params_in, batch, key, occupancy
         )
-        updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
-        params = optax.apply_updates(state.params, updates)
+        updates, opt_state = optimizer.update(grads, state.opt_state, params_in)
+        params = optax.apply_updates(params_in, updates)
         return TrainState(params, opt_state, state.step + 1), aux
 
     return train_step
 
 
 def pose_extra_params(cfg: Config, n_train_images: int) -> Optional[dict]:
-    """The extra init_train_state entries for train.optimize_poses (None
-    when off) — shared by the train loop and every CLI restore template
-    (a pose-opt checkpoint carries the [N, 6] delta leaf + its Adam
-    mirrors, so restore templates must include it)."""
-    if not cfg.train.optimize_poses:
-        return None
-    return {"pose_deltas": jnp.zeros((n_train_images, 6), jnp.float32)}
+    """The extra init_train_state entries beyond the field's own params
+    (None when nothing extra) — shared by the train loop and every CLI
+    restore template, which must mirror the checkpoint's leaves exactly:
+
+    - train.optimize_poses: the [N, 6] pose-delta leaf (+ Adam mirrors).
+    - train.freq_anneal_steps: the scalar BARF `freq_alpha` schedule
+      leaf the train step rides (see make_train_step).
+    """
+    extra = {}
+    if cfg.train.optimize_poses:
+        extra["pose_deltas"] = jnp.zeros((n_train_images, 6), jnp.float32)
+    if cfg.train.freq_anneal_steps > 0:
+        extra["freq_alpha"] = jnp.zeros((), jnp.float32)
+    return extra or None
 
 
 def init_train_state(

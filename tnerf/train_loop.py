@@ -522,6 +522,20 @@ def _run_training_single(
     optimizer = create_optimizer(cfg.train)
     if cfg.train.optimize_poses:
         _validate_pose_opt(cfg)
+    if cfg.train.freq_anneal_steps > 0:
+        if cfg.field_.encoding != "frequency":
+            raise ValueError(
+                "train.freq_anneal_steps anneals the frequency positional "
+                "encoding (the grid families have their own coarse-to-fine:"
+                " hash_nearest_levels / tri_upsample_steps); "
+                f"field_.encoding={cfg.field_.encoding!r}"
+            )
+        if cfg.render.pipeline == "fused":
+            raise ValueError(
+                "train.freq_anneal_steps needs the XLA field path; the "
+                "fused kernel bakes the full-frequency encoding algebra "
+                "— use grid_march, grid_intervals or uniform"
+            )
     state = init_train_state(
         field, optimizer, cfg.train.seed,
         pose_extra_params(cfg, len(train_ds)),
@@ -581,6 +595,7 @@ def _run_training_single(
         table_l1=cfg.train.table_l1_weight,
         table_tv=cfg.train.table_tv_weight,
         pose_setup=pose_setup,
+        freq_anneal=cfg.train.freq_anneal_steps,
     )
     if cfg.train.table_tv_weight > 0.0 and cfg.field_.encoding != "triplane":
         raise ValueError(
