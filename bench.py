@@ -644,11 +644,66 @@ def gate_metrics() -> dict:
     return out
 
 
+def bench_mesh_extract(res: int = 128):
+    """Isosurface extraction throughput (cli mesh role): marching
+    tetrahedra over a (res+1)^3 analytic sphere sampling — pure host
+    numpy, so this row measures the export tool, not the chip."""
+    import numpy as _np
+
+    from tnerf.grid.marching import marching_tetrahedra
+
+    n = res + 1
+    ax = _np.linspace(-1.0, 1.0, n, dtype=_np.float32)
+    x, y, z = _np.meshgrid(ax, ax, ax, indexing="ij")
+    vals = 0.6 - _np.sqrt(x * x + y * y + z * z)
+    t0 = time.perf_counter()
+    verts, faces = marching_tetrahedra(
+        vals, 0.0, origin=(-1, -1, -1), spacing=(ax[1] - ax[0],) * 3
+    )
+    dt = time.perf_counter() - t0
+    return {
+        "mesh_extract_mcells_per_sec": (res ** 3) / dt / 1e6,
+        "mesh_extract_faces": float(len(faces)),
+    }
+
+
+def _backend_reachable(timeout_s: int = 300) -> bool:
+    """jax.devices() BLOCKS indefinitely when the remote accelerator
+    tunnel is down (observed >9 min in a futex wait, no error) — probe
+    it in a subprocess with a hard timeout so a dead tunnel yields a
+    JSON error line instead of hanging the driver's bench capture."""
+    import subprocess
+    import sys as _sys
+
+    try:
+        r = subprocess.run(
+            [_sys.executable, "-c", "import jax; jax.devices()"],
+            timeout=timeout_s, capture_output=True,
+        )
+        return r.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def main():
     import sys
     import traceback
 
     import jax
+
+    if not _backend_reachable():
+        print(json.dumps({
+            "metric": "ray_march_Mrays_per_sec_800x800_8^3grid",
+            "value": 0.0,
+            "unit": "Mrays/s",
+            "vs_baseline": 0.0,
+            "extra": {
+                "error": "accelerator backend unreachable "
+                "(jax.devices() probe timed out; tunnel down)",
+                **gate_metrics(),
+            },
+        }))
+        return
 
     device = jax.devices()[0].device_kind
     extra = {"device": device}
@@ -826,6 +881,9 @@ def main():
     if render is not None:
         extra["render_samples_per_ray"] = render["samples_per_ray"]
     put(march8, "seconds_per_launch", "march_seconds_per_launch", 6)
+    mesh_x = attempt(bench_mesh_extract)
+    put(mesh_x, "mesh_extract_mcells_per_sec", digits=2)
+    put(mesh_x, "mesh_extract_faces", digits=0)
 
     value = round(march8["mrays_per_sec"], 2) if march8 else 0.0
     line = {
