@@ -162,3 +162,31 @@ def test_cli_mesh_subcommand(tmp_path):
     assert len(faces) > 0
     # the extracted geometry stays inside the AABB
     assert (np.abs(verts) <= 1.0 + 1e-5).all()
+
+
+def test_thin_sheet_winding_consistent():
+    """A one-vertex-thick density sheet: the inside vertices' central
+    differences cancel, so orientation must come from BOTH edge
+    endpoints.  Consistency criterion: on a consistently-oriented
+    closed mesh every undirected edge appears exactly once per
+    direction (once as (a,b), once as (b,a))."""
+    n = 12
+    vals = np.full((n, n, n), -1.0, np.float32)
+    vals[2:-2, 2:-2, 6] = 1.0  # single-layer sheet, z = const, closed
+    verts, faces = marching_tetrahedra(vals, 0.0)
+    assert len(faces) > 0
+    directed = {}
+    for f in faces:
+        for a, b in ((f[0], f[1]), (f[1], f[2]), (f[2], f[0])):
+            directed[(int(a), int(b))] = directed.get((int(a), int(b)), 0) + 1
+    for (a, b), c in directed.items():
+        assert c == 1, "duplicate directed edge -> inconsistent winding"
+        assert directed.get((b, a), 0) == 1, "unpaired edge"
+    # and the normals actually point AWAY from the sheet (outward):
+    # z-component sign matches the side of the sheet plane
+    v0, v1, v2 = verts[faces[:, 0]], verts[faces[:, 1]], verts[faces[:, 2]]
+    nrm = np.cross(v1 - v0, v2 - v0)
+    cen_z = (v0[:, 2] + v1[:, 2] + v2[:, 2]) / 3.0
+    side = np.sign(cen_z - 6.0)
+    keep = np.abs(nrm[:, 2]) > 1e-6 * np.linalg.norm(nrm, axis=1)
+    assert (np.sign(nrm[keep, 2]) == side[keep]).all()

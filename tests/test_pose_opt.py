@@ -276,3 +276,91 @@ def test_freq_anneal_end_to_end_and_validation(tmp_path):
         c = cfg.apply_overrides(bad + [f"logging.out_dir={tmp_path}/b"])
         with pytest.raises(ValueError, match=match):
             run_training(c, datasets=scene)
+
+
+def test_pose_opt_with_cdf_compaction_switch(tmp_path):
+    """optimize_poses + CDF placement + compaction: the occupancy-switch
+    probe must regenerate rays from the PoseBatch (which has no .rays)
+    instead of crashing at the first post-warmup update."""
+    from tnerf.train_loop import run_training
+
+    scene = generate_procedural_scene(
+        width=24, height=24, n_train=4, n_val=1, n_test=1, n_samples=64
+    )
+    cfg = Config().apply_overrides([
+        "scene.kind=procedural", "scene.scene_scale=1.0",
+        "render.pipeline=grid_march",
+        "grid.resolution=8", "grid.warmup_steps=5", "grid.update_every=5",
+        "sampler.samples_per_ray=32", "sampler.near=2.0", "sampler.far=5.5",
+        "sampler.placement=density_cdf", "sampler.cdf_bins=16",
+        "render.compact=true", "render.compact_fraction=0.9",
+        "field_.n_frequencies=4", "field_.hidden_width=32",
+        "field_.hidden_layers=2",
+        "train.optimize_poses=true",
+        "train.batch_size=256", "train.steps=12", "train.eval_every=0",
+        "train.checkpoint_every=0", "train.log_every=5",
+        f"logging.out_dir={tmp_path}", "render.chunk_size=1024",
+    ])
+    m = run_training(cfg, datasets=scene)
+    assert np.isfinite(m["psnr_test"])
+
+
+def test_pose_opt_rejected_with_progressive_triplane(tmp_path):
+    """The combination must fail at CONFIG time (in the stage planner —
+    per-stage validation never sees tri_upsample_steps)."""
+    from tnerf.train_loop import run_training
+
+    scene = generate_procedural_scene(
+        width=16, height=16, n_train=2, n_val=1, n_test=1, n_samples=32
+    )
+    cfg = Config().apply_overrides([
+        "scene.kind=procedural", "render.pipeline=grid_march",
+        "field_.encoding=triplane", "field_.tri_gather_mode=gather",
+        "field_.tri_resolution=16", "field_.tri_init_resolution=6",
+        "field_.tri_upsample_steps=[5]",
+        "train.optimize_poses=true", "train.steps=10",
+        f"logging.out_dir={tmp_path}",
+    ])
+    with pytest.raises(ValueError, match="progressive"):
+        run_training(cfg, datasets=scene)
+
+
+def test_freq_alpha_exact_under_adamw():
+    """With weight_decay > 0 (adamw) the schedule leaf must still be
+    written back as EXACTLY this step's alpha (decoupled decay would
+    otherwise shave it every step)."""
+    from types import SimpleNamespace
+
+    from tnerf.cameras import Rays
+    from tnerf.config import TrainConfig
+    from tnerf.train import RayBatch, TrainState, create_optimizer, make_train_step
+
+    params = {
+        "trunk": {"w": jnp.ones((2, 2))},
+        "freq_alpha": jnp.zeros(()),
+    }
+
+    def fake_renderer(p, rays, key, occ):
+        rgb = jnp.ones((4, 3)) * jnp.mean(p["trunk"]["w"])
+        return SimpleNamespace(rgb=rgb, acc=jnp.ones((4,)))
+
+    batch = RayBatch(
+        rays=Rays(
+            origins=jnp.zeros((4, 3)), directions=jnp.ones((4, 3)),
+            viewdirs_tp=jnp.zeros((4, 2)),
+        ),
+        gt_rgb=jnp.zeros((4, 3)),
+    )
+    opt = create_optimizer(
+        TrainConfig(skip_nonfinite=False, weight_decay=0.1)
+    )
+    step = make_train_step(fake_renderer, opt, freq_anneal=10)
+    st = TrainState(params, opt.init(params), jnp.zeros((), jnp.int32))
+    for k in range(3):
+        st, _ = step(st, batch, jax.random.PRNGKey(k))
+        want = min(float(st.step - 1) / 10.0, 1.0)
+        # f32 representation only — decoupled decay would shave ~lr*wd
+        # (1e-4 here), far above this tolerance
+        assert abs(float(st.params["freq_alpha"]) - want) < 1e-7, (
+            k, st.params["freq_alpha"],
+        )

@@ -512,3 +512,23 @@ def test_progressive_resume_mid_crash_window(tmp_path):
     with np.load(path) as data:
         shapes = [data[f].shape for f in data.files]
     assert (3, 256, 4) in shapes
+
+
+def test_tri_stage_plan_strictly_increasing_ladder():
+    """Log-linear rounding collisions are bumped into a strictly
+    increasing ladder (shape-based resume matching must be unambiguous),
+    and more stages than distinct resolutions is rejected."""
+    from tnerf.train_loop import _tri_stage_plan
+
+    cfg = Config().apply_overrides([
+        "field_.encoding=triplane", "field_.tri_resolution=20",
+        "field_.tri_init_resolution=16",
+        "field_.tri_upsample_steps=[100, 200, 300]", "train.steps=500",
+    ])
+    res = [r for _, r in _tri_stage_plan(cfg)]
+    assert res[0] == 16 and res[-1] == 20
+    assert all(b > a for a, b in zip(res, res[1:])), res
+
+    bad = cfg.apply_overrides(["field_.tri_resolution=18"])
+    with pytest.raises(ValueError, match="distinct"):
+        _tri_stage_plan(bad)

@@ -196,17 +196,8 @@ def main(argv=None) -> int:
         import jax.numpy as jnp
 
         from tnerf.grid.marching import extract_density_mesh, save_obj
-        from tnerf.grid.occupancy import init_occupancy
-        from tnerf.train import (
-            create_optimizer,
-            init_train_state,
-            pose_extra_params,
-        )
-        from tnerf.train_loop import build_field
 
-        field = build_field(cfg)
-        optimizer = create_optimizer(cfg.train)
-        extra = None
+        n_train = 0
         if cfg.train.optimize_poses:
             # a pose-opt checkpoint carries the [N_train, 6] delta leaf;
             # the restore template needs N_train, so load the train split
@@ -218,14 +209,11 @@ def main(argv=None) -> int:
                 downscale=cfg.scene.downscale, splits=("train",),
                 proc=scene_proc_kwargs(cfg.scene),
             )
-            extra = pose_extra_params(cfg, len(ds["train"]))
-        state = init_train_state(field, optimizer, cfg.train.seed, extra)
-        use_grid = cfg.render.pipeline != "uniform"
-        occ = init_occupancy(cfg.grid) if use_grid else None
+            n_train = len(ds["train"])
         ckpt_dir = args.checkpoint or os.path.join(
             cfg.logging.out_dir, "checkpoints"
         )
-        step, state, occ, err = _restore_state(ckpt_dir, state, occ)
+        field, state, occ, step, err = _build_restore(cfg, ckpt_dir, n_train)
         if err:
             print(f"error: {err}", file=sys.stderr)
             return 1
@@ -255,9 +243,8 @@ def main(argv=None) -> int:
         scene_proc_kwargs,
         validate_scene_background,
     )
-    from tnerf.grid.occupancy import init_occupancy, renderer_payload
-    from tnerf.train import create_optimizer, init_train_state
-    from tnerf.train_loop import build_field, build_renderer, resolve_near_far
+    from tnerf.grid.occupancy import renderer_payload
+    from tnerf.train_loop import build_renderer, resolve_near_far
 
     # data first: sampler.near/far = -1 (auto) resolves from the
     # dataset's depth bounds BEFORE any renderer is built
@@ -268,19 +255,11 @@ def main(argv=None) -> int:
         proc=scene_proc_kwargs(cfg.scene),
     )
     cfg = resolve_near_far(cfg, next(iter(datasets.values())))
-    field = build_field(cfg)
-    renderer = build_renderer(cfg, field, for_eval=True)
-    optimizer = create_optimizer(cfg.train)
-    from tnerf.train import pose_extra_params
-
-    state = init_train_state(
-        field, optimizer, cfg.train.seed,
-        pose_extra_params(cfg, len(datasets["train"])),
-    )
-    use_grid = cfg.render.pipeline != "uniform"  # grid_* and fused all use occupancy
-    occ = init_occupancy(cfg.grid) if use_grid else None
     ckpt_dir = args.checkpoint or os.path.join(cfg.logging.out_dir, "checkpoints")
-    step, state, occ, err = _restore_state(ckpt_dir, state, occ)
+    field, state, occ, step, err = _build_restore(
+        cfg, ckpt_dir, len(datasets["train"])
+    )
+    renderer = build_renderer(cfg, field, for_eval=True)
     if err:
         print(f"error: {err}", file=sys.stderr)
         return 1
@@ -572,6 +551,30 @@ def main(argv=None) -> int:
     return 0
 
 
+def _build_restore(cfg, ckpt_dir, n_train_images):
+    """The one checkpoint-restore scaffold every subcommand shares:
+    build the field + optimizer + (state, occ) template — including the
+    optional pose-delta / freq_alpha leaves (pose_extra_params), which a
+    matching checkpoint carries — and restore from ckpt_dir.  Returns
+    (field, state, occ, step, err)."""
+    from tnerf.grid.occupancy import init_occupancy
+    from tnerf.train import create_optimizer, init_train_state, pose_extra_params
+    from tnerf.train_loop import build_field
+
+    field = build_field(cfg)
+    optimizer = create_optimizer(cfg.train)
+    state = init_train_state(
+        field, optimizer, cfg.train.seed,
+        pose_extra_params(cfg, n_train_images),
+    )
+    occ = (
+        init_occupancy(cfg.grid)
+        if cfg.render.pipeline != "uniform" else None
+    )
+    step, state, occ, err = _restore_state(ckpt_dir, state, occ)
+    return field, state, occ, step, err
+
+
 def _restore_state(ckpt_dir, state, occ):
     """Restore (state, occ) with a state-only fallback: fused-pipeline
     checkpoints written before round 3 carried no occupancy grid (the
@@ -619,9 +622,8 @@ def _run_suite(cfg, scenes) -> int:
         validate_scene_background,
     )
     from tnerf.eval import evaluate
-    from tnerf.grid.occupancy import init_occupancy, renderer_payload
-    from tnerf.train import create_optimizer, init_train_state
-    from tnerf.train_loop import build_field, build_renderer, resolve_near_far
+    from tnerf.grid.occupancy import renderer_payload
+    from tnerf.train_loop import build_renderer, resolve_near_far
 
     results = {}
     for scene in scenes:
@@ -648,21 +650,12 @@ def _run_suite(cfg, scenes) -> int:
             print(f"{scene}: SKIP (no data: {e})", file=sys.stderr)
             continue
         scfg = resolve_near_far(scfg, datasets["test"])
-        field = build_field(scfg)
-        renderer = build_renderer(scfg, field, compact=False, for_eval=True)
-        optimizer = create_optimizer(scfg.train)
-        from tnerf.train import pose_extra_params
-
-        state = init_train_state(
-            field, optimizer, scfg.train.seed,
-            pose_extra_params(
-                scfg, len(datasets["train"]) if "train" in datasets else 0
-            ),
-        )
-        use_grid = scfg.render.pipeline != "uniform"  # grid_* and fused all use occupancy
-        occ = init_occupancy(scfg.grid) if use_grid else None
         ckpt_dir = os.path.join(scfg.logging.out_dir, "checkpoints")
-        _, state, occ, err = _restore_state(ckpt_dir, state, occ)
+        field, state, occ, _, err = _build_restore(
+            scfg, ckpt_dir,
+            len(datasets["train"]) if "train" in datasets else 0,
+        )
+        renderer = build_renderer(scfg, field, compact=False, for_eval=True)
         if err:
             print(f"{scene}: SKIP ({err})", file=sys.stderr)
             continue

@@ -159,19 +159,26 @@ def marching_tetrahedra(
     verts = vpos(lo_u) + t[:, None] * (vpos(hi_u) - vpos(lo_u))
 
     # Global outward winding: face normal must oppose the density
-    # gradient (density is high inside).  Central-difference gradient at
-    # each unique edge's inside end, averaged over the face.
-    gi = np.stack([lo_u // (Y * Z), (lo_u // Z) % Y, lo_u % Z], axis=1)
-    grad = np.empty((lo_u.shape[0], 3), np.float32)
-    for ax, n_ax in enumerate((X, Y, Z)):
-        up = gi.copy()
-        dn = gi.copy()
-        up[:, ax] = np.minimum(up[:, ax] + 1, n_ax - 1)
-        dn[:, ax] = np.maximum(dn[:, ax] - 1, 0)
-        grad[:, ax] = (
-            flat[(up[:, 0] * Y + up[:, 1]) * Z + up[:, 2]]
-            - flat[(dn[:, 0] * Y + dn[:, 1]) * Z + dn[:, 2]]
-        )
+    # gradient (density is high inside).  Central differences summed
+    # over BOTH edge endpoints: on a one-vertex-thick sheet the inside
+    # vertex's central difference cancels to ~0 (both neighbors are
+    # outside), but the outside endpoint's does not — one endpoint
+    # alone would leave thin-feature winding arbitrary.
+    def _grad_at(g):
+        gi = np.stack([g // (Y * Z), (g // Z) % Y, g % Z], axis=1)
+        out = np.empty((g.shape[0], 3), np.float32)
+        for ax, n_ax in enumerate((X, Y, Z)):
+            up = gi.copy()
+            dn = gi.copy()
+            up[:, ax] = np.minimum(up[:, ax] + 1, n_ax - 1)
+            dn[:, ax] = np.maximum(dn[:, ax] - 1, 0)
+            out[:, ax] = (
+                flat[(up[:, 0] * Y + up[:, 1]) * Z + up[:, 2]]
+                - flat[(dn[:, 0] * Y + dn[:, 1]) * Z + dn[:, 2]]
+            )
+        return out
+
+    grad = _grad_at(lo_u) + _grad_at(hi_u)
     v0, v1, v2 = verts[faces[:, 0]], verts[faces[:, 1]], verts[faces[:, 2]]
     nrm = np.cross(v1 - v0, v2 - v0)
     gmean = (grad[faces[:, 0]] + grad[faces[:, 1]] + grad[faces[:, 2]]) / 3.0

@@ -98,6 +98,13 @@ def create_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
         )
     else:
         opt = optax.adam(schedule, b1=cfg.beta1, b2=cfg.beta2, eps=cfg.eps)
+    def _key_mask(keys):
+        """Mask selecting the top-level param subtrees named in `keys`."""
+        return lambda params: {
+            k: jax.tree.map(lambda _: k in keys, v)
+            for k, v in params.items()
+        }
+
     if cfg.table_lr_mult != 1.0:
         # Scale the post-Adam UPDATE of feature-table leaves: Adam's
         # update is -lr * m_hat/(sqrt(v_hat)+eps), so a post-scale by c
@@ -105,26 +112,21 @@ def create_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
         # it also scales the decay term — table weight decay stays
         # proportional).  Table leaves are the top-level "hashgrid" /
         # "triplane" encoding subtrees of the param dict.
-        def _table_mask(params):
-            return {
-                k: jax.tree.map(lambda _: k in ("hashgrid", "triplane"), v)
-                for k, v in params.items()
-            }
-
         opt = optax.chain(
-            opt, optax.masked(optax.scale(cfg.table_lr_mult), _table_mask)
+            opt,
+            optax.masked(
+                optax.scale(cfg.table_lr_mult),
+                _key_mask(("hashgrid", "triplane")),
+            ),
         )
     if cfg.pose_lr_mult != 1.0:
         # Same post-Adam masked-scale trick as table_lr_mult, applied to
         # the pose-refinement deltas (train.optimize_poses).
-        def _pose_mask(params):
-            return {
-                k: jax.tree.map(lambda _: k == "pose_deltas", v)
-                for k, v in params.items()
-            }
-
         opt = optax.chain(
-            opt, optax.masked(optax.scale(cfg.pose_lr_mult), _pose_mask)
+            opt,
+            optax.masked(
+                optax.scale(cfg.pose_lr_mult), _key_mask(("pose_deltas",))
+            ),
         )
     if accum > 1:
         opt = optax.MultiSteps(
@@ -354,6 +356,11 @@ def make_train_step(
         )
         updates, opt_state = optimizer.update(grads, state.opt_state, params_in)
         params = optax.apply_updates(params_in, updates)
+        if freq_anneal > 0:
+            # Pin the schedule leaf to exactly this step's alpha: Adam's
+            # update of the zero gradient is zero, but adamw's decoupled
+            # weight decay would shave it each step otherwise.
+            params = {**params, "freq_alpha": alpha}
         return TrainState(params, opt_state, state.step + 1), aux
 
     return train_step

@@ -19,6 +19,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from tnerf.cameras import pixel_rays
 from tnerf.config import Config
 from tnerf.data.dataset import (
     ImageDataset,
@@ -194,6 +195,16 @@ def _tri_stage_plan(cfg: Config):
             "field_.tri_upsample_steps is the triplane family's "
             f"progressive schedule; field_.encoding={cfg.field_.encoding!r}"
         )
+    if cfg.train.optimize_poses:
+        # Must be rejected HERE (the stage configs clear
+        # tri_upsample_steps, so per-stage validation never sees the
+        # combination) — otherwise stage 0 trains with a pose_deltas
+        # leaf the upsample-rewrite template does not carry.
+        raise ValueError(
+            "train.optimize_poses does not compose with progressive "
+            "triplane stages (the stage upsample rewrite does not "
+            "thread the pose leaves)"
+        )
     if not (0 < r0 < rf):
         raise ValueError(
             "progressive triplane needs 0 < tri_init_resolution < "
@@ -205,10 +216,25 @@ def _tri_stage_plan(cfg: Config):
             f"(0, train.steps={cfg.train.steps}), got {ms}"
         )
     n = len(ms)
+    if rf - r0 < n:
+        raise ValueError(
+            f"{n + 1} progressive stages need {n + 1} distinct "
+            f"resolutions in [{r0}, {rf}] — fewer milestones or a wider "
+            "resolution range"
+        )
     res = [
         max(2, round(math.exp(math.log(r0) + (math.log(rf) - math.log(r0)) * k / n)))
         for k in range(n)
     ] + [rf]
+    # Strictly increasing ladder: log-linear rounding can collide on
+    # narrow ranges, and duplicate resolutions would make the resume
+    # path's shape-based stage matching ambiguous (a mid-stage resume
+    # could be misattributed to the earlier duplicate and trigger a
+    # spurious optimizer-resetting rewrite).
+    for k in range(1, n):
+        res[k] = max(res[k], res[k - 1] + 1)
+    for k in range(n - 1, -1, -1):
+        res[k] = min(res[k], res[k + 1] - 1)
     return list(zip(list(ms) + [cfg.train.steps], res))
 
 
@@ -383,12 +409,9 @@ def _validate_pose_opt(cfg: Config) -> None:
                 "triplane onehot path returns zero position cotangents "
                 "— set field_.tri_gather_mode=gather"
             )
-        if cfg.field_.tri_upsample_steps:
-            raise ValueError(
-                "train.optimize_poses does not compose with progressive "
-                "triplane stages (stage templates would need the pose "
-                "leaves threaded through the upsample rewrite)"
-            )
+        # progressive-triplane composition is rejected in _tri_stage_plan
+        # (the stage configs clear tri_upsample_steps before reaching
+        # this validation)
 
 
 def _run_training_single(
@@ -747,11 +770,24 @@ def _run_training_single(
                     occ = update_occ(occ, state.params, k_occ)
                     occ_payload = renderer_payload(occ, cfg.sampler, cfg.grid)
                     occ_frac_host = float(occupancy_fraction(occ))
-                    switch_frac_host = (
-                        float(cdf_frac_fn(batch.rays, occ_payload))
-                        if cdf_frac_fn is not None
-                        else occ_frac_host
-                    )
+                    if cdf_frac_fn is not None:
+                        # Under pose refinement the batch is a PoseBatch
+                        # (no .rays); the capacity probe only needs ray
+                        # GEOMETRY, so the dataset poses (zero deltas)
+                        # are the right stand-in.
+                        probe_rays = (
+                            batch.rays if hasattr(batch, "rays")
+                            else pixel_rays(
+                                sampler.poses[batch.img], batch.pix,
+                                sampler.width, sampler.height,
+                                sampler.camera, sampler.scene_scale,
+                            )
+                        )
+                        switch_frac_host = float(
+                            cdf_frac_fn(probe_rays, occ_payload)
+                        )
+                    else:
+                        switch_frac_host = occ_frac_host
                     compacted = switch_frac_host < compact_switch_frac
                     train_step = step_compact if compacted else step_dense
                     # Eval follows the same switch: once the pruned grid
