@@ -364,3 +364,27 @@ def test_freq_alpha_exact_under_adamw():
         assert abs(float(st.params["freq_alpha"]) - want) < 1e-7, (
             k, st.params["freq_alpha"],
         )
+
+
+def test_pose_opt_with_epoch_shuffle(tmp_path):
+    """optimize_poses under shuffle=epoch: the permutation sampler's
+    meta path feeds PoseBatches too."""
+    from tnerf.train_loop import run_training
+
+    scene = generate_procedural_scene(
+        width=16, height=16, n_train=3, n_val=1, n_test=1, n_samples=32
+    )
+    cfg = Config().apply_overrides([
+        "scene.kind=procedural", "scene.scene_scale=1.0",
+        "render.pipeline=grid_march",
+        "grid.resolution=8", "grid.warmup_steps=5", "grid.update_every=5",
+        "sampler.samples_per_ray=32", "sampler.near=2.0", "sampler.far=5.5",
+        "field_.n_frequencies=4", "field_.hidden_width=32",
+        "field_.hidden_layers=2",
+        "train.optimize_poses=true", "train.shuffle=epoch",
+        "train.batch_size=128", "train.steps=8", "train.eval_every=0",
+        "train.checkpoint_every=0", "train.log_every=4",
+        f"logging.out_dir={tmp_path}", "render.chunk_size=1024",
+    ])
+    m = run_training(cfg, datasets=scene)
+    assert np.isfinite(m["psnr_test"])
