@@ -656,6 +656,9 @@ def bench_mesh_extract(res: int = 128):
     ax = _np.linspace(-1.0, 1.0, n, dtype=_np.float32)
     x, y, z = _np.meshgrid(ax, ax, ax, indexing="ij")
     vals = 0.6 - _np.sqrt(x * x + y * y + z * z)
+    # steady-state: the first call pays allocator/page-fault warmup
+    # (~9x at this size), so time the second
+    marching_tetrahedra(vals, 0.0)
     t0 = time.perf_counter()
     verts, faces = marching_tetrahedra(
         vals, 0.0, origin=(-1, -1, -1), spacing=(ax[1] - ax[0],) * 3

@@ -70,6 +70,15 @@ def _tet_cases():
 
 
 _CASES = _tet_cases()
+# Dense LUT form of _CASES for the vectorized dispatch: per case, the
+# triangle count and a [2, 3, 2] (tri, tri-corner, edge-endpoint) array
+# of tet-corner ids (zero-padded rows are never selected).
+_CASE_NTRI = np.asarray([len(c) for c in _CASES], np.int8)
+_TRI_LUT = np.zeros((16, 2, 3, 2), np.int8)
+for _m, _tris in enumerate(_CASES):
+    for _t, _tri in enumerate(_tris):
+        _TRI_LUT[_m, _t] = _tri
+_TETS_ARR = np.asarray(_TETS, np.int64)
 
 
 def marching_tetrahedra(
@@ -93,9 +102,10 @@ def marching_tetrahedra(
         return (i * Y + j) * Z + k
 
     lo_parts, hi_parts = [], []
-    # x-slab chunking bounds peak memory at ~a few M cubes per pass
+    # x-slab chunking bounds peak memory (the [6*ncubes, 4] corner-id
+    # matrix below is the big transient)
     yz = (Y - 1) * (Z - 1)
-    step = max(1, (1 << 22) // max(yz, 1))
+    step = max(1, (1 << 20) // max(yz, 1))
     jj, kk = np.meshgrid(
         np.arange(Y - 1, dtype=np.int64),
         np.arange(Z - 1, dtype=np.int64),
@@ -110,29 +120,27 @@ def marching_tetrahedra(
             gid(ii + dx, jj[None] + dy, kk[None] + dz).ravel()
             for dx, dy, dz in _CUBE
         ])
-        for tet in _TETS:
-            g4 = cg[list(tet)]  # [4, ncubes]
-            m = (
-                inside[g4[0]].astype(np.int8)
-                | inside[g4[1]].astype(np.int8) << 1
-                | inside[g4[2]].astype(np.int8) << 2
-                | inside[g4[3]].astype(np.int8) << 3
-            )
-            for mask in range(1, 15):
-                tris = _CASES[mask]
-                if not tris:
-                    continue
-                sel = np.nonzero(m == mask)[0]
-                if sel.size == 0:
-                    continue
-                gs = g4[:, sel]  # [4, nsel]
-                for tri in tris:
-                    lo_parts.append(
-                        np.stack([gs[a] for a, _ in tri], axis=1)
-                    )
-                    hi_parts.append(
-                        np.stack([gs[b] for _, b in tri], axis=1)
-                    )
+        # all 6 tets of all cubes at once: [6*nc, 4] corner ids, [6*nc]
+        # case masks, then ONE gather per triangle slot through the
+        # dense case LUT (no python loop over tets x cases).
+        g4 = cg[_TETS_ARR]  # [6, 4, nc]
+        ins = inside[g4]
+        m = (
+            ins[:, 0].astype(np.int8)
+            | ins[:, 1].astype(np.int8) << 1
+            | ins[:, 2].astype(np.int8) << 2
+            | ins[:, 3].astype(np.int8) << 3
+        ).reshape(-1)  # [6*nc]
+        gf = g4.transpose(0, 2, 1).reshape(-1, 4)  # [6*nc, 4]
+        ntri = _CASE_NTRI[m]
+        for t in range(2):
+            sel = np.nonzero(ntri > t)[0]
+            if sel.size == 0:
+                continue
+            e = _TRI_LUT[m[sel], t]  # [K, 3, 2] tet-corner ids
+            gsel = gf[sel]  # [K, 4]
+            lo_parts.append(np.take_along_axis(gsel, e[:, :, 0].astype(np.int64), axis=1))
+            hi_parts.append(np.take_along_axis(gsel, e[:, :, 1].astype(np.int64), axis=1))
     if not lo_parts:
         return np.zeros((0, 3), np.float32), np.zeros((0, 3), np.int32)
     # [M, 3] crossing-edge endpoint ids (orderless: interpolation and
