@@ -388,3 +388,52 @@ def test_pose_opt_with_epoch_shuffle(tmp_path):
     ])
     m = run_training(cfg, datasets=scene)
     assert np.isfinite(m["psnr_test"])
+
+
+def test_cli_render_refined_poses(tmp_path):
+    """`cli render --refined-poses` applies the checkpoint's learned
+    delta to a TRAIN view and rejects misuse (test split, non-pose
+    checkpoint)."""
+    from tnerf.cli import main
+    from tnerf.train_loop import run_training
+
+    scene = generate_procedural_scene(
+        width=16, height=16, n_train=3, n_val=1, n_test=1, n_samples=32
+    )
+    out = str(tmp_path / "run")
+    overrides = [
+        "scene.kind=procedural", "scene.name=prims", "scene.scene_scale=1.0",
+        "scene.proc_width=16", "scene.proc_height=16",
+        "scene.proc_n_train=3", "scene.proc_n_val=1", "scene.proc_n_test=1",
+        "scene.proc_n_samples=32",
+        "render.pipeline=grid_march",
+        "grid.resolution=8", "grid.warmup_steps=5", "grid.update_every=5",
+        "sampler.samples_per_ray=32", "sampler.near=2.0", "sampler.far=5.5",
+        "field_.n_frequencies=4", "field_.hidden_width=32",
+        "field_.hidden_layers=2",
+        "train.optimize_poses=true",
+        "train.batch_size=128", "train.steps=10", "train.eval_every=0",
+        "train.checkpoint_every=10", "train.log_every=5",
+        f"logging.out_dir={out}", "render.chunk_size=512",
+    ]
+    cfg = Config().apply_overrides(overrides)
+    run_training(cfg, datasets=scene)
+    cfg_path = str(tmp_path / "cfg.json")
+    with open(cfg_path, "w") as fh:
+        fh.write(cfg.to_json())
+    png = str(tmp_path / "train0.png")
+    rc = main([
+        "render", "--config", cfg_path, "--checkpoint", f"{out}/checkpoints",
+        "--split", "train", "--pose-index", "0", "--refined-poses",
+        "--out", png,
+    ])
+    assert rc == 0
+    import os
+    assert os.path.exists(png)
+    # test split rejected
+    rc = main([
+        "render", "--config", cfg_path, "--checkpoint", f"{out}/checkpoints",
+        "--split", "test", "--pose-index", "0", "--refined-poses",
+        "--out", str(tmp_path / "x.png"),
+    ])
+    assert rc == 1

@@ -116,6 +116,12 @@ def main(argv=None) -> int:
         help="with --orbit: additionally assemble the frames into an "
         "animated <out>/orbit.gif (10 fps turntable)",
     )
+    sp.add_argument(
+        "--refined-poses", action="store_true",
+        help="apply the checkpoint's learned pose delta to the rendered "
+        "view (train.optimize_poses checkpoints, --split train only — "
+        "the deltas are per-TRAIN-image)",
+    )
 
     sp = sub.add_parser("eval", help="PSNR over the test split from a checkpoint")
     common(sp)
@@ -517,9 +523,28 @@ def main(argv=None) -> int:
             return 0
         from tnerf.eval import render_dataset_view_result
 
+        pose_delta = None
+        if args.refined_poses:
+            if "pose_deltas" not in state.params:
+                print(
+                    "error: --refined-poses needs a train.optimize_poses "
+                    "checkpoint (no pose_deltas leaf restored)",
+                    file=sys.stderr,
+                )
+                return 1
+            if args.split != "train":
+                print(
+                    "error: --refined-poses applies per-TRAIN-image "
+                    f"deltas; --split {args.split} poses were never "
+                    "refined",
+                    file=sys.stderr,
+                )
+                return 1
+            pose_delta = state.params["pose_deltas"][args.pose_index]
         res = render_dataset_view_result(
             renderer, state.params, ds, args.pose_index, cfg.scene.scene_scale,
             chunk_size=cfg.render.chunk_size, occupancy=payload, mesh=mesh,
+            pose_delta=pose_delta,
         )
         base, ext = os.path.splitext(args.out)
         for ch in channels:

@@ -58,11 +58,22 @@ def render_dataset_view_result(
     chunk_size: int = 65536,
     occupancy=None,
     mesh=None,
+    pose_delta=None,
 ):
     """Full RenderResult (rgb + acc + expected depth) for one dataset
-    pose, device_get'd to host numpy."""
+    pose, device_get'd to host numpy.
+
+    pose_delta: optional [6] se3 delta composed onto the pose before
+    ray generation — rendering a TRAIN view of a pose-refined
+    checkpoint with its learned correction (cli render --refined-poses).
+    """
+    pose = jax.numpy.asarray(dataset.poses[index])
+    if pose_delta is not None:
+        from tnerf.cameras import compose_pose, se3_exp
+
+        pose = compose_pose(se3_exp(jax.numpy.asarray(pose_delta)), pose)
     rays = camera_rays(
-        jax.numpy.asarray(dataset.poses[index]),
+        pose,
         dataset.width,
         dataset.height,
         dataset.camera,
