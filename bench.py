@@ -582,6 +582,7 @@ def gate_metrics() -> dict:
         "gate_hashgrid_dcdf": "runs/hard_r3_hashgrid_dcdf",
         "gate_hashgrid_best": "runs/hard_r3_hashgrid_best",
         "gate_triplane": "runs/hard_r3_triplane",
+        "gate_triplane_prog": "runs/hard_r3_triplane_prog",
     }
     here = os.path.dirname(os.path.abspath(__file__))
     for name, rel in gates.items():
