@@ -190,3 +190,87 @@ def test_thin_sheet_winding_consistent():
     side = np.sign(cen_z - 6.0)
     keep = np.abs(nrm[:, 2]) > 1e-6 * np.linalg.norm(nrm, axis=1)
     assert (np.sign(nrm[keep, 2]) == side[keep]).all()
+
+
+def test_vertex_normals_sphere_point_outward():
+    from tnerf.grid.marching import vertex_normals
+
+    vals, h = _sphere_values()
+    verts, faces = marching_tetrahedra(
+        vals, 0.0, origin=(-1.0, -1.0, -1.0), spacing=(h, h, h)
+    )
+    n = vertex_normals(verts, faces)
+    np.testing.assert_allclose(np.linalg.norm(n, axis=1), 1.0, atol=1e-5)
+    # on a sphere the outward normal is the radial direction
+    r = verts / np.linalg.norm(verts, axis=1, keepdims=True)
+    cos = np.einsum("ij,ij->i", n, r)
+    assert cos.min() > 0.8 and cos.mean() > 0.98
+
+
+def test_colored_obj_round_trip(tmp_path):
+    """Vertex colors write as the `v x y z r g b` extension; load_obj
+    still reads the geometry (ignoring the color columns)."""
+    from tnerf.grid.mesh import load_obj
+
+    vals, h = _sphere_values(n=9)
+    verts, faces = marching_tetrahedra(
+        vals, 0.0, origin=(-1.0, -1.0, -1.0), spacing=(h, h, h)
+    )
+    colors = np.random.RandomState(0).rand(len(verts), 3).astype(np.float32)
+    path = str(tmp_path / "colored.obj")
+    save_obj(path, verts, faces, colors)
+    with open(path) as fh:
+        vline = next(l for l in fh if l.startswith("v "))
+    assert len(vline.split()) == 7  # v x y z r g b
+    v2, f2 = load_obj(path)
+    np.testing.assert_allclose(v2, verts, atol=1e-5)
+    assert (f2 == faces).all()
+
+
+def test_cli_mesh_vertex_colors(tmp_path):
+    """--vertex-colors bakes field RGB: on the procedural scene the
+    exported colors are real (non-constant, in [0,1])."""
+    import json
+
+    from tnerf.cli import main
+    from tnerf.config import Config
+    from tnerf.data.procedural import generate_procedural_scene
+    from tnerf.train_loop import run_training
+
+    scene = generate_procedural_scene(
+        width=24, height=24, n_train=4, n_val=1, n_test=1, n_samples=64
+    )
+    out = str(tmp_path / "run")
+    cfg = Config().apply_overrides([
+        "scene.kind=procedural", "scene.scene_scale=1.0",
+        "render.pipeline=grid_march",
+        "grid.resolution=8", "grid.warmup_steps=5", "grid.update_every=5",
+        "sampler.samples_per_ray=32", "sampler.near=2.0", "sampler.far=5.5",
+        "field_.n_frequencies=4", "field_.hidden_width=32",
+        "field_.hidden_layers=2",
+        "train.batch_size=256", "train.steps=60", "train.eval_every=0",
+        "train.checkpoint_every=60", "train.log_every=30",
+        f"logging.out_dir={out}", "render.chunk_size=1024",
+    ])
+    run_training(cfg, datasets=scene)
+    cfg_path = str(tmp_path / "cfg.json")
+    with open(cfg_path, "w") as fh:
+        fh.write(json.dumps(json.loads(cfg.to_json())))
+    obj = str(tmp_path / "colored.obj")
+    rc = main([
+        "mesh", "--config", cfg_path, "--checkpoint", f"{out}/checkpoints",
+        "--out", obj, "--resolution", "24", "--threshold", "0.5",
+        "--vertex-colors",
+    ])
+    assert rc == 0
+    cols = []
+    with open(obj) as fh:
+        for line in fh:
+            p = line.split()
+            if p and p[0] == "v":
+                assert len(p) == 7
+                cols.append([float(x) for x in p[4:]])
+    cols = np.asarray(cols)
+    assert len(cols) > 0
+    assert (cols >= 0).all() and (cols <= 1).all()
+    assert cols.std(axis=0).max() > 0.01  # not a constant bake

@@ -161,6 +161,12 @@ def main(argv=None) -> int:
         "--threshold", type=float, default=None,
         help="density iso level (default: grid.density_threshold)",
     )
+    sp.add_argument(
+        "--vertex-colors", action="store_true",
+        help="bake per-vertex RGB from the field (queried along the "
+        "inward surface normal; written as the `v x y z r g b` OBJ "
+        "vertex-color extension)",
+    )
 
     sp = sub.add_parser("config", help="print resolved config JSON")
     common(sp)
@@ -235,8 +241,29 @@ def main(argv=None) -> int:
                 "field's max density?", file=sys.stderr,
             )
             return 1
-        save_obj(args.out, verts, faces)
-        print(f"wrote {args.out}: {len(verts)} vertices, {len(faces)} faces")
+        colors = None
+        if args.vertex_colors:
+            import numpy as np
+
+            from tnerf.grid.marching import vertex_normals
+
+            # view each vertex along the INWARD normal (a camera outside
+            # looking at the surface) — the standard appearance bake
+            nrm = vertex_normals(verts, faces)
+            apply_fn = jax.jit(field.apply)
+            chunk = 1 << 16
+            cols = []
+            for s in range(0, len(verts), chunk):
+                rgb, _ = apply_fn(
+                    state.params,
+                    jnp.asarray(verts[s : s + chunk]),
+                    jnp.asarray(-nrm[s : s + chunk]),
+                )
+                cols.append(np.asarray(rgb))
+            colors = np.concatenate(cols)
+        save_obj(args.out, verts, faces, colors)
+        tag = " (vertex colors)" if colors is not None else ""
+        print(f"wrote {args.out}: {len(verts)} vertices, {len(faces)} faces{tag}")
         return 0
 
     # render / eval need a restored state

@@ -229,14 +229,43 @@ def extract_density_mesh(
     )
 
 
-def save_obj(path: str, verts: np.ndarray, faces: np.ndarray) -> None:
-    """Write a minimal Wavefront OBJ (the format load_obj reads back)."""
+def vertex_normals(verts: np.ndarray, faces: np.ndarray) -> np.ndarray:
+    """Area-weighted per-vertex normals from face windings (the faces
+    are globally oriented outward, so these point out of the surface)."""
+    v0, v1, v2 = verts[faces[:, 0]], verts[faces[:, 1]], verts[faces[:, 2]]
+    fn = np.cross(v1 - v0, v2 - v0)  # area-weighted
+    n = np.zeros_like(verts)
+    for c in range(3):
+        np.add.at(n, faces[:, c], fn)
+    return n / np.maximum(np.linalg.norm(n, axis=1, keepdims=True), 1e-12)
+
+
+def save_obj(
+    path: str,
+    verts: np.ndarray,
+    faces: np.ndarray,
+    colors: "np.ndarray | None" = None,
+) -> None:
+    """Write a minimal Wavefront OBJ (the format load_obj reads back).
+
+    colors: optional [N, 3] per-vertex RGB in [0, 1], written as the
+    widely-supported `v x y z r g b` extension (MeshLab/Blender/trimesh
+    read it; load_obj ignores the extra columns)."""
     d = os.path.dirname(path)
     if d:
         os.makedirs(d, exist_ok=True)
     with open(path, "w") as fh:
         fh.write(f"# tnerf isosurface: {len(verts)} verts {len(faces)} faces\n")
-        for v in np.asarray(verts, np.float32):
-            fh.write(f"v {v[0]:.6f} {v[1]:.6f} {v[2]:.6f}\n")
+        verts = np.asarray(verts, np.float32)
+        if colors is None:
+            for v in verts:
+                fh.write(f"v {v[0]:.6f} {v[1]:.6f} {v[2]:.6f}\n")
+        else:
+            colors = np.clip(np.asarray(colors, np.float32), 0.0, 1.0)
+            for v, c in zip(verts, colors):
+                fh.write(
+                    f"v {v[0]:.6f} {v[1]:.6f} {v[2]:.6f} "
+                    f"{c[0]:.4f} {c[1]:.4f} {c[2]:.4f}\n"
+                )
         for f in np.asarray(faces, np.int64) + 1:  # OBJ is 1-indexed
             fh.write(f"f {f[0]} {f[1]} {f[2]}\n")
