@@ -221,6 +221,9 @@ class FieldConfig:
     # 3*F into a shallow MLP).  tri_gather_mode mirrors hash_gather_mode
     # ("auto" = MXU one-hot matmuls on TPU while R*R <= 2^15, XLA gather
     # otherwise — tnerf/fields/triplane.py:resolve_tri_mode).
+    # encoding == "cp" (TensoRF's CP ablation family) reuses the same
+    # knobs: rank-F product of three R-entry LINE factors only (feature
+    # dim F; O(3*R*F) params — the lightest grid family).
     tri_resolution: int = 128
     tri_features: int = 16
     tri_gather_mode: str = "auto"

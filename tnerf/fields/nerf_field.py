@@ -104,7 +104,7 @@ class NeRFField:
             return frequency_encoding(
                 xn, self.config.n_frequencies, window=window
             )
-        if self.config.encoding in ("hashgrid", "triplane"):
+        if self.config.encoding in ("hashgrid", "triplane", "cp"):
             raise ValueError(
                 f"{self.config.encoding} encoding is applied via params; use apply()"
             )
@@ -127,6 +127,10 @@ class NeRFField:
         """Parameterized (table-backed) spatial encodings: hashgrid or
         triplane features from [0,1]^3-normalized positions."""
         xn01 = 0.5 * (self.normalize_positions(positions) + 1.0)
+        if self.config.encoding == "cp":
+            from tnerf.fields.triplane import apply_cp
+
+            return apply_cp(params["cp"], xn01, self.config)
         if self.config.encoding == "triplane":
             if self.table_parallel is not None:
                 from tnerf.parallel.table_parallel import tp_apply_triplane
@@ -172,6 +176,8 @@ class NeRFField:
             return frequency_encoding_dim(3, self.config.n_frequencies)
         if self.config.encoding == "triplane":
             return 3 * self.config.tri_features
+        if self.config.encoding == "cp":
+            return self.config.tri_features
         # hashgrid: levels * features
         return self.config.hash_levels * self.config.hash_features_per_level
 
@@ -185,7 +191,7 @@ class NeRFField:
     def _mlp_shape(self) -> Tuple[int, int]:
         if self.config.encoding == "hashgrid":
             return self.config.hash_hidden_width, self.config.hash_hidden_layers
-        if self.config.encoding == "triplane":
+        if self.config.encoding in ("triplane", "cp"):
             return self.config.tri_hidden_width, self.config.tri_hidden_layers
         return self.config.hidden_width, self.config.hidden_layers
 
@@ -202,6 +208,10 @@ class NeRFField:
             from tnerf.fields.triplane import init_triplane
 
             params["triplane"] = init_triplane(k_enc, self.config)
+        elif self.config.encoding == "cp":
+            from tnerf.fields.triplane import init_cp
+
+            params["cp"] = init_cp(k_enc, self.config)
         if self.arch == "fused5d":
             in_dim = self._pos_enc_dim + self._view_enc_dim
             params["trunk"] = init_mlp(k_trunk, in_dim, width, layers, 4)
@@ -222,7 +232,7 @@ class NeRFField:
     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
         """positions [..., 3], viewdirs [..., 2|3] -> (rgb [..., 3], sigma [...])."""
         dtype = jnp.bfloat16 if self.config.compute_dtype == "bfloat16" else jnp.float32
-        if self.config.encoding in ("hashgrid", "triplane"):
+        if self.config.encoding in ("hashgrid", "triplane", "cp"):
             pos_enc = self._feature_encode(params, positions)
         else:
             pos_enc = self._encode_pos(positions, self._freq_window(params))
@@ -253,7 +263,7 @@ class NeRFField:
         """Density-only query (for occupancy-grid updates — cheaper than
         apply() for twobranch; same cost for fused5d)."""
         if self.arch == "twobranch":
-            if self.config.encoding in ("hashgrid", "triplane"):
+            if self.config.encoding in ("hashgrid", "triplane", "cp"):
                 pos_enc = self._feature_encode(params, positions)
             else:
                 pos_enc = self._encode_pos(positions, self._freq_window(params))

@@ -348,3 +348,160 @@ def _tri_onehot_bwd(cfg, chunk, res, g):
 
 
 _tri_onehot_encode.defvjp(_tri_onehot_fwd, _tri_onehot_bwd)
+
+
+# ---- CP decomposition (TensoRF's rank-F ablation family) --------------------
+#
+# feat_f(x) = Lx[x, f] * Ly[y, f] * Lz[z, f]: three R-entry LINE factors
+# per feature, linearly interpolated along their axis — TensoRF's CP
+# variant (the paper's lighter sibling of the VM decomposition above).
+# O(3*R*F) parameters; output dim F (vs the VM's 3*F).  Same dual
+# formulation and the same chunk-scanned positions-only custom VJP: the
+# backward recomputes the geometry and the PARTNER PRODUCT of the other
+# two factors, then one onehot_outer matmul per interpolation corner per
+# axis (deterministic, no scatter).
+
+
+def init_cp(key: jax.Array, cfg: FieldConfig) -> dict:
+    """lines [3, R, F] — 0.2 * N(0,1): the triple product starts at
+    ~8e-3 magnitude (three factors vs the VM's two, hence the larger
+    per-factor scale than init_triplane's 0.1)."""
+    R, F = cfg.tri_resolution, cfg.tri_features
+    return {"lines": 0.2 * jax.random.normal(key, (3, R, F), jnp.float32)}
+
+
+def cp_num_params(cfg: FieldConfig) -> int:
+    return 3 * cfg.tri_resolution * cfg.tri_features
+
+
+def _cp_geometry(x01: jnp.ndarray, R: int):
+    """Per-axis vertex-grid geometry (same convention as _tri_geometry):
+    x01 [..., 3] -> (i0 [..., 3] int32, frac [..., 3] f32)."""
+    pos = jnp.clip(x01 * (R - 1), 0.0, (R - 1) - 1e-4)
+    i0 = jnp.floor(pos)
+    return i0.astype(jnp.int32), (pos - i0).astype(jnp.float32)
+
+
+def _cp_factors(lines3, i0, frac):
+    """Interpolated per-axis factors [..., 3, F] from lines3 [3, R, F]
+    (gather formulation; axis a reads x01[..., a])."""
+    R = lines3.shape[1]
+    F = lines3.shape[-1]
+    lines = lines3.reshape(3 * R, F)
+    off = jnp.arange(3, dtype=jnp.int32) * R
+    out = jnp.zeros((*i0.shape[:-1], 3, F), jnp.float32)
+    for c in range(2):
+        w = frac if c else 1.0 - frac
+        out = out + w[..., None] * lines[i0 + c + off]
+    return out
+
+
+def apply_cp_gather(
+    params: dict, x01: jnp.ndarray, cfg: FieldConfig
+) -> jnp.ndarray:
+    """XLA-gather formulation; gradients by autodiff."""
+    i0, frac = _cp_geometry(x01, cfg.tri_resolution)
+    fac = _cp_factors(params["lines"], i0, frac)  # [..., 3, F]
+    return fac[..., 0, :] * fac[..., 1, :] * fac[..., 2, :]
+
+
+def resolve_cp_mode(cfg: FieldConfig) -> str:
+    """'onehot' on TPU (line tables are tiny — always within the
+    matmul-gather win region), 'gather' elsewhere; explicit modes pass
+    through (same knob as the VM family: field_.tri_gather_mode)."""
+    mode = cfg.tri_gather_mode
+    if mode != "auto":
+        return mode
+    return "onehot" if jax.default_backend() == "tpu" else "gather"
+
+
+def apply_cp(
+    params: dict, x01: jnp.ndarray, cfg: FieldConfig, mode: str | None = None
+) -> jnp.ndarray:
+    """x01 [..., 3] in [0,1]^3 -> [..., F] CP features."""
+    m = mode or resolve_cp_mode(cfg)
+    if m == "onehot":
+        return apply_cp_onehot(params, x01, cfg)
+    return apply_cp_gather(params, x01, cfg)
+
+
+def apply_cp_onehot(
+    params: dict, x01: jnp.ndarray, cfg: FieldConfig, chunk: int = 8192
+) -> jnp.ndarray:
+    """MXU matmul-gather formulation (shared one-hot primitives); chunk-
+    scanned custom VJP saving only positions — positions get a zero
+    cotangent like the other one-hot paths."""
+    F = cfg.tri_features
+    batch_shape = x01.shape[:-1]
+    x = x01.reshape(-1, 3)
+    n = x.shape[0]
+    n_pad = -(-n // chunk) * chunk if n > chunk else n
+    if n_pad != n:
+        x = jnp.pad(x, ((0, n_pad - n), (0, 0)))
+    y = _cp_onehot_encode(params["lines"], x, cfg, min(chunk, n_pad))
+    return y[:n].reshape(*batch_shape, F)
+
+
+def _cp_factors_onehot(lines_m, xc, cfg, cdtype):
+    """One chunk's factors [3, C, F] via one-hot lookups (lines_m is the
+    pack_tables form of the row-padded [3, R', F] lines)."""
+    R = cfg.tri_resolution
+    F = cfg.tri_features
+    i0, frac = _cp_geometry(xc, R)
+    out = jnp.zeros((3, xc.shape[0], F), jnp.float32)
+    for c in range(2):
+        w = frac if c else 1.0 - frac
+        val = onehot_lookup(lines_m, (i0 + c).T, cdtype)
+        out = out + w.T[:, :, None] * val.astype(jnp.float32)
+    return out
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def _cp_onehot_encode(lines, x, cfg, chunk):
+    """lines [3, R, F], x [Npad, 3] -> [Npad, F] f32."""
+    cdtype = _onehot_dtypes(cfg)
+    lines_m = pack_tables(_pad_rows(lines), cdtype)
+
+    def encode_chunk(_, xc):
+        fac = _cp_factors_onehot(lines_m, xc, cfg, cdtype)
+        return None, fac[0] * fac[1] * fac[2]
+
+    _, y = _chunk_iter(x, chunk, encode_chunk, None)
+    return y.reshape(x.shape[0], cfg.tri_features)
+
+
+def _cp_onehot_fwd(lines, x, cfg, chunk):
+    return _cp_onehot_encode(lines, x, cfg, chunk), (lines, x)
+
+
+def _cp_onehot_bwd(cfg, chunk, res, g):
+    """d(lines) with no stacked residuals: recompute the chunk's
+    geometry and the PARTNER PRODUCT of the other two axes' factors,
+    then one onehot_outer per corner per axis, accumulated in f32."""
+    lines, x = res
+    R, F = cfg.tri_resolution, cfg.tri_features
+    cdtype = _onehot_dtypes(cfg)
+    lines_m = pack_tables(_pad_rows(lines), cdtype)
+    rows = lines_m.shape[1]
+
+    def bwd_chunk(acc, inp):
+        xc, gc = inp  # [C, 3], [C, F]
+        fac = _cp_factors_onehot(lines_m, xc, cfg, cdtype)  # [3, C, F]
+        # dL/d(factor_a) = g * (product of the other two factors)
+        others = jnp.stack([fac[1] * fac[2], fac[0] * fac[2], fac[0] * fac[1]])
+        gfac = gc[None] * others
+        i0, frac = _cp_geometry(xc, R)
+        for c in range(2):
+            w = frac if c else 1.0 - frac
+            acc = acc + onehot_outer(
+                (i0 + c).T, w.T[:, :, None] * gfac, rows, cdtype
+            )
+        return acc, None
+
+    init = jnp.zeros((3, rows, F * 128), jnp.float32)
+    dl_m, _ = _chunk_iter((x, g), chunk, bwd_chunk, init)
+    dlines = unpack_tables(dl_m, F)[:, :R]
+    return dlines, jnp.zeros_like(x)
+
+
+_cp_onehot_encode.defvjp(_cp_onehot_fwd, _cp_onehot_bwd)

@@ -116,7 +116,7 @@ def create_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
             opt,
             optax.masked(
                 optax.scale(cfg.table_lr_mult),
-                _key_mask(("hashgrid", "triplane")),
+                _key_mask(("hashgrid", "triplane", "cp")),
             ),
         )
     if cfg.pose_lr_mult != 1.0:
@@ -310,7 +310,7 @@ def make_train_step(
         mse = jnp.mean(jnp.square(err))
         obj = mse if loss == "l2" else photometric_loss(err, loss, huber_delta)
         if table_l1 > 0.0:
-            for k in ("hashgrid", "triplane"):
+            for k in ("hashgrid", "triplane", "cp"):
                 if k in params:
                     obj = obj + table_l1 * sum(
                         jnp.abs(leaf).mean()

@@ -61,7 +61,7 @@ from tnerf.utils.metrics import MetricsWriter, get_logger, maybe_profile
 
 
 def build_field(cfg: Config) -> NeRFField:
-    arch = "twobranch" if cfg.field_.encoding in ("hashgrid", "triplane") else "fused5d"
+    arch = "twobranch" if cfg.field_.encoding in ("hashgrid", "triplane", "cp") else "fused5d"
     return NeRFField(cfg.field_, cfg.grid, arch=arch)
 
 
@@ -399,6 +399,15 @@ def _validate_pose_opt(cfg: Config) -> None:
                 "train.optimize_poses needs position gradients, but the "
                 "hash grid's onehot path returns zero position "
                 "cotangents — set field_.hash_gather_mode=gather"
+            )
+    if cfg.field_.encoding == "cp":
+        from tnerf.fields.triplane import resolve_cp_mode
+
+        if resolve_cp_mode(cfg.field_) != "gather":
+            raise ValueError(
+                "train.optimize_poses needs position gradients, but the "
+                "CP onehot path returns zero position cotangents — set "
+                "field_.tri_gather_mode=gather"
             )
     if cfg.field_.encoding == "triplane":
         from tnerf.fields.triplane import resolve_tri_mode
