@@ -161,6 +161,74 @@ def pixel_rays(
     )
 
 
+def ndc_warp(
+    rays: Rays,
+    width: int,
+    height: int,
+    focal_px,
+    near: float = 1.0,
+) -> Rays:
+    """Warp forward-facing world rays into NDC space (the classic NeRF
+    parameterization for LLFF captures, paper appendix C).
+
+    The perspective projection of the camera at the world origin looking
+    down -z maps the infinite frustum beyond the ``z = -near`` plane into
+    the cube [-1, 1]^3 — exactly the occupancy grid's default AABB — so
+    unbounded forward-facing depth gets full grid resolution, and every
+    downstream stage (traversal, sampling, field, compositing) operates
+    on the warped rays unchanged.  Warped ray t runs over [0, 1]:
+    t = 0 is the near plane (z_ndc = -1), t -> 1 is infinity (z_ndc = 1);
+    sampler.near/far are therefore pinned to (0, 1) under NDC.
+
+    Requirements (the caller's contract, validated in
+    train_loop.validate_ndc): rays must be expressed in a frame whose -z
+    axis is the mean viewing direction with all content beyond the near
+    plane — i.e. LLFF poses loaded with ``scene.llff_recenter`` (and
+    usually ``scene.llff_bd_rescale``) or an equivalently recentered
+    capture.  Rays with d_z >= 0 are clamped to an epsilon slope for
+    numerical safety (a forward-facing capture has none).
+
+    Generalizes the standard formulation to full (fx, fy, cx, cy)
+    intrinsics: the principal-point offset shifts the origin terms and
+    cancels in the direction terms, keeping the IMAGE footprint mapped
+    onto x/y in [-1, 1].  Directions are intentionally NOT unit vectors
+    (quadrature happens in NDC units); ``viewdirs_tp`` keeps the WORLD
+    viewing direction — the standard NeRF choice of NDC positions with
+    world view directions for the appearance branch.
+
+    Replaces no reference capability directly (the reference's LLFF
+    branch is dead code, loader/data_loader.cpp:140-148, defect D15) —
+    this is the missing piece that makes that intended capability work
+    on real forward-facing captures.
+    """
+    fx, fy, cx, cy = resolve_intrinsics(width, height, focal_px)
+    wx, wy = 0.5 * width, 0.5 * height
+    nr = jnp.float32(near)
+    o, d = rays.origins, rays.directions
+    dz = jnp.minimum(d[..., 2], -1e-8)
+    # slide origins onto the near plane: o_z + t_n * d_z == -near exactly,
+    # so the projected o2 = 1 + 2*near/(-near) = -1 and d2 = 2 are exact
+    # constants (the classic centered formulation's values)
+    t_n = -(nr + o[..., 2]) / dz
+    o = o + t_n[..., None] * d
+    ox, oy = o[..., 0], o[..., 1]
+    dx, dy = d[..., 0], d[..., 1]
+    # pixel x maps i = cx - fx*x/z (x_cam = -x/z), so the principal
+    # offset enters with + for x; pixel y is flipped (y up, rows down),
+    # so it enters with - for y
+    o0 = (fx * ox / nr + (cx - wx)) / wx
+    o1 = (fy * oy / nr - (cy - wy)) / wy
+    o2 = jnp.full_like(ox, -1.0)
+    d0 = -(fx / wx) * (dx / dz + ox / nr)
+    d1 = -(fy / wy) * (dy / dz + oy / nr)
+    d2 = jnp.full_like(ox, 2.0)
+    return Rays(
+        origins=jnp.stack([o0, o1, o2], axis=-1),
+        directions=jnp.stack([d0, d1, d2], axis=-1),
+        viewdirs_tp=rays.viewdirs_tp,
+    )
+
+
 def se3_exp(delta: jnp.ndarray) -> jnp.ndarray:
     """SE(3) exponential map: delta [..., 6] = (w rotation, v translation)
     -> [..., 4, 4] rigid transform.  Closed-form Rodrigues with

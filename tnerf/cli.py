@@ -273,21 +273,29 @@ def main(argv=None) -> int:
 
     from tnerf.data.dataset import (
         load_data,
+        scene_llff_kwargs,
         scene_proc_kwargs,
         validate_scene_background,
     )
     from tnerf.grid.occupancy import renderer_payload
-    from tnerf.train_loop import build_renderer, resolve_near_far
+    from tnerf.train_loop import (
+        build_renderer,
+        ndc_near_or_none,
+        resolve_near_far,
+        validate_ndc,
+    )
 
     # data first: sampler.near/far = -1 (auto) resolves from the
     # dataset's depth bounds BEFORE any renderer is built
     validate_scene_background(cfg.scene.kind, cfg.scene.name, cfg.scene.white_background)
+    validate_ndc(cfg)
     datasets = load_data(
         cfg.scene.kind, cfg.scene.name, root=cfg.scene.root,
         srgb_to_linear=cfg.scene.srgb_to_linear, downscale=cfg.scene.downscale,
-        proc=scene_proc_kwargs(cfg.scene),
+        proc=scene_proc_kwargs(cfg.scene), llff=scene_llff_kwargs(cfg.scene),
     )
     cfg = resolve_near_far(cfg, next(iter(datasets.values())))
+    ndc = ndc_near_or_none(cfg)
     ckpt_dir = args.checkpoint or os.path.join(cfg.logging.out_dir, "checkpoints")
     field, state, occ, step, err = _build_restore(
         cfg, ckpt_dir, len(datasets["train"])
@@ -321,13 +329,17 @@ def main(argv=None) -> int:
         and cfg.render.pipeline == "grid_march"
     )
     if guard_on or cdf_guard:
-        from tnerf.cameras import camera_rays
+        from tnerf.cameras import camera_rays, ndc_warp
 
         ds0 = next(iter(datasets.values()))
         probe_rays = camera_rays(
             jax.numpy.asarray(ds0.poses[0]), ds0.width, ds0.height,
             ds0.camera, cfg.scene.scene_scale,
         )
+        if ndc is not None:
+            probe_rays = ndc_warp(
+                probe_rays, ds0.width, ds0.height, ds0.camera, ndc
+            )
     kf = 1.0
     if guard_on:
         from tnerf.render.grid_renderer import ray_keep_fraction
@@ -401,6 +413,14 @@ def main(argv=None) -> int:
         if args.orbit > 0 and args.path:
             print("error: --orbit and --path are mutually exclusive",
                   file=sys.stderr)
+            return 1
+        if args.orbit > 0 and ndc is not None:
+            print(
+                "error: --orbit renders a full turntable, but scene.ndc "
+                "only covers the forward-facing frustum — render a "
+                "forward-facing sequence with --path poses.json instead",
+                file=sys.stderr,
+            )
             return 1
         seq_poses, seq_tag = None, "orbit"
         if args.orbit > 0:
@@ -479,6 +499,10 @@ def main(argv=None) -> int:
                     jax.numpy.asarray(pose), ds.width, ds.height,
                     ds.camera, cfg.scene.scene_scale,
                 )
+                if ndc is not None:
+                    from tnerf.cameras import ndc_warp
+
+                    rays = ndc_warp(rays, ds.width, ds.height, ds.camera, ndc)
                 res = render_image(
                     renderer, state.params, rays,
                     chunk_size=cfg.render.chunk_size, occupancy=payload,
@@ -571,7 +595,7 @@ def main(argv=None) -> int:
         res = render_dataset_view_result(
             renderer, state.params, ds, args.pose_index, cfg.scene.scene_scale,
             chunk_size=cfg.render.chunk_size, occupancy=payload, mesh=mesh,
-            pose_delta=pose_delta,
+            pose_delta=pose_delta, ndc_near=ndc,
         )
         base, ext = os.path.splitext(args.out)
         for ch in channels:
@@ -597,6 +621,7 @@ def main(argv=None) -> int:
                     white_background=cfg.scene.white_background,
                     save_dir=args.save_renders,
                     chunk_size=cfg.render.chunk_size, occupancy=payload, mesh=mesh,
+                    ndc_near=ndc,
                 )
             )
     print(json.dumps(out, indent=2))
@@ -670,12 +695,18 @@ def _run_suite(cfg, scenes) -> int:
 
     from tnerf.data.dataset import (
         load_data,
+        scene_llff_kwargs,
         scene_proc_kwargs,
         validate_scene_background,
     )
     from tnerf.eval import evaluate
     from tnerf.grid.occupancy import renderer_payload
-    from tnerf.train_loop import build_renderer, resolve_near_far
+    from tnerf.train_loop import (
+        build_renderer,
+        ndc_near_or_none,
+        resolve_near_far,
+        validate_ndc,
+    )
 
     results = {}
     for scene in scenes:
@@ -686,6 +717,7 @@ def _run_suite(cfg, scenes) -> int:
         ])
         try:
             validate_scene_background(scfg.scene.kind, scfg.scene.name, scfg.scene.white_background)
+            validate_ndc(scfg)
             # pose-opt checkpoints carry a per-TRAIN-image delta leaf;
             # the restore template needs the train split's size too
             splits = (
@@ -697,6 +729,7 @@ def _run_suite(cfg, scenes) -> int:
                 srgb_to_linear=scfg.scene.srgb_to_linear,
                 downscale=scfg.scene.downscale, splits=splits,
                 proc=scene_proc_kwargs(scfg.scene),
+                llff=scene_llff_kwargs(scfg.scene),
             )
         except (FileNotFoundError, ValueError) as e:
             print(f"{scene}: SKIP (no data: {e})", file=sys.stderr)
@@ -717,6 +750,7 @@ def _run_suite(cfg, scenes) -> int:
             white_background=scfg.scene.white_background,
             save_dir=os.path.join(scfg.logging.out_dir, "suite_renders"),
             chunk_size=scfg.render.chunk_size, occupancy=payload,
+            ndc_near=ndc_near_or_none(scfg),
         )
         print(f"{scene}: {results[scene]}", file=sys.stderr)
     if results:

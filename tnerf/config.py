@@ -66,6 +66,23 @@ class SceneConfig:
     proc_n_val: int = 0
     proc_n_test: int = 0
     proc_n_samples: int = 0
+    # NDC ray parameterization for forward-facing (LLFF-style) captures:
+    # rays warp into the perspective cube [-1,1]^3 (cameras.ndc_warp) so
+    # the occupancy grid spans the camera frustum from the near plane to
+    # infinity.  Requires recentered poses (llff_recenter below, or an
+    # equivalently captured procedural/LLFF scene) and pins
+    # sampler.near/far to (0, 1) — see train_loop.validate_ndc.
+    ndc: bool = False
+    # World-space distance of the NDC near plane (in scene_scale units).
+    ndc_near: float = 1.0
+    # LLFF preprocessing (scene.kind="llff" only): rigidly recenter the
+    # poses so the average camera frame is the world identity (required
+    # for ndc), and/or apply the classic bd_factor rescale — scale
+    # translations + depth bounds by 1/(min_bound * llff_bd_rescale), so
+    # the closest content lands at depth 1/llff_bd_rescale (standard
+    # value 0.75 -> 1.33, beyond an NDC near plane at 1.0).  0 = off.
+    llff_recenter: bool = False
+    llff_bd_rescale: float = 0.0
 
 
 @dataclass(frozen=True)

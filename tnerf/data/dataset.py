@@ -188,6 +188,18 @@ def scene_proc_kwargs(scene_cfg) -> Dict[str, int]:
     return out
 
 
+def scene_llff_kwargs(scene_cfg) -> Dict[str, float]:
+    """load_llff_scene preprocessing kwargs from a SceneConfig (pose
+    recentering + bd_factor rescale — the NDC prerequisites)."""
+    out: Dict[str, float] = {}
+    if getattr(scene_cfg, "llff_recenter", False):
+        out["recenter"] = True
+    v = getattr(scene_cfg, "llff_bd_rescale", 0.0)
+    if v:
+        out["bd_rescale"] = float(v)
+    return out
+
+
 def load_data(
     kind: str,
     name: str,
@@ -196,17 +208,20 @@ def load_data(
     downscale: int = 1,
     splits=SPLITS,
     proc: Optional[Dict[str, int]] = None,
+    llff: Optional[Dict[str, float]] = None,
 ) -> Dict[str, ImageDataset]:
     """Entry point mirroring reference load_data (data_loader.h:29-31).
 
     `proc` (scene_proc_kwargs) parameterizes procedural generation —
     image size, split view counts, GT quadrature — and is ignored for
-    on-disk datasets."""
+    on-disk datasets.  `llff` (scene_llff_kwargs) parameterizes LLFF
+    preprocessing (recenter / bd_rescale) and is ignored elsewhere."""
     if kind == "nerf_synthetic":
         return load_synthetic_scene(root, name, srgb_to_linear, downscale, splits)
     if kind == "llff":
         return load_llff_scene(
-            root, name, srgb_to_linear=srgb_to_linear, downscale=downscale
+            root, name, srgb_to_linear=srgb_to_linear, downscale=downscale,
+            **(llff or {}),
         )
     if kind == "procedural":
         from tnerf.data.procedural import generate_procedural_scene

@@ -39,15 +39,54 @@ def _list_images(d: str):
     )
 
 
+def _normalize(v: np.ndarray) -> np.ndarray:
+    return v / max(float(np.linalg.norm(v)), 1e-12)
+
+
+def poses_avg(c2w: np.ndarray) -> np.ndarray:
+    """Average camera-to-world frame of a pose set [N, 4, 4] -> [4, 4]:
+    translation = mean eye, z = normalized mean backward axis, y from the
+    mean up hint (the standard LLFF `viewmatrix(mean_z, mean_up, center)`
+    construction).  Recentering with its inverse puts the mean camera at
+    the origin looking down world -z — the frame the NDC warp
+    (cameras.ndc_warp) requires."""
+    center = c2w[:, :3, 3].mean(axis=0)
+    z = _normalize(c2w[:, :3, 2].mean(axis=0))
+    up = c2w[:, :3, 1].mean(axis=0)
+    x = _normalize(np.cross(up, z))
+    y = np.cross(z, x)
+    avg = np.eye(4, dtype=np.float64)
+    avg[:3, 0], avg[:3, 1], avg[:3, 2], avg[:3, 3] = x, y, z, center
+    return avg
+
+
+def recenter_poses(c2w: np.ndarray) -> np.ndarray:
+    """Rigidly move all poses so their average frame is the identity."""
+    inv = np.linalg.inv(poses_avg(c2w.astype(np.float64)))
+    out = (inv[None] @ c2w.astype(np.float64)).astype(np.float32)
+    out[:, 3, :] = (0.0, 0.0, 0.0, 1.0)
+    return out
+
+
 def load_llff_scene(
     root: str,
     name: str,
     srgb_to_linear: bool = False,
     downscale: int = 1,
     holdout_every: int = 8,
+    recenter: bool = False,
+    bd_rescale: float = 0.0,
 ) -> Dict[str, ImageDataset]:
     """Load an LLFF scene; every `holdout_every`-th view becomes the test
-    split (the standard LLFF protocol)."""
+    split (the standard LLFF protocol).
+
+    recenter: rigidly transform all poses so their AVERAGE camera frame
+    is the world identity (recenter_poses) — required by the NDC
+    parameterization (scene.ndc), which projects along world -z.
+    bd_rescale: when > 0, the classic LLFF `bd_factor` preprocessing —
+    scale translations and depth bounds by 1 / (min_bound * bd_rescale)
+    so the nearest content sits at depth 1/bd_rescale (1.33 world units
+    at the standard 0.75), safely beyond an NDC near plane at 1.0."""
     scene_dir = os.path.join(root, name)
     pb_path = os.path.join(scene_dir, "poses_bounds.npy")
     if not os.path.exists(pb_path):
@@ -83,6 +122,13 @@ def load_llff_scene(
     focal_native = float(poses_raw[0, 2, 4])
     w_native = float(poses_raw[0, 1, 4])
     focal = focal_native * (w / w_native)
+
+    if bd_rescale > 0.0:
+        sc = 1.0 / (float(bounds.min()) * float(bd_rescale))
+        c2w[:, :3, 3] *= sc
+        bounds = bounds * sc
+    if recenter:
+        c2w = recenter_poses(c2w)
 
     idx = np.arange(len(pb))
     test_sel = (idx % holdout_every == 0) if holdout_every > 0 else np.zeros(len(pb), bool)

@@ -59,6 +59,7 @@ def render_dataset_view_result(
     occupancy=None,
     mesh=None,
     pose_delta=None,
+    ndc_near=None,
 ):
     """Full RenderResult (rgb + acc + expected depth) for one dataset
     pose, device_get'd to host numpy.
@@ -66,6 +67,8 @@ def render_dataset_view_result(
     pose_delta: optional [6] se3 delta composed onto the pose before
     ray generation — rendering a TRAIN view of a pose-refined
     checkpoint with its learned correction (cli render --refined-poses).
+    ndc_near: scene.ndc near plane (None = off) — warps rays into NDC
+    so eval sees the same ray space training used.
     """
     pose = jax.numpy.asarray(dataset.poses[index])
     if pose_delta is not None:
@@ -79,6 +82,12 @@ def render_dataset_view_result(
         dataset.camera,
         scene_scale,
     )
+    if ndc_near is not None:
+        from tnerf.cameras import ndc_warp
+
+        rays = ndc_warp(
+            rays, dataset.width, dataset.height, dataset.camera, ndc_near
+        )
     res = render_image(
         renderer, params, rays, chunk_size=chunk_size,
         occupancy=occupancy, mesh=mesh,
@@ -95,10 +104,12 @@ def render_dataset_view(
     chunk_size: int = 65536,
     occupancy=None,
     mesh=None,
+    ndc_near=None,
 ) -> np.ndarray:
     return render_dataset_view_result(
         renderer, params, dataset, index, scene_scale,
         chunk_size=chunk_size, occupancy=occupancy, mesh=mesh,
+        ndc_near=ndc_near,
     ).rgb
 
 
@@ -159,6 +170,7 @@ def evaluate(
     chunk_size: int = 65536,
     occupancy=None,
     mesh=None,
+    ndc_near=None,
 ) -> Dict[str, float]:
     """Mean PSNR over (up to max_views of) a split; optionally save PNGs."""
     gt = dataset.composited(white_background)
@@ -169,7 +181,7 @@ def evaluate(
     for i in range(n):
         pred = render_dataset_view(
             renderer, params, dataset, i, scene_scale, chunk_size,
-            occupancy=occupancy, mesh=mesh,
+            occupancy=occupancy, mesh=mesh, ndc_near=ndc_near,
         )
         psnrs.append(psnr(pred, gt[i]))
         ssims.append(ssim(pred, gt[i]))

@@ -30,7 +30,7 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
-from tnerf.cameras import Rays, compose_pose, pixel_rays, se3_exp
+from tnerf.cameras import Rays, compose_pose, ndc_warp, pixel_rays, se3_exp
 from tnerf.config import Config, TrainConfig
 from tnerf.data.dataset import ImageDataset
 
@@ -151,7 +151,13 @@ class PixelSampler:
     pre-traced payload vectors (main.cu:615-626).
     """
 
-    def __init__(self, dataset: ImageDataset, scene_scale: float, white_background: bool):
+    def __init__(
+        self,
+        dataset: ImageDataset,
+        scene_scale: float,
+        white_background: bool,
+        ndc_near: Optional[float] = None,
+    ):
         images = dataset.composited(white_background)  # [N, H, W, 3]
         self.images = jnp.asarray(images)
         self.poses = jnp.asarray(dataset.poses)
@@ -161,6 +167,8 @@ class PixelSampler:
         # scalar focal, or (fx, fy, cx, cy) for full-intrinsics scenes
         self.camera = dataset.camera
         self.scene_scale = float(scene_scale)
+        # scene.ndc: warp generated rays into NDC (None = off)
+        self.ndc_near = None if ndc_near is None else float(ndc_near)
 
     @partial(jax.jit, static_argnames=("self", "batch_size", "meta"))
     def sample(
@@ -224,7 +232,25 @@ class PixelSampler:
             self.poses[img], pix, self.width, self.height, self.camera,
             self.scene_scale,
         )
+        if self.ndc_near is not None:
+            rays = ndc_warp(
+                rays, self.width, self.height, self.camera, self.ndc_near
+            )
         return RayBatch(rays=rays, gt_rgb=gt)
+
+    def regen_rays(self, batch: "PoseBatch") -> Rays:
+        """Rays for a PoseBatch from the DATASET poses (zero deltas) —
+        geometry-only probes (the occupancy capacity probe) that must see
+        the same ray space (incl. the NDC warp) as training batches."""
+        rays = pixel_rays(
+            self.poses[batch.img], batch.pix, self.width, self.height,
+            self.camera, self.scene_scale,
+        )
+        if self.ndc_near is not None:
+            rays = ndc_warp(
+                rays, self.width, self.height, self.camera, self.ndc_near
+            )
+        return rays
 
     def __hash__(self):  # allow use as a static jit arg
         return id(self)
@@ -283,8 +309,8 @@ def make_train_step(
     adjacency so TV only applies to the triplane subtree — the caller
     validates the encoding, train_loop.py).
 
-    pose_setup = (poses0 [N, 4, 4], width, height, camera, scene_scale)
-    enables pose refinement: the step consumes PoseBatch instead of
+    pose_setup = (poses0 [N, 4, 4], width, height, camera, scene_scale,
+    ndc_near-or-None) enables pose refinement: the step consumes PoseBatch instead of
     RayBatch, regenerates rays INSIDE the loss from
     exp(params["pose_deltas"][img]) @ poses0[img], and the photometric
     gradient flows through the ray geometry into the per-image deltas
@@ -297,12 +323,17 @@ def make_train_step(
 
     def loss_fn(params: dict, batch, key: jax.Array, occupancy):
         if pose_setup is not None:
-            poses0, w, h, cam, ss = pose_setup
+            poses0, w, h, cam, ss, nd = pose_setup
             delta = se3_exp(params["pose_deltas"][batch.img])
             rays = pixel_rays(
                 compose_pose(delta, poses0[batch.img]), batch.pix, w, h,
                 cam, ss,
             )
+            if nd is not None:
+                # NDC composes with pose refinement: the warp is a fixed
+                # differentiable reparameterization, so photometric
+                # gradients still reach the SE(3) deltas through it
+                rays = ndc_warp(rays, w, h, cam, nd)
         else:
             rays = batch.rays
         res = renderer(params, rays, key, occupancy)

@@ -24,6 +24,7 @@ from tnerf.config import Config
 from tnerf.data.dataset import (
     ImageDataset,
     load_data,
+    scene_llff_kwargs,
     scene_proc_kwargs,
     validate_scene_background,
 )
@@ -134,11 +135,60 @@ def build_renderer(
     raise ValueError(f"unknown render pipeline {p!r}")
 
 
+def validate_ndc(cfg: Config) -> None:
+    """scene.ndc preconditions, checked once up front (train + CLI):
+    the warp projects along world -z from a recentered forward-facing
+    capture, so configurations that cannot mean that are rejected."""
+    if not cfg.scene.ndc:
+        return
+    if cfg.scene.kind == "nerf_synthetic":
+        raise ValueError(
+            "scene.ndc is the forward-facing (LLFF) parameterization; "
+            "nerf_synthetic scenes are inward-facing 360 captures — "
+            "rays behind the mean view direction cannot be warped"
+        )
+    if cfg.scene.kind == "llff" and not cfg.scene.llff_recenter:
+        raise ValueError(
+            "scene.ndc needs poses recentered to the mean camera frame: "
+            "set scene.llff_recenter=true (and usually "
+            "scene.llff_bd_rescale=0.75)"
+        )
+    if cfg.grid.mesh_path:
+        raise ValueError(
+            "grid.mesh_path voxelizes a WORLD-space mesh; under scene.ndc "
+            "the grid lives in warped NDC coordinates — unset one of them"
+        )
+    if cfg.scene.ndc_near <= 0:
+        raise ValueError(
+            f"scene.ndc_near must be > 0, got {cfg.scene.ndc_near}"
+        )
+    nf = (cfg.sampler.near, cfg.sampler.far)
+    if nf not in ((-1.0, -1.0), (0.0, 1.0)):
+        raise ValueError(
+            "under scene.ndc the warped ray runs over t in [0, 1] (near "
+            "plane to infinity): set sampler.near=-1 sampler.far=-1 "
+            f"(auto) or exactly (0, 1); got {nf} — the world-space near "
+            "plane is scene.ndc_near"
+        )
+
+
+def ndc_near_or_none(cfg: Config):
+    """The cameras.ndc_warp near-plane to thread to ray consumers
+    (None = NDC off) — the one switch every ray-generation site keys on."""
+    return cfg.scene.ndc_near if cfg.scene.ndc else None
+
+
 def resolve_near_far(cfg: Config, dataset: ImageDataset) -> Config:
     """Resolve sampler.near/far = -1 (auto) from the dataset's per-view
     depth bounds (LLFF poses_bounds): near = 0.9*min, far = 1.1*max, in
     scene_scale units — the standard LLFF recipe.  No-op when both are
-    explicit; scenes without bounds reject the auto setting."""
+    explicit; scenes without bounds reject the auto setting.  Under
+    scene.ndc the warped ray spans [0, 1] by construction, so auto
+    resolves to exactly that."""
+    if cfg.scene.ndc and (cfg.sampler.near < 0 or cfg.sampler.far < 0):
+        return dataclasses.replace(
+            cfg, sampler=dataclasses.replace(cfg.sampler, near=0.0, far=1.0)
+        )
     if cfg.sampler.near >= 0 and cfg.sampler.far >= 0:
         return cfg
     if dataset.near_far is None:
@@ -177,10 +227,11 @@ def _load_datasets(cfg: Config) -> Dict[str, ImageDataset]:
     validate_scene_background(
         cfg.scene.kind, cfg.scene.name, cfg.scene.white_background
     )
+    validate_ndc(cfg)
     return load_data(
         cfg.scene.kind, cfg.scene.name, root=cfg.scene.root,
         srgb_to_linear=cfg.scene.srgb_to_linear, downscale=cfg.scene.downscale,
-        proc=scene_proc_kwargs(cfg.scene),
+        proc=scene_proc_kwargs(cfg.scene), llff=scene_llff_kwargs(cfg.scene),
     )
 
 
@@ -614,12 +665,15 @@ def _run_training_single(
             state, mesh, cfg.parallel.table_axis_name
         )
 
-    sampler = PixelSampler(train_ds, cfg.scene.scene_scale, cfg.scene.white_background)
+    sampler = PixelSampler(
+        train_ds, cfg.scene.scene_scale, cfg.scene.white_background,
+        ndc_near=ndc_near_or_none(cfg),
+    )
     pose_setup = None
     if cfg.train.optimize_poses:
         pose_setup = (
             sampler.poses, sampler.width, sampler.height, sampler.camera,
-            sampler.scene_scale,
+            sampler.scene_scale, sampler.ndc_near,
         )
     loss_kw = dict(
         remat=cfg.train.remat, loss=cfg.train.loss,
@@ -786,11 +840,7 @@ def _run_training_single(
                         # are the right stand-in.
                         probe_rays = (
                             batch.rays if hasattr(batch, "rays")
-                            else pixel_rays(
-                                sampler.poses[batch.img], batch.pix,
-                                sampler.width, sampler.height,
-                                sampler.camera, sampler.scene_scale,
-                            )
+                            else sampler.regen_rays(batch)
                         )
                         switch_frac_host = float(
                             cdf_frac_fn(probe_rays, occ_payload)
@@ -954,7 +1004,7 @@ def _eval(cfg, renderer, state, occ, datasets, step, log, metrics,
             white_background=cfg.scene.white_background,
             max_views=None if save_images else 2,
             save_dir=save_dir, chunk_size=cfg.render.chunk_size,
-            occupancy=bits, mesh=mesh,
+            occupancy=bits, mesh=mesh, ndc_near=ndc_near_or_none(cfg),
         )
         if cfg.render.pipeline == "fused":
             # The in-training eval renderer runs fused_train_rpc (built
