@@ -372,6 +372,15 @@ class TrainConfig:
     # TensoRF's smoothness prior.  Triplane-only: hash tables have no
     # spatial adjacency.  0 = off.
     table_tv_weight: float = 0.0
+    # mip-NeRF 360 distortion loss (eq. 15): penalizes the spread of
+    # each ray's compositing-weight distribution — the standard floater
+    # / background-collapse suppressor for real captures (pairs with
+    # scene.ndc).  Applied span-normalized (weight / (far - near)), so
+    # the knob is scale-free; typical values 1e-3..1e-2.  Needs a
+    # pipeline that materializes per-sample weights: uniform /
+    # grid_march / grid_intervals with render.compact=false and no
+    # sample-parallelism (validated at config time).
+    distortion_weight: float = 0.0
     # Camera-pose refinement (BARF/nerfstudio-style): learn a per-
     # training-image SE(3) delta (params["pose_deltas"], [N, 6] se3,
     # zero-init) composed world-frame onto the dataset poses; rays are

@@ -91,7 +91,12 @@ def sp_composite_local(
     depth = jax.lax.psum(depth_p, axis_name)
     if white_background:
         out_rgb = out_rgb + (1.0 - acc)[..., None]
-    return RenderResult(out_rgb, acc, depth, weights, transmittance)
+    # per-ray distortion needs CROSS-shard weight pairs (w_i w_j |t_i-t_j|
+    # spans shard boundaries) — unsupported under SP; train_loop validates
+    # distortion_weight against this path
+    return RenderResult(
+        out_rgb, acc, depth, weights, transmittance, jnp.zeros_like(acc)
+    )
 
 
 def make_sp_interval_renderer(
@@ -192,6 +197,7 @@ def make_sp_interval_renderer(
                     depth=P(dp),
                     weights=P(dp, sample_axis),
                     transmittance=P(dp, sample_axis),
+                    distortion=P(dp),
                 ),
                 check_vma=False,
             )

@@ -49,6 +49,11 @@ class RenderResult(NamedTuple):
     depth: jnp.ndarray        # [...] expected termination t
     weights: jnp.ndarray      # [..., S] per-sample weights (S=0 from fused)
     transmittance: jnp.ndarray  # [..., S] exclusive T_i (S=0 from fused)
+    distortion: jnp.ndarray   # [...] per-ray mip-NeRF-360 distortion term
+    #                           (0 from the fused / packed-compaction
+    #                            paths, which never materialize weights —
+    #                            train.distortion_weight validates against
+    #                            those configurations)
 
 
 def render_weights(
@@ -78,6 +83,31 @@ def render_weights(
     return weights, transmittance
 
 
+def distortion_term(
+    weights: jnp.ndarray, t_mid: jnp.ndarray, deltas: jnp.ndarray
+) -> jnp.ndarray:
+    """Per-ray mip-NeRF 360 distortion (eq. 15): the self-interaction of
+    the ray's weight distribution,
+
+        L = sum_ij w_i w_j |t_i - t_j|  +  (1/3) sum_i w_i^2 delta_i.
+
+    Minimized when weight mass collapses to a single compact interval —
+    the floater/background-collapse regularizer for real captures.
+    Computed in O(S) with the standard cumsum identity (t must be
+    ascending along the sample axis, which every sampler in this
+    framework emits); masked/padded samples carry w = 0 and drop out of
+    both terms.  Distances are in raw ray-t units — the caller
+    normalizes by the span (train_loop divides the weight by far-near),
+    keeping the knob scale-free like the s-space formulation."""
+    w = weights.astype(jnp.float32)
+    s = t_mid.astype(jnp.float32)
+    wc = jnp.cumsum(w, axis=-1) - w
+    wsc = jnp.cumsum(w * s, axis=-1) - w * s
+    inter = 2.0 * jnp.sum(w * (s * wc - wsc), axis=-1)
+    intra = jnp.sum(w * w * deltas.astype(jnp.float32), axis=-1) / 3.0
+    return inter + intra
+
+
 def composite(
     rgb: jnp.ndarray,
     sigma: jnp.ndarray,
@@ -101,10 +131,12 @@ def composite(
     acc = jnp.sum(weights, axis=-1)
     if t_mid is None:
         depth = jnp.zeros_like(acc)
+        distortion = jnp.zeros_like(acc)
     else:
         depth = jnp.sum(weights * t_mid.astype(jnp.float32), axis=-1)
+        distortion = distortion_term(weights, t_mid, deltas)
     if background is None and white_background:
         background = jnp.ones((3,), dtype=jnp.float32)
     if background is not None:
         out_rgb = out_rgb + (1.0 - acc)[..., None] * background
-    return RenderResult(out_rgb, acc, depth, weights, transmittance)
+    return RenderResult(out_rgb, acc, depth, weights, transmittance, distortion)

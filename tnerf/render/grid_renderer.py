@@ -152,7 +152,7 @@ def compacted_shade(
     if white_background:
         out_rgb = out_rgb + (1.0 - acc)[:, None]
     empty = jnp.zeros((B, 0), jnp.float32)
-    return RenderResult(out_rgb, acc, depth, empty, empty)
+    return RenderResult(out_rgb, acc, depth, empty, empty, jnp.zeros_like(acc))
 
 
 def ray_keep_fraction(
@@ -609,6 +609,7 @@ def make_grid_renderer(
                         rgb=out_full[:, 0:3], acc=out_full[:, 3],
                         depth=out_full[:, 4], weights=empty,
                         transmittance=empty,
+                        distortion=jnp.zeros_like(out_full[:, 3]),
                     )
                 t_enter, t_exit, smask = kernel(
                     rays.origins, rays.directions, t_enter, t_exit

@@ -921,6 +921,7 @@ def make_fused_pipeline_renderer_v2(
             rgb = rgb + (1.0 - acc)[:, None]
         empty = jnp.zeros((B, 0), jnp.float32)
         return RenderResult(rgb=rgb, acc=acc, depth=depth,
-                            weights=empty, transmittance=empty)
+                            weights=empty, transmittance=empty,
+                            distortion=jnp.zeros_like(acc))
 
     return render

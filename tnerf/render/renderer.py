@@ -160,4 +160,5 @@ def render_image(
         depth=unflat(res.depth),
         weights=unflat(res.weights),
         transmittance=unflat(res.transmittance),
+        distortion=unflat(res.distortion),
     )

@@ -289,6 +289,7 @@ def make_train_step(
     huber_delta: float = 0.1,
     table_l1: float = 0.0,
     table_tv: float = 0.0,
+    distortion: float = 0.0,
     pose_setup: Optional[tuple] = None,
     freq_anneal: int = 0,
 ) -> Callable[[TrainState, RayBatch, jax.Array], Tuple[TrainState, dict]]:
@@ -351,12 +352,22 @@ def make_train_step(
             from tnerf.fields.triplane import triplane_tv
 
             obj = obj + table_tv * triplane_tv(params["triplane"])
+        if distortion > 0.0:
+            # per-ray mip-NeRF 360 distortion from the compositor
+            # (composite.distortion_term); the caller pre-divides the
+            # weight by (far - near) so the term is span-normalized.
+            # Zero-width pipelines (fused / packed compaction / SP) are
+            # rejected at config time — their res.distortion is 0.
+            dist = jnp.mean(res.distortion)
+            obj = obj + distortion * dist
         aux = {
             "loss": obj,
             # PSNR always from the MSE: comparable across loss choices
             "psnr": -10.0 * jnp.log10(jnp.maximum(mse, 1e-10)),
             "acc_mean": jnp.mean(res.acc),
         }
+        if distortion > 0.0:
+            aux["distortion"] = dist
         if pose_setup is not None:
             aux["pose_delta_norm"] = jnp.mean(
                 jnp.linalg.norm(params["pose_deltas"], axis=-1)

@@ -675,11 +675,37 @@ def _run_training_single(
             sampler.poses, sampler.width, sampler.height, sampler.camera,
             sampler.scene_scale, sampler.ndc_near,
         )
+    if cfg.train.distortion_weight > 0.0:
+        if cfg.render.pipeline == "fused":
+            raise ValueError(
+                "train.distortion_weight needs per-sample compositing "
+                "weights; the fused kernel composites on-chip and never "
+                "materializes them — use grid_march, grid_intervals or "
+                "uniform"
+            )
+        if cfg.render.pipeline == "grid_march" and cfg.render.compact:
+            raise ValueError(
+                "train.distortion_weight does not compose with "
+                "render.compact on grid_march (the packed-compaction "
+                "compositor returns no per-sample weights) — set "
+                "render.compact=false"
+            )
+        if n_sp > 1:
+            raise ValueError(
+                "train.distortion_weight needs whole-ray weight "
+                "distributions; parallel.sample_parallel shards the "
+                "sample axis across chips"
+            )
     loss_kw = dict(
         remat=cfg.train.remat, loss=cfg.train.loss,
         huber_delta=cfg.train.huber_delta,
         table_l1=cfg.train.table_l1_weight,
         table_tv=cfg.train.table_tv_weight,
+        # span-normalized: raw-t distortion scales linearly with the
+        # sampled range, so dividing by (far - near) makes the knob
+        # equivalent to the paper's s-space formulation
+        distortion=cfg.train.distortion_weight
+        / max(cfg.sampler.far - cfg.sampler.near, 1e-6),
         pose_setup=pose_setup,
         freq_anneal=cfg.train.freq_anneal_steps,
     )
@@ -870,6 +896,8 @@ def _run_training_single(
                     }
                     if occ is not None:
                         m["occupancy_frac"] = float(occupancy_fraction(occ))
+                    if "distortion" in aux:
+                        m["distortion"] = float(aux["distortion"])
                     metrics.write(step, **m)
                     log.info(
                         "step %d loss=%.5f psnr=%.2f rays/s=%.0f%s",
