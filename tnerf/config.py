@@ -381,6 +381,14 @@ class TrainConfig:
     # grid_march / grid_intervals with render.compact=false and no
     # sample-parallelism (validated at config time).
     distortion_weight: float = 0.0
+    # instant-ngp-style alpha supervision: every training ray draws a
+    # RANDOM background color, composites the GT's alpha over it, and
+    # composites the prediction over the same color via the renderer's
+    # accumulated opacity (pred = rgb + (1-acc)*bg) — so free space must
+    # learn sigma=0 instead of painting the background color onto
+    # geometry.  Needs GT alpha (a 4-channel dataset: NeRF-synthetic /
+    # LLFF RGBA); eval still renders on the configured background.
+    random_background: bool = False
     # Camera-pose refinement (BARF/nerfstudio-style): learn a per-
     # training-image SE(3) delta (params["pose_deltas"], [N, 6] se3,
     # zero-init) composed world-frame onto the dataset poses; rays are

@@ -43,7 +43,8 @@ class TrainState(NamedTuple):
 
 class RayBatch(NamedTuple):
     rays: Rays
-    gt_rgb: jnp.ndarray  # [B, 3]
+    gt_rgb: jnp.ndarray  # [B, 3] (or [B, 4] straight RGBA under
+    #                      train.random_background)
 
 
 class PoseBatch(NamedTuple):
@@ -157,8 +158,19 @@ class PixelSampler:
         scene_scale: float,
         white_background: bool,
         ndc_near: Optional[float] = None,
+        random_background: bool = False,
     ):
-        images = dataset.composited(white_background)  # [N, H, W, 3]
+        if random_background:
+            # keep straight RGBA: the train step composites GT over the
+            # per-ray random background itself (train.random_background)
+            if dataset.channels != 4:
+                raise ValueError(
+                    "train.random_background needs GT alpha; this "
+                    f"dataset has {dataset.channels} channels"
+                )
+            images = np.asarray(dataset.images, np.float32)  # [N, H, W, 4]
+        else:
+            images = dataset.composited(white_background)  # [N, H, W, 3]
         self.images = jnp.asarray(images)
         self.poses = jnp.asarray(dataset.poses)
         self.width = dataset.width
@@ -290,6 +302,7 @@ def make_train_step(
     table_l1: float = 0.0,
     table_tv: float = 0.0,
     distortion: float = 0.0,
+    random_bg: bool = False,
     pose_setup: Optional[tuple] = None,
     freq_anneal: int = 0,
 ) -> Callable[[TrainState, RayBatch, jax.Array], Tuple[TrainState, dict]]:
@@ -337,8 +350,24 @@ def make_train_step(
                 rays = ndc_warp(rays, w, h, cam, nd)
         else:
             rays = batch.rays
-        res = renderer(params, rays, key, occupancy)
-        err = res.rgb - batch.gt_rgb
+        if random_bg:
+            # instant-ngp alpha supervision (train.random_background):
+            # GT alpha and the renderer's accumulated opacity composite
+            # over the SAME per-ray random color, so any free-space
+            # density that fakes the background on one draw mismatches
+            # the next — sigma must go to zero instead.  The renderer is
+            # built background-free (run_training passes a no-bg config),
+            # so res.rgb is the pure object radiance.
+            k_render, k_bg = jax.random.split(key)
+            res = renderer(params, rays, k_render, occupancy)
+            bg = jax.random.uniform(k_bg, (*res.acc.shape, 3), jnp.float32)
+            a = batch.gt_rgb[..., 3:4]
+            gt = batch.gt_rgb[..., :3] * a + bg * (1.0 - a)
+            pred = res.rgb + (1.0 - res.acc)[..., None] * bg
+            err = pred - gt
+        else:
+            res = renderer(params, rays, key, occupancy)
+            err = res.rgb - batch.gt_rgb
         mse = jnp.mean(jnp.square(err))
         obj = mse if loss == "l2" else photometric_loss(err, loss, huber_delta)
         if table_l1 > 0.0:

@@ -599,9 +599,31 @@ def _run_training_single(
         )
         renderer_compact = renderer_dense  # SP path has no compaction
     else:
-        renderer_dense = build_renderer(cfg, field, compact=False)
-        renderer_compact = build_renderer(cfg, field, compact=True)
-    renderer = renderer_dense
+        # train.random_background: TRAIN renderers are built background-
+        # free (the step composites prediction and GT over the same
+        # per-ray random color via acc); EVAL renderers keep the
+        # configured background so reported PSNR matches `cli eval`.
+        cfg_train_r = cfg
+        if cfg.train.random_background:
+            cfg_train_r = dataclasses.replace(
+                cfg,
+                scene=dataclasses.replace(cfg.scene, white_background=False),
+                render=dataclasses.replace(cfg.render, white_background=False),
+            )
+        renderer_dense = build_renderer(cfg_train_r, field, compact=False)
+        renderer_compact = build_renderer(cfg_train_r, field, compact=True)
+    if cfg.train.random_background:
+        if n_sp > 1:
+            raise ValueError(
+                "train.random_background does not compose with "
+                "parallel.sample_parallel yet (the SP renderer is built "
+                "once with the configured background)"
+            )
+        eval_dense = build_renderer(cfg, field, compact=False)
+        eval_compact = build_renderer(cfg, field, compact=True)
+    else:
+        eval_dense, eval_compact = renderer_dense, renderer_compact
+    renderer = eval_dense
     optimizer = create_optimizer(cfg.train)
     if cfg.train.optimize_poses:
         _validate_pose_opt(cfg)
@@ -668,6 +690,7 @@ def _run_training_single(
     sampler = PixelSampler(
         train_ds, cfg.scene.scene_scale, cfg.scene.white_background,
         ndc_near=ndc_near_or_none(cfg),
+        random_background=cfg.train.random_background,
     )
     pose_setup = None
     if cfg.train.optimize_poses:
@@ -706,6 +729,7 @@ def _run_training_single(
         # equivalent to the paper's s-space formulation
         distortion=cfg.train.distortion_weight
         / max(cfg.sampler.far - cfg.sampler.near, 1e-6),
+        random_bg=cfg.train.random_background,
         pose_setup=pose_setup,
         freq_anneal=cfg.train.freq_anneal_steps,
     )
@@ -881,7 +905,7 @@ def _run_training_single(
                     # an expensive per-sample encoding (hashgrid), ~5x
                     # faster than dense-masked eval.
                     if cfg.render.compact:
-                        renderer = renderer_compact if compacted else renderer_dense
+                        renderer = eval_compact if compacted else eval_dense
 
                 if step % cfg.train.log_every == 0 or step == cfg.train.steps - 1:
                     jax.block_until_ready(aux["loss"])
