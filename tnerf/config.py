@@ -44,7 +44,7 @@ class SceneConfig:
     scene-to-grid transform.
     """
 
-    kind: str = "nerf_synthetic"  # nerf_synthetic | llff | procedural
+    kind: str = "nerf_synthetic"  # nerf_synthetic | llff | colmap | procedural
     name: str = "lego"            # chair|drums|ficus|hotdog|lego|materials|mic|ship
     root: str = "./data/nerf_synthetic"
     # Explicit scene scale applied to camera origins (and implicitly all
@@ -75,12 +75,13 @@ class SceneConfig:
     ndc: bool = False
     # World-space distance of the NDC near plane (in scene_scale units).
     ndc_near: float = 1.0
-    # LLFF preprocessing (scene.kind="llff" only): rigidly recenter the
-    # poses so the average camera frame is the world identity (required
-    # for ndc), and/or apply the classic bd_factor rescale — scale
-    # translations + depth bounds by 1/(min_bound * llff_bd_rescale), so
-    # the closest content lands at depth 1/llff_bd_rescale (standard
-    # value 0.75 -> 1.33, beyond an NDC near plane at 1.0).  0 = off.
+    # Pose preprocessing (scene.kind="llff" or "colmap"): rigidly
+    # recenter the poses so the average camera frame is the world
+    # identity (required for ndc), and/or apply the classic bd_factor
+    # rescale — scale translations + depth bounds by
+    # 1/(min_bound * llff_bd_rescale), so the closest content lands at
+    # depth 1/llff_bd_rescale (standard value 0.75 -> 1.33, beyond an
+    # NDC near plane at 1.0).  0 = off.
     llff_recenter: bool = False
     llff_bd_rescale: float = 0.0
 

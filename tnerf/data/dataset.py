@@ -223,6 +223,13 @@ def load_data(
             root, name, srgb_to_linear=srgb_to_linear, downscale=downscale,
             **(llff or {}),
         )
+    if kind == "colmap":
+        from tnerf.data.colmap import load_colmap_scene
+
+        return load_colmap_scene(
+            root, name, srgb_to_linear=srgb_to_linear, downscale=downscale,
+            **(llff or {}),
+        )
     if kind == "procedural":
         from tnerf.data.procedural import generate_procedural_scene
 

@@ -147,7 +147,7 @@ def validate_ndc(cfg: Config) -> None:
             "nerf_synthetic scenes are inward-facing 360 captures — "
             "rays behind the mean view direction cannot be warped"
         )
-    if cfg.scene.kind == "llff" and not cfg.scene.llff_recenter:
+    if cfg.scene.kind in ("llff", "colmap") and not cfg.scene.llff_recenter:
         raise ValueError(
             "scene.ndc needs poses recentered to the mean camera frame: "
             "set scene.llff_recenter=true (and usually "
