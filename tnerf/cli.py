@@ -230,9 +230,12 @@ def main(argv=None) -> int:
             print(f"error: {err}", file=sys.stderr)
             return 1
         print(f"restored step {step} from {ckpt_dir}", file=sys.stderr)
+        from tnerf.train import eval_params
+
+        ep = eval_params(state)
         density = jax.jit(field.density)
         verts, faces = extract_density_mesh(
-            lambda x: density(state.params, jnp.asarray(x)),
+            lambda x: density(ep, jnp.asarray(x)),
             cfg.grid, resolution=args.resolution, level=args.threshold,
         )
         if faces.shape[0] == 0:
@@ -255,7 +258,7 @@ def main(argv=None) -> int:
             cols = []
             for s in range(0, len(verts), chunk):
                 rgb, _ = apply_fn(
-                    state.params,
+                    ep,
                     jnp.asarray(verts[s : s + chunk]),
                     jnp.asarray(-nrm[s : s + chunk]),
                 )
@@ -278,6 +281,7 @@ def main(argv=None) -> int:
         validate_scene_background,
     )
     from tnerf.grid.occupancy import renderer_payload
+    from tnerf.train import eval_params
     from tnerf.train_loop import (
         build_renderer,
         ndc_near_or_none,
@@ -504,7 +508,7 @@ def main(argv=None) -> int:
 
                     rays = ndc_warp(rays, ds.width, ds.height, ds.camera, ndc)
                 res = render_image(
-                    renderer, state.params, rays,
+                    renderer, eval_params(state), rays,
                     chunk_size=cfg.render.chunk_size, occupancy=payload,
                     mesh=mesh,
                 )
@@ -591,9 +595,9 @@ def main(argv=None) -> int:
                     file=sys.stderr,
                 )
                 return 1
-            pose_delta = state.params["pose_deltas"][args.pose_index]
+            pose_delta = eval_params(state)["pose_deltas"][args.pose_index]
         res = render_dataset_view_result(
-            renderer, state.params, ds, args.pose_index, cfg.scene.scene_scale,
+            renderer, eval_params(state), ds, args.pose_index, cfg.scene.scene_scale,
             chunk_size=cfg.render.chunk_size, occupancy=payload, mesh=mesh,
             pose_delta=pose_delta, ndc_near=ndc,
         )
@@ -617,7 +621,7 @@ def main(argv=None) -> int:
         if split in datasets:
             out.update(
                 evaluate(
-                    renderer, state.params, datasets[split], cfg.scene.scene_scale,
+                    renderer, eval_params(state), datasets[split], cfg.scene.scene_scale,
                     white_background=cfg.scene.white_background,
                     save_dir=args.save_renders,
                     chunk_size=cfg.render.chunk_size, occupancy=payload, mesh=mesh,
@@ -643,6 +647,7 @@ def _build_restore(cfg, ckpt_dir, n_train_images):
     state = init_train_state(
         field, optimizer, cfg.train.seed,
         pose_extra_params(cfg, n_train_images),
+        param_ema=cfg.train.param_ema > 0,
     )
     occ = (
         init_occupancy(cfg.grid)
@@ -701,6 +706,7 @@ def _run_suite(cfg, scenes) -> int:
     )
     from tnerf.eval import evaluate
     from tnerf.grid.occupancy import renderer_payload
+    from tnerf.train import eval_params
     from tnerf.train_loop import (
         build_renderer,
         ndc_near_or_none,
@@ -746,7 +752,7 @@ def _run_suite(cfg, scenes) -> int:
             continue
         payload = renderer_payload(occ, scfg.sampler, scfg.grid)
         results[scene] = evaluate(
-            renderer, state.params, datasets["test"], scfg.scene.scene_scale,
+            renderer, eval_params(state), datasets["test"], scfg.scene.scene_scale,
             white_background=scfg.scene.white_background,
             save_dir=os.path.join(scfg.logging.out_dir, "suite_renders"),
             chunk_size=scfg.render.chunk_size, occupancy=payload,

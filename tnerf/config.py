@@ -355,6 +355,18 @@ class TrainConfig:
     # the optimizer state gains accumulation buffers, so checkpoints are
     # only restorable under the same setting.
     grad_accum_steps: int = 1
+    # Global-norm gradient clipping applied before Adam (0 = off):
+    # caps the occasional exploding batch (saturated pixels, a bad
+    # occupancy refresh) without touching well-behaved steps.  Changes
+    # the optimizer-state layout (an extra chain slot), so checkpoints
+    # are only restorable under the same setting.
+    grad_clip: float = 0.0
+    # Polyak weight EMA decay (0 = off, typical 0.999): a shadow copy
+    # of the params updated ema = d*ema + (1-d)*params each step; eval,
+    # keep_best and render/eval CLI read the shadow.  Adds an
+    # ema subtree to the train state (checkpoints restorable only under
+    # the same setting).
+    param_ema: float = 0.0
     # LR multiplier for feature-TABLE params (hashgrid "tables", triplane
     # "planes"/"lines") relative to train.lr — Instant-NGP and TensoRF
     # both train their grids ~10x hotter than the MLP.  Implemented as a

@@ -39,6 +39,12 @@ class TrainState(NamedTuple):
     params: dict
     opt_state: optax.OptState
     step: jnp.ndarray  # scalar int32
+    # Polyak weight EMA (train.param_ema > 0): a params-shaped shadow
+    # tree updated ema = d*ema + (1-d)*params each step; eval and
+    # checkpoint-best read it.  None when disabled — jax.tree treats
+    # None as an empty subtree, so the checkpoint layout of ema-free
+    # configs is unchanged.
+    ema: "dict | None" = None
 
 
 class RayBatch(NamedTuple):
@@ -99,6 +105,9 @@ def create_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
         )
     else:
         opt = optax.adam(schedule, b1=cfg.beta1, b2=cfg.beta2, eps=cfg.eps)
+    if cfg.grad_clip > 0.0:
+        # clip the raw gradients BEFORE Adam sees them
+        opt = optax.chain(optax.clip_by_global_norm(cfg.grad_clip), opt)
     def _key_mask(keys):
         """Mask selecting the top-level param subtrees named in `keys`."""
         return lambda params: {
@@ -303,6 +312,7 @@ def make_train_step(
     table_tv: float = 0.0,
     distortion: float = 0.0,
     random_bg: bool = False,
+    param_ema: float = 0.0,
     pose_setup: Optional[tuple] = None,
     freq_anneal: int = 0,
 ) -> Callable[[TrainState, RayBatch, jax.Array], Tuple[TrainState, dict]]:
@@ -432,7 +442,15 @@ def make_train_step(
             # update of the zero gradient is zero, but adamw's decoupled
             # weight decay would shave it each step otherwise.
             params = {**params, "freq_alpha": alpha}
-        return TrainState(params, opt_state, state.step + 1), aux
+        ema = state.ema
+        if param_ema > 0.0:
+            # Polyak shadow weights: initialized to a params copy at
+            # step 0 (init_train_state), so no bias correction needed.
+            d = jnp.float32(param_ema)
+            ema = jax.tree.map(
+                lambda e, p: d * e + (1.0 - d) * p, state.ema, params
+            )
+        return TrainState(params, opt_state, state.step + 1, ema), aux
 
     return train_step
 
@@ -457,11 +475,13 @@ def pose_extra_params(cfg: Config, n_train_images: int) -> Optional[dict]:
 def init_train_state(
     field, optimizer: optax.GradientTransformation, seed: int,
     extra_params: Optional[dict] = None,
+    param_ema: bool = False,
 ) -> TrainState:
     """extra_params: additional top-level param entries initialized
     alongside the field (e.g. {"pose_deltas": zeros[N, 6]} under
     train.optimize_poses) — they must be present BEFORE optimizer.init
-    so the optimizer state mirrors them."""
+    so the optimizer state mirrors them.  param_ema=True seeds the EMA
+    shadow tree with a copy of the init params (train.param_ema)."""
     params = field.init(jax.random.PRNGKey(seed))
     if extra_params:
         params = {**params, **extra_params}
@@ -469,7 +489,14 @@ def init_train_state(
         params=params,
         opt_state=optimizer.init(params),
         step=jnp.zeros((), jnp.int32),
+        ema=jax.tree.map(jnp.copy, params) if param_ema else None,
     )
+
+
+def eval_params(state: TrainState) -> dict:
+    """The params eval/checkpoint-best/render should use: the Polyak
+    EMA shadow when train.param_ema is on, else the live params."""
+    return state.params if state.ema is None else state.ema
 
 
 def psnr(pred: np.ndarray, gt: np.ndarray) -> float:

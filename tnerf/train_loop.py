@@ -49,6 +49,7 @@ from tnerf.train import (
     PixelSampler,
     TrainState,
     create_optimizer,
+    eval_params,
     init_train_state,
     make_train_step,
     pose_extra_params,
@@ -337,7 +338,10 @@ def _run_progressive(
         field = build_field(scfg)
         optimizer = create_optimizer(scfg.train)
         st = jax.eval_shape(
-            lambda: init_train_state(field, optimizer, scfg.train.seed)
+            lambda: init_train_state(
+                field, optimizer, scfg.train.seed,
+                param_ema=scfg.train.param_ema > 0,
+            )
         )
         if not use_grid:
             return st
@@ -405,7 +409,10 @@ def _upsample_checkpoint(scfg_old, scfg_new, ckpt_dir, use_grid, log):
 
     field_old = build_field(scfg_old)
     opt_old = create_optimizer(scfg_old.train)
-    template = init_train_state(field_old, opt_old, scfg_old.train.seed)
+    template = init_train_state(
+        field_old, opt_old, scfg_old.train.seed,
+        param_ema=scfg_old.train.param_ema > 0,
+    )
     occ_t = init_occupancy(scfg_old.grid, None) if use_grid else None
     tpl = (template, occ_t) if use_grid else template
     restored = restore_checkpoint(ckpt_dir, tpl)
@@ -418,11 +425,20 @@ def _upsample_checkpoint(scfg_old, scfg_new, ckpt_dir, use_grid, log):
     new_params["triplane"] = jax.device_get(
         upsample_triplane(state.params["triplane"], r_new)
     )
+    new_ema = state.ema
+    if new_ema is not None:
+        # the EMA shadow mirrors the params tree — resample it onto the
+        # new vertex grid the same way
+        new_ema = dict(new_ema)
+        new_ema["triplane"] = jax.device_get(
+            upsample_triplane(state.ema["triplane"], r_new)
+        )
     opt_new = create_optimizer(scfg_new.train)
     new_state = TrainState(
         params=new_params,
         opt_state=opt_new.init(new_params),
         step=state.step,
+        ema=new_ema,
     )
     payload = (new_state, occ) if use_grid else new_state
     save_checkpoint(ckpt_dir, step_got, payload)
@@ -644,6 +660,7 @@ def _run_training_single(
     state = init_train_state(
         field, optimizer, cfg.train.seed,
         pose_extra_params(cfg, len(train_ds)),
+        param_ema=cfg.train.param_ema > 0,
     )
     n_params = sum(int(np.prod(l.shape)) for l in jax.tree.leaves(state.params))
     log.info("field=%s/%s params=%.2fM pipeline=%s", cfg.field_.encoding,
@@ -730,6 +747,7 @@ def _run_training_single(
         distortion=cfg.train.distortion_weight
         / max(cfg.sampler.far - cfg.sampler.near, 1e-6),
         random_bg=cfg.train.random_background,
+        param_ema=cfg.train.param_ema,
         pose_setup=pose_setup,
         freq_anneal=cfg.train.freq_anneal_steps,
     )
@@ -1052,7 +1070,8 @@ def _eval(cfg, renderer, state, occ, datasets, step, log, metrics,
             os.path.join(cfg.logging.out_dir, f"renders_{step}") if save_images else None
         )
         m = evaluate(
-            renderer, state.params, datasets[split], cfg.scene.scene_scale,
+            renderer, eval_params(state), datasets[split],
+            cfg.scene.scene_scale,
             white_background=cfg.scene.white_background,
             max_views=None if save_images else 2,
             save_dir=save_dir, chunk_size=cfg.render.chunk_size,
