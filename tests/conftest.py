@@ -21,6 +21,8 @@ if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
 sys.path[:] = [p for p in sys.path if ".axon_site" not in p]
 
+import pytest  # noqa: E402
+
 import jax  # noqa: E402
 import jax.extend.backend  # noqa: E402
 
@@ -33,3 +35,21 @@ except Exception:
 jax.config.update("jax_enable_x64", False)
 
 assert jax.devices()[0].platform == "cpu", "tests must run on CPU"
+
+
+def pytest_addoption(parser):
+    parser.addoption(
+        "--runslow", action="store_true", default=False,
+        help="also run tests marked slow (the multi-minute quality-"
+             "recovery workloads; the fast tier keeps functional "
+             "coverage of the same code paths)",
+    )
+
+
+def pytest_collection_modifyitems(config, items):
+    if config.getoption("--runslow"):
+        return
+    skip = pytest.mark.skip(reason="slow tier: pass --runslow to run")
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip)

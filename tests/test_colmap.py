@@ -233,3 +233,31 @@ def test_colmap_trains_end_to_end(tmp_path):
     ])
     m = run_training(cfg)
     assert np.isfinite(m["psnr_test"])
+
+
+def test_export_colmap_format_roundtrip(tmp_path):
+    """export_colmap_format (the tool behind tools/colmap_rehearsal.py)
+    is the exact inverse of the reader: poses, intrinsics, and
+    content-derived depth bounds all round-trip through load_data."""
+    from tnerf.data.procedural import export_colmap_format, generate_llff_pool
+
+    pool = generate_llff_pool(
+        "prims", width=24, height=18, n_views=6, n_samples=32
+    )
+    export_colmap_format(pool, str(tmp_path / "cm"), n_points=64)
+    ds = load_data("colmap", "cm", root=str(tmp_path))
+    # holdout_every=8 -> test = view 0 only
+    assert len(ds["train"]) == 5 and len(ds["test"]) == 1
+    got = np.concatenate([ds["test"].poses, ds["train"].poses])
+    np.testing.assert_allclose(got, pool.poses, atol=1e-5)
+    assert abs(ds["train"].focal - pool.focal) < 1e-6
+    # frontal cameras sit at radius 3.5 looking at content in [-1,1]^3:
+    # observed point depths (and so the reader's 1/99-percentile bounds)
+    # must land inside the camera's physical depth range
+    for split in ("train", "test"):
+        nf = ds[split].near_far
+        assert nf is not None and nf.min() > 1.0 and nf.max() < 6.0
+    # images round-trip through PNG (u8 quantization only)
+    np.testing.assert_allclose(
+        ds["test"].images[0, ..., :3], pool.images[0], atol=2 / 255
+    )

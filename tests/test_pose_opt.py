@@ -98,6 +98,9 @@ def test_pose_opt_validates_gradient_free_configs(tmp_path, overrides, match):
         run_training(cfg, datasets=scene)
 
 
+@pytest.mark.slow  # ~5.6 min: the quality-recovery assertion needs 800
+# steps; the fast tier keeps functional pose-opt coverage via
+# test_pose_opt_composes_with_dp / _with_cdf_compaction_switch / etc.
 def test_pose_refinement_recovers_perturbation(tmp_path):
     """Perturb the training poses by known SE(3) deltas: with
     optimize_poses the deltas must move and test PSNR must beat the

@@ -175,6 +175,9 @@ def test_training_is_deterministic(tmp_path):
     assert np.isfinite(a["psnr_test"])
 
 
+@pytest.mark.slow  # ~3.7 min (subprocess pays full compile for train +
+# eval + keep-best + depth renders); the same API surface is covered on
+# the fast tier by test_train_loop / test_eval_outputs / test_golden.
 def test_example_script_runs(tmp_path):
     """examples/train_and_render.py (the documented library-usage entry
     point) runs end-to-end and writes the view + depth PNGs."""

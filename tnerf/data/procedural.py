@@ -399,6 +399,88 @@ def export_llff_format(
     np.save(os.path.join(scene_dir, "poses_bounds.npy"), pb)
 
 
+def export_colmap_format(
+    ds: ImageDataset,
+    scene_dir: str,
+    n_points: int = 512,
+    seed: int = 7,
+    field_name: str = "prims",
+    sigma_threshold: float = 1.0,
+) -> None:
+    """Write an image pool to disk as a COLMAP sparse reconstruction
+    (sparse/0/{cameras,images,points3D}.txt + images/) so
+    tnerf.data.colmap can round-trip it.
+
+    Poses are converted NeRF c2w -> COLMAP world-to-camera (y-down,
+    z-forward — the exact inverse of load_colmap_scene's conversion, so
+    reader and writer pin each other).  points3D is a real sparse cloud:
+    positions sampled where the procedural field is dense, so the
+    reader's per-image depth bounds (1/99 percentiles of observed point
+    depths) reflect actual scene content the way a genuine COLMAP
+    reconstruction's would.  The reference's loader never had a COLMAP
+    path at all (loader/data_loader.cpp:98-149 reads only the synthetic
+    transforms_*.json layout); this is the real-capture capability."""
+    from tnerf.data.colmap import rotmat_to_qvec
+    from tnerf.data.png_io import write_png_batch
+
+    sparse = os.path.join(scene_dir, "sparse", "0")
+    img_dir = os.path.join(scene_dir, "images")
+    os.makedirs(sparse, exist_ok=True)
+    os.makedirs(img_dir, exist_ok=True)
+
+    n = len(ds)
+    names = [f"frame_{i:03d}.png" for i in range(n)]
+    write_png_batch([os.path.join(img_dir, nm) for nm in names], ds.images)
+
+    # -- sparse points from the field's dense region
+    lin = np.linspace(-1.1, 1.1, 48, dtype=np.float32)
+    X = np.stack(np.meshgrid(lin, lin, lin, indexing="ij"), -1).reshape(-1, 3)
+    _, sigma = FIELDS[field_name](jnp.asarray(X))
+    occ = X[np.asarray(sigma) > sigma_threshold]
+    if occ.shape[0] == 0:
+        raise ValueError(
+            f"procedural field {field_name!r} has no density above "
+            f"{sigma_threshold} on the probe grid"
+        )
+    rng = np.random.default_rng(seed)
+    sel = rng.choice(occ.shape[0], min(n_points, occ.shape[0]), replace=False)
+    pts = occ[sel] + rng.normal(0.0, 0.005, (sel.size, 3)).astype(np.float32)
+
+    cx, cy = ds.width / 2.0, ds.height / 2.0
+    with open(os.path.join(sparse, "cameras.txt"), "w") as fh:
+        fh.write("# Camera list: CAMERA_ID MODEL W H fx fy cx cy\n")
+        fh.write(
+            f"1 PINHOLE {ds.width} {ds.height} "
+            f"{ds.focal:.17g} {ds.focal:.17g} {cx:.17g} {cy:.17g}\n"
+        )
+    with open(os.path.join(sparse, "images.txt"), "w") as fh:
+        fh.write("# IMAGE_ID qw qx qy qz tx ty tz CAMERA_ID NAME\n")
+        for i in range(n):
+            c = np.array(ds.poses[i], np.float64)
+            c[:3, 1] *= -1.0  # NeRF (y up, z back) -> COLMAP (y down, z fwd)
+            c[:3, 2] *= -1.0
+            R = c[:3, :3].T
+            t = -R @ c[:3, 3]
+            q = rotmat_to_qvec(R)
+            fh.write(
+                f"{i + 1} " + " ".join(f"{v:.17g}" for v in q) + " "
+                + " ".join(f"{v:.17g}" for v in t) + f" 1 {names[i]}\n"
+            )
+            # every view observes every point (the reader uses only the
+            # ids, for depth bounds); 2-D coordinates are placeholders
+            fh.write(
+                " ".join(f"0.0 0.0 {pid + 1}" for pid in range(len(pts)))
+                + "\n"
+            )
+    with open(os.path.join(sparse, "points3D.txt"), "w") as fh:
+        fh.write("# POINT3D_ID x y z r g b error TRACK\n")
+        for pid, xyz in enumerate(pts):
+            fh.write(
+                f"{pid + 1} " + " ".join(f"{v:.17g}" for v in xyz)
+                + " 128 128 128 0.5 1 0\n"
+            )
+
+
 def export_nerf_synthetic_format(datasets: Dict[str, ImageDataset], scene_dir: str) -> None:
     """Write a procedural scene to disk in NeRF-synthetic layout so the
     loader (tnerf.data.dataset) can round-trip it."""

@@ -1082,8 +1082,12 @@ def _eval(cfg, renderer, state, occ, datasets, step, log, metrics,
             # with for_eval=False); `cli eval` uses render.fused_rpc.
             # Record which quadrature produced this PSNR so the two are
             # never compared as equals (they can differ by >1 dB when
-            # fused_rpc reduces the per-ray sample budget).
+            # fused_rpc reduces the per-ray sample budget).  Likewise
+            # ray compaction is an eval-only renderer feature, so any
+            # fps derived from in-training eval timings is NOT the
+            # BENCH render fps (which times the for_eval renderer).
             m["eval_fused_rpc"] = cfg.render.fused_train_rpc
+            m["eval_ray_compact"] = 0.0
         out.update(m)
         log.info("eval step %d: %s", step, m)
         metrics.write(step, **m)

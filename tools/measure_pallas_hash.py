@@ -8,6 +8,13 @@ table-gradient loss, and (c) a full hashgrid train step through the
 compacted march renderer — the same differential lax.scan slope
 methodology as bench.py (transport-proof on the axon relay).
 
+Both table sizes of record are measured: T=2^14 (the repo's measured
+fast-path default, configs/procedural_hard_hashgrid.json) and T=2^19
+(tcnn's own default, /root/reference/main.cu:35-69) — at 2^19 the
+one-hot MXU path is shape-infeasible ([N, 2^19] one-hots), so the
+contest there is pallas vs the XLA gather path that currently makes
+reference_parity.json slow (round-3 verdict, missing #2).
+
     python tools/measure_pallas_hash.py  # writes runs/pallas_hash_measure.json
 """
 
@@ -15,7 +22,8 @@ import json
 import os
 import sys
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _REPO)
 
 
 def main() -> int:
@@ -56,34 +64,46 @@ def main() -> int:
     n_samples = 262144
     key = jax.random.PRNGKey(0)
     x01 = jax.random.uniform(key, (n_samples, 3), jnp.float32)
-    enc_params = init_hashgrid(jax.random.PRNGKey(1), cfg.field_)
 
     out = {"n_samples_encode": n_samples, "batch": batch,
-           "samples_per_ray": samples, "log2T": 14}
-    for m in ("onehot", "pallas", "gather"):
-        def enc_fwd(x0):
-            return apply_hashgrid(enc_params, x0, cfg.field_, mode=m).sum()
+           "samples_per_ray": samples}
+    # onehot at 2^19 is shape-infeasible ([N, 2^19] one-hot matmuls);
+    # gather vs pallas is the contest there.
+    for log2T, modes in ((14, ("onehot", "pallas", "gather")),
+                         (19, ("pallas", "gather"))):
+        fcfg = cfg.apply_overrides([
+            f"field_.hash_log2_table_size={log2T}"]).field_
+        enc_params = init_hashgrid(jax.random.PRNGKey(1), fcfg)
 
-        def enc_bwd(x0):
-            def loss(p):
-                f = apply_hashgrid(p, x0, cfg.field_, mode=m)
-                return jnp.mean(f * f)
-            l, g = jax.value_and_grad(loss)(enc_params)
-            return l + sum(
-                jnp.sum(jnp.abs(t)) for t in jax.tree.leaves(g)
-            ) * 1e-9
+        for m in modes:
+            def enc_fwd(x0):
+                return apply_hashgrid(enc_params, x0, fcfg, mode=m).sum()
 
-        try:
-            t_f = _diff_timeit(enc_fwd, x01, inner=(2, 8))
-            t_b = _diff_timeit(enc_bwd, x01, inner=(2, 6))
-            out[f"{m}_encode_fwd_msamples_per_sec"] = round(n_samples / t_f / 1e6, 2)
-            out[f"{m}_encode_fwdbwd_msamples_per_sec"] = round(n_samples / t_b / 1e6, 2)
-        except Exception as e:  # noqa: BLE001 — record and continue
-            out[f"error_{m}_encode"] = f"{type(e).__name__}: {e}"[:200]
+            def enc_bwd(x0):
+                def loss(p):
+                    f = apply_hashgrid(p, x0, fcfg, mode=m)
+                    return jnp.mean(f * f)
+                l, g = jax.value_and_grad(loss)(enc_params)
+                return l + sum(
+                    jnp.sum(jnp.abs(t)) for t in jax.tree.leaves(g)
+                ) * 1e-9
+
+            try:
+                t_f = _diff_timeit(enc_fwd, x01, inner=(2, 8))
+                t_b = _diff_timeit(enc_bwd, x01, inner=(2, 6))
+                out[f"t{log2T}_{m}_encode_fwd_msamples_per_sec"] = round(
+                    n_samples / t_f / 1e6, 2)
+                out[f"t{log2T}_{m}_encode_fwdbwd_msamples_per_sec"] = round(
+                    n_samples / t_b / 1e6, 2)
+            except Exception as e:  # noqa: BLE001 — record and continue
+                out[f"error_t{log2T}_{m}_encode"] = f"{type(e).__name__}: {e}"[:200]
 
     # -- (c): full train step through the compacted renderer
-    for m in ("onehot", "pallas"):
-        c2 = cfg.apply_overrides([f"field_.hash_gather_mode={m}"])
+    for log2T, m in ((14, "onehot"), (14, "pallas"),
+                     (19, "gather"), (19, "pallas")):
+        c2 = cfg.apply_overrides([
+            f"field_.hash_gather_mode={m}",
+            f"field_.hash_log2_table_size={log2T}"])
         field = NeRFField(c2.field_, c2.grid, arch="twobranch")
         params = jax.device_put(field.init(jax.random.PRNGKey(0)))
         ost = jax.device_put(opt.init(params))
@@ -104,12 +124,13 @@ def main() -> int:
 
         try:
             t_s = _diff_timeit(step, o, inner=(2, 5))
-            out[f"{m}_train_krays_per_sec"] = round(batch / t_s / 1e3, 1)
+            out[f"t{log2T}_{m}_train_krays_per_sec"] = round(
+                batch / t_s / 1e3, 1)
         except Exception as e:  # noqa: BLE001
-            out[f"error_{m}_train"] = f"{type(e).__name__}: {e}"[:200]
+            out[f"error_t{log2T}_{m}_train"] = f"{type(e).__name__}: {e}"[:200]
 
-    os.makedirs("runs", exist_ok=True)
-    with open("runs/pallas_hash_measure.json", "w") as fh:
+    os.makedirs(os.path.join(_REPO, "runs"), exist_ok=True)
+    with open(os.path.join(_REPO, "runs/pallas_hash_measure.json"), "w") as fh:
         json.dump(out, fh, indent=1)
     print(json.dumps(out, indent=1))
     return 0
