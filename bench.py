@@ -551,6 +551,27 @@ def bench_fused_render(width=800, height=800, res=64, samples=128,
                 cfg_turbo.render, rpc=4, tighten=True, b_tile=16,
                 ray_compact=True,
             ))
+    # CDF tier (rpc=4, S=32, occupancy-CDF placement in the tmode
+    # kernel — runs/hard_r4_fused_cdf, trained at its own quadrature):
+    # the reduced budget concentrates on occupied bins, recovering the
+    # quality the turbo tier's uniform S=32 loses.  Timed against its
+    # own trained checkpoint.
+    fps_cdf = None
+    if os.path.exists("runs/hard_r4_fused_cdf/checkpoints"):
+        tparamsc, occc, trainedc = _restore_gate(
+            field, cfg, "runs/hard_r4_fused_cdf"
+        )
+        if trainedc:
+            params, occ3 = jax.device_put(tparamsc), jnp.asarray(occc)
+            cfg_cdf = cfg.apply_overrides([
+                "sampler.samples_per_ray=32", "render.ray_compact_fraction=0.75",
+                "sampler.placement=occupancy_cdf", "sampler.cdf_bins=64",
+            ])
+            _, fps_cdf = fps_of(make_fused_pipeline_renderer_v2(
+                cfg_cdf.field_, cfg_cdf.grid, cfg_cdf.sampler,
+                cfg_cdf.render, rpc=4, tighten=True, b_tile=16,
+                ray_compact=True,
+            ))
     is800 = (width, height) == (800, 800)
     return {
         "fused_mrays_per_sec": mrays_fast,
@@ -558,6 +579,7 @@ def bench_fused_render(width=800, height=800, res=64, samples=128,
         "fused_hq_mrays_per_sec": mrays_hq,
         "fused_hq_fps_800x800": fps_hq if is800 else None,
         "fused_turbo_fps_800x800": fps_turbo if is800 else None,
+        "fused_cdf_fps_800x800": fps_cdf if is800 else None,
     }
 
 
@@ -583,6 +605,8 @@ def gate_metrics() -> dict:
         "gate_hashgrid_best": "runs/hard_r3_hashgrid_best",
         "gate_triplane": "runs/hard_r3_triplane",
         "gate_triplane_prog": "runs/hard_r3_triplane_prog",
+        # round-4: fused turbo quadrature + occupancy-CDF placement
+        "gate_fused_cdf": "runs/hard_r4_fused_cdf",
     }
     here = os.path.dirname(os.path.abspath(__file__))
     for name, rel in gates.items():
@@ -874,6 +898,7 @@ def main():
     put(fused, "fused_hq_mrays_per_sec")
     put(fused, "fused_hq_fps_800x800")
     put(fused, "fused_turbo_fps_800x800")
+    put(fused, "fused_cdf_fps_800x800")
     put(train, "fused_train_krays_per_sec", digits=1)
     put(train, "xla_train_krays_per_sec", digits=1)
     put(train, "fused_train_speedup", digits=2)

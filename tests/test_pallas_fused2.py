@@ -374,3 +374,291 @@ def test_fused_ray_compaction_matches_uncompacted(rpc):
     np.testing.assert_allclose(np.asarray(out.acc), np.asarray(base.acc),
                                atol=3e-3)
     assert float(np.abs(np.asarray(out.acc) - np.asarray(base.acc)).max()) < 3e-3
+
+
+# ---- tmode (per-sample t placement, the CDF-capable path) ------------------
+
+
+@pytest.fixture(scope="module")
+def t_workload():
+    from tnerf.render.pallas_fused2 import fused_reference_v2_t  # noqa: F401
+
+    rng = np.random.default_rng(7)
+    NL, B, NK = 4, 64, 2
+    S = NK * 128
+    W = jnp.asarray(rng.normal(0, 0.3, (NL, 128, 128)).astype(np.float32))
+    Bias = jnp.asarray(rng.normal(0, 0.1, (NL, 128)).astype(np.float32))
+    gamma = jnp.asarray(rng.normal(0, 1.0, (B, 128)).astype(np.float32))
+    beta = jnp.asarray(rng.normal(0, 0.5, (B, 128)).astype(np.float32))
+    te = rng.uniform(1.5, 2.5, (B, 1)).astype(np.float32)
+    span = rng.uniform(1.0, 3.0, (B, 1)).astype(np.float32)
+    u = np.sort(rng.uniform(0, 1, (B, S)).astype(np.float32), axis=1)
+    ts = jnp.asarray(te + u * span)  # monotone, non-uniform (CDF-like)
+    dts = jnp.asarray(rng.uniform(0.004, 0.02, (B, S)).astype(np.float32))
+    rays8 = jnp.zeros((B, 8), jnp.float32)  # te/dt slots unused in tmode
+    mask = (rng.uniform(0, 1, (B, S)) < 0.7).astype(np.float32)
+    mask[:4] = 0.0
+    words = jnp.zeros((8, 128), jnp.int32)
+    return NL, NK, W, Bias, gamma, beta, rays8, ts, dts, jnp.asarray(mask), words
+
+
+def test_tmode_forward_matches_reference(t_workload):
+    from tnerf.render.pallas_fused2 import fused_reference_v2_t
+
+    NL, NK, W, Bias, gamma, beta, rays8, ts, dts, mask, words = t_workload
+    fused = make_fused_trainable(NL, NK, b_tile=32, b_tile_bwd=16,
+                                 term_eps=0.0, interpret=True, tmode=True)
+    out_k = np.asarray(fused(W, Bias, gamma, beta, rays8, mask, ts, dts, words))
+    out_r = np.asarray(fused_reference_v2_t(W, Bias, gamma, beta, mask, ts, dts))
+    np.testing.assert_allclose(out_k[:, :6], out_r[:, :6], atol=5e-3)
+    np.testing.assert_allclose(out_k[:4, 3], 0.0, atol=1e-6)
+    np.testing.assert_allclose(out_k[:4, 5], 1.0, atol=1e-6)
+
+
+def test_tmode_reduces_to_uniform_on_affine_ts(t_workload):
+    """With ts = te + (s+0.5)*dt (and the gamma/beta refold gamma_u =
+    gamma0 + te*beta0, beta_u = dt*beta0), tmode must reproduce the
+    uniform kernel: same math, different parameterization."""
+    NL, NK, W, Bias, gamma0, beta0, _, _, _, mask, words = t_workload
+    B = gamma0.shape[0]
+    S = NK * 128
+    rng = np.random.default_rng(11)
+    te = jnp.asarray(rng.uniform(1.5, 2.5, (B, 1)).astype(np.float32))
+    dt = jnp.asarray(rng.uniform(0.004, 0.01, (B, 1)).astype(np.float32))
+    s = jnp.arange(S, dtype=jnp.float32)[None, :] + 0.5
+    ts = te + s * dt
+    dts = jnp.broadcast_to(dt, (B, S))
+    gamma_u = gamma0 + te * beta0
+    beta_u = dt * beta0
+    rays8_u = jnp.concatenate([te, dt, jnp.zeros((B, 6))], axis=1)
+    f_u = make_fused_trainable(NL, NK, term_eps=0.0, interpret=True)
+    f_t = make_fused_trainable(NL, NK, term_eps=0.0, interpret=True, tmode=True)
+    out_u = np.asarray(f_u(W, Bias, gamma_u, beta_u, rays8_u, mask, words))
+    out_t = np.asarray(f_t(W, Bias, gamma0, beta0, jnp.zeros((B, 8)),
+                           mask, ts, dts, words))
+    np.testing.assert_allclose(out_t[:, :6], out_u[:, :6], atol=2e-3)
+
+
+@pytest.mark.parametrize("rpc", [2, 4])
+def test_tmode_rpc_forward_matches_reference(rpc):
+    from tnerf.render.pallas_fused2 import fused_reference_v2_t
+
+    rng = np.random.default_rng(13)
+    NL, B, NK = 3, 64, 2
+    spr = 128 // rpc
+    S = NK * spr
+    W = jnp.asarray(rng.normal(0, 0.3, (NL, 128, 128)).astype(np.float32))
+    Bias = jnp.asarray(rng.normal(0, 0.1, (NL, 128)).astype(np.float32))
+    gamma = jnp.asarray(rng.normal(0, 1.0, (B, 128)).astype(np.float32))
+    beta = jnp.asarray(rng.normal(0, 0.5, (B, 128)).astype(np.float32))
+    te = rng.uniform(1.5, 2.5, (B, 1)).astype(np.float32)
+    span = rng.uniform(1.0, 3.0, (B, 1)).astype(np.float32)
+    u = np.sort(rng.uniform(0, 1, (B, S)).astype(np.float32), axis=1)
+    ts = jnp.asarray(te + u * span)
+    dts = jnp.asarray(rng.uniform(0.004, 0.02, (B, S)).astype(np.float32))
+    mask = jnp.asarray((rng.uniform(0, 1, (B, S)) < 0.7).astype(np.float32))
+    words = jnp.zeros((8, 128), jnp.int32)
+
+    b_rows = B // rpc
+    pk = lambda X: (
+        X.reshape(b_rows, rpc, NK, spr).transpose(0, 2, 1, 3)
+        .reshape(b_rows, NK * 128)
+    )
+    rays_pack = jnp.zeros((b_rows, 128), jnp.float32)
+    fused = make_fused_trainable(NL, NK, b_tile=8, b_tile_bwd=8,
+                                 term_eps=0.0, interpret=True, rpc=rpc,
+                                 tmode=True)
+    out = fused(W, Bias, gamma, beta, rays_pack, pk(mask), pk(ts), pk(dts),
+                words)
+    got = np.asarray(
+        out[:, : 6 * rpc].reshape(b_rows, 6, rpc).transpose(0, 2, 1).reshape(B, 6)
+    )
+    ref = np.asarray(fused_reference_v2_t(W, Bias, gamma, beta, mask, ts, dts))
+    np.testing.assert_allclose(got, ref[:, :6], atol=5e-3)
+
+
+@pytest.mark.parametrize("rpc", [1, 2])
+def test_tmode_backward_matches_autodiff_of_reference(rpc):
+    from tnerf.render.pallas_fused2 import fused_reference_v2_t
+
+    rng = np.random.default_rng(17)
+    NL, B, NK = 3, 32, 2
+    spr = 128 // rpc
+    S = NK * spr
+    W = jnp.asarray(rng.normal(0, 0.3, (NL, 128, 128)).astype(np.float32))
+    Bias = jnp.asarray(rng.normal(0, 0.1, (NL, 128)).astype(np.float32))
+    gamma = jnp.asarray(rng.normal(0, 1.0, (B, 128)).astype(np.float32))
+    beta = jnp.asarray(rng.normal(0, 0.5, (B, 128)).astype(np.float32))
+    te = rng.uniform(1.5, 2.5, (B, 1)).astype(np.float32)
+    span = rng.uniform(1.0, 3.0, (B, 1)).astype(np.float32)
+    u = np.sort(rng.uniform(0, 1, (B, S)).astype(np.float32), axis=1)
+    ts = jnp.asarray(te + u * span)
+    dts = jnp.asarray(rng.uniform(0.004, 0.02, (B, S)).astype(np.float32))
+    mask = jnp.asarray((rng.uniform(0, 1, (B, S)) < 0.7).astype(np.float32))
+    words = jnp.zeros((8, 128), jnp.int32)
+    cot = jnp.asarray(rng.normal(0, 1, (B, 6)).astype(np.float32))
+
+    b_rows = B // rpc
+    if rpc == 1:
+        rays_pack, m_p, ts_p, dts_p = jnp.zeros((B, 8)), mask, ts, dts
+    else:
+        pk = lambda X: (
+            X.reshape(b_rows, rpc, NK, spr).transpose(0, 2, 1, 3)
+            .reshape(b_rows, NK * 128)
+        )
+        rays_pack = jnp.zeros((b_rows, 128), jnp.float32)
+        m_p, ts_p, dts_p = pk(mask), pk(ts), pk(dts)
+    fused = make_fused_trainable(NL, NK, b_tile=8, b_tile_bwd=8,
+                                 term_eps=0.0, interpret=True, rpc=rpc,
+                                 tmode=True)
+
+    def loss_k(W, Bias):
+        out = fused(W, Bias, gamma, beta, rays_pack, m_p, ts_p, dts_p, words)
+        if rpc == 1:
+            per = out[:, :6]
+        else:
+            per = (
+                out[:, : 6 * rpc].reshape(b_rows, 6, rpc).transpose(0, 2, 1)
+                .reshape(B, 6)
+            )
+        return jnp.sum(per * cot)
+
+    def loss_r(W, Bias):
+        return jnp.sum(
+            fused_reference_v2_t(W, Bias, gamma, beta, mask, ts, dts)[:, :6]
+            * cot
+        )
+
+    gk = jax.grad(loss_k, argnums=(0, 1))(W, Bias)
+    gr = jax.grad(loss_r, argnums=(0, 1))(W, Bias)
+    for a, b in zip(gk, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2e-2, rtol=1e-2)
+
+
+# ---- fused CDF placement (sampler.placement="occupancy_cdf") ---------------
+
+
+def _cdf_cfg(S=32, rpc=1):
+    return Config().apply_overrides([
+        f"sampler.samples_per_ray={S}", "sampler.near=2.0", "sampler.far=5.5",
+        "sampler.placement=occupancy_cdf", "sampler.cdf_bins=32",
+        "sampler.tighten=true", "sampler.tighten_res=16",
+        "sampler.occupancy_mask_res=16",
+        "field_.hidden_width=32", "field_.hidden_layers=2",
+        "field_.n_frequencies=4",
+        "grid.resolution=16", "scene.scene_scale=1.0",
+        f"render.fused_rpc={rpc}", f"render.fused_train_rpc={rpc}",
+        "render.fused_tighten=true",
+    ])
+
+
+def _half_occ(res=16):
+    occ = np.zeros((res, res, res), bool)
+    occ[:, :, : res // 2] = True  # occupied half-space: bins differ per ray
+    return jnp.asarray(occ)
+
+
+@pytest.mark.parametrize("rpc", [1, 2])
+def test_fused_cdf_matches_march_cdf_renderer(rpc):
+    """Fused CDF placement vs the march CDF renderer on the SAME params,
+    occupancy, and placement config: both probe cdf_bins midpoints of
+    the tightened span on the same (un)pooled grid, so the quadratures
+    coincide and outputs must match to bf16-MLP tolerance."""
+    from tnerf.fields.nerf_field import NeRFField
+    from tnerf.render.grid_renderer import make_grid_renderer
+
+    cfg = _cdf_cfg(S=32, rpc=rpc)
+    field = NeRFField(cfg.field_, cfg.grid)
+    params = field.init(jax.random.PRNGKey(0))
+    rend2 = make_fused_pipeline_renderer_v2(
+        cfg.field_, cfg.grid, cfg.sampler, cfg.render, interpret=True,
+        rpc=rpc, tighten=True)
+    rendx = make_grid_renderer(field, cfg.grid, cfg.sampler, cfg.render,
+                               strategy="march", compact=False)
+    rays = _rays(64)
+    occ = _half_occ()
+    r2 = rend2(params, rays, None, occ)
+    rx = rendx(params, rays, None, occ)
+    np.testing.assert_allclose(np.asarray(r2.rgb), np.asarray(rx.rgb), atol=2e-2)
+    np.testing.assert_allclose(np.asarray(r2.acc), np.asarray(rx.acc), atol=2e-2)
+    np.testing.assert_allclose(
+        np.asarray(r2.depth * r2.acc), np.asarray(rx.depth * rx.acc), atol=5e-2
+    )
+
+
+def test_fused_cdf_ray_compact_matches_dense():
+    """Ray compaction under CDF placement reconstructs exactly: kept rays
+    match the dense render, dropped (no-occupied-bin) rays come back as
+    background (acc=0)."""
+    from tnerf.fields.nerf_field import NeRFField
+
+    cfg = _cdf_cfg(S=32).apply_overrides(
+        ["render.ray_compact_fraction=1.0"]  # every ray sees content here
+    )
+    field = NeRFField(cfg.field_, cfg.grid)
+    params = field.init(jax.random.PRNGKey(0))
+    dense = make_fused_pipeline_renderer_v2(
+        cfg.field_, cfg.grid, cfg.sampler, cfg.render, interpret=True,
+        tighten=True)
+    compacted = make_fused_pipeline_renderer_v2(
+        cfg.field_, cfg.grid, cfg.sampler, cfg.render, interpret=True,
+        tighten=True, ray_compact=True)
+    rays = _rays(64)
+    occ = _half_occ()
+    rd = dense(params, rays, None, occ)
+    rc = compacted(params, rays, None, occ)
+    np.testing.assert_allclose(np.asarray(rc.rgb), np.asarray(rd.rgb), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(rc.acc), np.asarray(rd.acc), atol=1e-5)
+
+
+def test_fused_cdf_training_reduces_loss():
+    """Training THROUGH the tmode kernel (jittered CDF placement): the
+    custom VJP must reach the field params and reduce the loss."""
+    import optax
+
+    from tnerf.cameras import Rays
+    from tnerf.fields.nerf_field import NeRFField
+
+    cfg = _cdf_cfg(S=32)
+    field = NeRFField(cfg.field_, cfg.grid)
+    params = field.init(jax.random.PRNGKey(0))
+    rend = make_fused_pipeline_renderer_v2(
+        cfg.field_, cfg.grid, cfg.sampler, cfg.render, interpret=True,
+        tighten=True)
+    rays = _rays(64)
+    occ = _half_occ()
+    gt = jnp.asarray(
+        np.random.default_rng(0).uniform(0, 0.3, (64, 3)).astype(np.float32)
+    )
+    opt = optax.adam(3e-3)
+    ost = opt.init(params)
+
+    def loss_fn(p, key):
+        return jnp.mean((rend(p, rays, key, occ).rgb - gt) ** 2)
+
+    losses = []
+    key = jax.random.PRNGKey(1)
+    for i in range(12):
+        key, k = jax.random.split(key)
+        l, g = jax.value_and_grad(loss_fn)(params, k)
+        up, ost = opt.update(g, ost)
+        params = optax.apply_updates(params, up)
+        losses.append(float(l))
+    assert losses[-1] < losses[0] * 0.7, losses
+
+
+def test_fused_cdf_validations():
+    cfg = _cdf_cfg()
+    with pytest.raises(ValueError, match="density_cdf"):
+        make_fused_pipeline_renderer_v2(
+            cfg.field_, cfg.grid,
+            cfg.sampler._replace(placement="density_cdf")
+            if hasattr(cfg.sampler, "_replace")
+            else cfg.apply_overrides(
+                ["sampler.placement=density_cdf"]).sampler,
+            cfg.render, interpret=True, tighten=True)
+    with pytest.raises(ValueError, match="tighten"):
+        make_fused_pipeline_renderer_v2(
+            cfg.field_, cfg.grid, cfg.sampler, cfg.render, interpret=True,
+            tighten=False)

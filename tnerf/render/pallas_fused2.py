@@ -143,21 +143,47 @@ def pack_rays8(t_enter, dt, origins=None, directions=None):
 # Shared in-kernel pieces
 # --------------------------------------------------------------------------
 
-def _encode_chunk(gamma, beta, chunk, b_tile, spr=SC):
+def _lane_to_row(X2, b_tile):
+    """[b_tile, SC] lane-world -> [R, 1] row-world: broadcast + one-hot
+    select (the reshape Mosaic lacks — same bridge the backward kernel
+    uses for per-sample gradients).  Lane (b, l) lands in row b*SC + l,
+    matching the row->(ray, sample) mapping of _encode_chunk."""
+    R = b_tile * SC
+    rowmod = jax.lax.broadcasted_iota(jnp.int32, (R, SC), 0) % SC
+    lane = jax.lax.broadcasted_iota(jnp.int32, (R, SC), 1)
+    onehot = (rowmod == lane).astype(jnp.float32)
+    rep = jnp.broadcast_to(X2[:, None, :], (b_tile, SC, SC)).reshape(R, SC)
+    return jnp.sum(rep * onehot, axis=1, keepdims=True)  # [R, 1]
+
+
+def _encode_chunk(gamma, beta, chunk, b_tile, spr=SC, ts=None):
     """gamma/beta [B_rays,128] -> encoded rows E [R,128] bf16 for sample
     chunk `chunk`.  spr = samples per ray per chunk; with rpc rays packed
     per scalar row (rpc = SC//spr), B_rays = b_tile*rpc and R = b_tile*SC.
     Row r maps to (ray r//spr, sample r%spr) — consistent with the
-    [R,1]->[b_tile,SC] lane bridge in _chunk_scalars."""
+    [R,1]->[b_tile,SC] lane bridge in _chunk_scalars.
+
+    ts=None (uniform placement): feature = gamma + (s+0.5)*beta with
+    gamma/beta folded at (t_enter, dt) — s is the global sample index
+    reconstructed from the chunk iota.  ts [b_tile, SC] (CDF placement):
+    feature = gamma0 + t_s*beta0 with gamma0/beta0 folded at (0, 1) —
+    the encoding is affine in t for ANY t, so arbitrary monotone
+    per-sample placement costs only the one lane->row bridge for t."""
     b_rays = gamma.shape[0]
     R = b_rays * spr
-    gk = gamma + (chunk * spr).astype(jnp.float32) * beta          # [B,128]
-    gk_rep = jnp.broadcast_to(gk[:, None, :], (b_rays, spr, LANES)).reshape(R, LANES)
-    b_rep = jnp.broadcast_to(beta[:, None, :], (b_rays, spr, LANES)).reshape(R, LANES)
-    s_wave = (
-        jax.lax.broadcasted_iota(jnp.int32, (R, 1), 0) % spr
-    ).astype(jnp.float32) + 0.5
-    I = gk_rep + s_wave * b_rep
+    if ts is None:
+        gk = gamma + (chunk * spr).astype(jnp.float32) * beta      # [B,128]
+        gk_rep = jnp.broadcast_to(gk[:, None, :], (b_rays, spr, LANES)).reshape(R, LANES)
+        b_rep = jnp.broadcast_to(beta[:, None, :], (b_rays, spr, LANES)).reshape(R, LANES)
+        s_wave = (
+            jax.lax.broadcasted_iota(jnp.int32, (R, 1), 0) % spr
+        ).astype(jnp.float32) + 0.5
+        I = gk_rep + s_wave * b_rep
+    else:
+        g_rep = jnp.broadcast_to(gamma[:, None, :], (b_rays, spr, LANES)).reshape(R, LANES)
+        b_rep = jnp.broadcast_to(beta[:, None, :], (b_rays, spr, LANES)).reshape(R, LANES)
+        t_row = _lane_to_row(ts, b_tile)                           # [R,1]
+        I = g_rep + t_row * b_rep
     lane = jax.lax.broadcasted_iota(jnp.int32, (R, LANES), 1)
     E = jnp.where(lane < 5, I, jnp.sin(I))
     return E.astype(jnp.bfloat16)
@@ -199,10 +225,12 @@ def _lane_scalars(rays_arr, b_tile, spr):
     return tuple(jnp.take_along_axis(rays_arr, src + q, axis=1) for q in range(8))
 
 
-def _chunk_scalars(hL, sc8, mask, chunk, b_tile, spr=SC):
+def _chunk_scalars(hL, sc8, mask, chunk, b_tile, spr=SC, ts=None, dts=None):
     """Bridge raw head lanes to [B,SC] and apply activations + quadrature
     precursors there (scalar math on lanes, not rows).  sc8 = per-lane
-    ray scalars from _lane_scalars."""
+    ray scalars from _lane_scalars.  ts/dts [b_tile, SC] (CDF placement):
+    per-sample depth and quadrature step, replacing the per-ray
+    (t_enter, dt) reconstruction."""
     to2d = lambda col: col.reshape(b_tile, SC)
     r2 = to2d(hL[:, 0:1])
     g2 = to2d(hL[:, 1:2])
@@ -212,16 +240,20 @@ def _chunk_scalars(hL, sc8, mask, chunk, b_tile, spr=SC):
     rgb_g = jax.nn.sigmoid(g2)
     rgb_b = jax.nn.sigmoid(b2)
     sig = jax.nn.softplus(s2 - 1.0)
-    te, dt = sc8[0], sc8[1]
-    s_idx = (
-        jax.lax.broadcasted_iota(jnp.int32, (b_tile, SC), 1) % spr
-    ).astype(jnp.float32) + (chunk * spr).astype(jnp.float32) + 0.5
-    t2 = te + s_idx * dt
-    tau = sig * dt * mask
+    if ts is None:
+        te, dt = sc8[0], sc8[1]
+        s_idx = (
+            jax.lax.broadcasted_iota(jnp.int32, (b_tile, SC), 1) % spr
+        ).astype(jnp.float32) + (chunk * spr).astype(jnp.float32) + 0.5
+        t2 = te + s_idx * dt
+        tau = sig * dt * mask
+    else:
+        t2 = ts
+        tau = sig * dts * mask
     return rgb_r, rgb_g, rgb_b, sig, tau, t2
 
 
-def _coarse_mask(sc8, words, mask, chunk, b_tile, spr, coarse):
+def _coarse_mask(sc8, words, mask, chunk, b_tile, spr, coarse, ts=None):
     """Refine the in-span mask with an IN-KERNEL coarse occupancy test.
 
     XLA's per-sample occupancy gather costs ~8 ns/index (~34 ms for a
@@ -235,11 +267,14 @@ def _coarse_mask(sc8, words, mask, chunk, b_tile, spr, coarse):
         return mask
     res_c, lo, inv_ch = coarse
     i32 = jnp.int32
-    te, dtc = sc8[0], sc8[1]
-    s_idx = (
-        jax.lax.broadcasted_iota(i32, (b_tile, SC), 1) % spr
-    ).astype(jnp.float32) + (chunk * spr).astype(jnp.float32) + 0.5
-    t2 = te + s_idx * dtc
+    if ts is not None:
+        t2 = ts
+    else:
+        te, dtc = sc8[0], sc8[1]
+        s_idx = (
+            jax.lax.broadcasted_iota(i32, (b_tile, SC), 1) % spr
+        ).astype(jnp.float32) + (chunk * spr).astype(jnp.float32) + 0.5
+        t2 = te + s_idx * dtc
     x = sc8[2] + t2 * sc8[5]
     y = sc8[3] + t2 * sc8[6]
     z = sc8[4] + t2 * sc8[7]
@@ -309,13 +344,19 @@ def _suffix_sum(G, spr: int = SC):
 # --------------------------------------------------------------------------
 
 def _fwd_kernel(
-    gamma_ref, beta_ref, rays8_ref, mask_ref, words_ref, W_ref, Bias_ref,
-    out_ref, tchk_ref,
-    T_run,
-    *, b_tile, n_layers, n_chunks, term_eps, coarse, rpc=1,
+    *refs,
+    b_tile, n_layers, n_chunks, term_eps, coarse, rpc=1, tmode=False,
 ):
+    if tmode:
+        (gamma_ref, beta_ref, rays8_ref, mask_ref, ts_ref, dts_ref,
+         words_ref, W_ref, Bias_ref, out_ref, tchk_ref, T_run) = refs
+    else:
+        (gamma_ref, beta_ref, rays8_ref, mask_ref, words_ref, W_ref,
+         Bias_ref, out_ref, tchk_ref, T_run) = refs
     chunk = pl.program_id(1)
     spr = SC // rpc
+    ts = ts_ref[:] if tmode else None
+    dts = dts_ref[:] if tmode else None
 
     @pl.when(chunk == 0)
     def _init():
@@ -343,15 +384,17 @@ def _fwd_kernel(
         tchk_ref[:] = T0
 
     sc8 = _lane_scalars(rays8_ref[:], b_tile, spr)
-    mask = _coarse_mask(sc8, words_ref[:], mask_ref[:], chunk, b_tile, spr, coarse)
+    mask = _coarse_mask(
+        sc8, words_ref[:], mask_ref[:], chunk, b_tile, spr, coarse, ts=ts
+    )
     alive = (jnp.max(T0) > term_eps) & (jnp.max(mask) > 0.0)
 
     @pl.when(alive)
     def _work():
-        E = _encode_chunk(gamma_ref[:], beta_ref[:], chunk, b_tile, spr)
+        E = _encode_chunk(gamma_ref[:], beta_ref[:], chunk, b_tile, spr, ts=ts)
         hL = _mlp_forward(E, W_ref, Bias_ref, n_layers)
         rgb_r, rgb_g, rgb_b, sig, tau, t2 = _chunk_scalars(
-            hL, sc8, mask, chunk, b_tile, spr
+            hL, sc8, mask, chunk, b_tile, spr, ts=ts, dts=dts
         )
         excl = _excl_cumsum(tau, spr)
         w = T0 * jnp.exp(-excl) * (1.0 - jnp.exp(-tau))
@@ -389,17 +432,24 @@ def _fwd_kernel(
 # --------------------------------------------------------------------------
 
 def _bwd_kernel(
-    gamma_ref, beta_ref, rays8_ref, mask_ref, words_ref, W_ref, Wt_ref, Bias_ref,
-    tchk_ref, gout_ref,
-    dW_ref, dB8_ref,
-    acts, gT_run,
-    *, b_tile, n_layers, n_chunks, term_eps, coarse, rpc=1,
+    *refs,
+    b_tile, n_layers, n_chunks, term_eps, coarse, rpc=1, tmode=False,
 ):
+    if tmode:
+        (gamma_ref, beta_ref, rays8_ref, mask_ref, ts_ref, dts_ref,
+         words_ref, W_ref, Wt_ref, Bias_ref, tchk_ref, gout_ref,
+         dW_ref, dB8_ref, acts, gT_run) = refs
+    else:
+        (gamma_ref, beta_ref, rays8_ref, mask_ref, words_ref, W_ref,
+         Wt_ref, Bias_ref, tchk_ref, gout_ref,
+         dW_ref, dB8_ref, acts, gT_run) = refs
     rb = pl.program_id(0)
     kk = pl.program_id(1)
     chunk = n_chunks - 1 - kk
     R = b_tile * SC
     spr = SC // rpc
+    ts = ts_ref[:] if tmode else None
+    dts = dts_ref[:] if tmode else None
     if rpc > 1:
         lane = jax.lax.broadcasted_iota(jnp.int32, (b_tile, SC), 1)
         seg = lane // spr  # in-row ray index per lane
@@ -429,17 +479,19 @@ def _bwd_kernel(
         T0 = tchk_ref[:]
 
     sc8 = _lane_scalars(rays8_ref[:], b_tile, spr)
-    maskc = _coarse_mask(sc8, words_ref[:], mask_ref[:], chunk, b_tile, spr, coarse)
+    maskc = _coarse_mask(
+        sc8, words_ref[:], mask_ref[:], chunk, b_tile, spr, coarse, ts=ts
+    )
     alive = (jnp.max(T0) > term_eps) & (jnp.max(maskc) > 0.0)
 
     @pl.when(alive)
     def _work():
         # ---- recompute forward (remat), recording layer inputs --------
-        E = _encode_chunk(gamma_ref[:], beta_ref[:], chunk, b_tile, spr)
+        E = _encode_chunk(gamma_ref[:], beta_ref[:], chunk, b_tile, spr, ts=ts)
         hL = _mlp_forward(E, W_ref, Bias_ref, n_layers, acts=acts)
         mask = maskc
         rgb_r, rgb_g, rgb_b, sig, tau, t2 = _chunk_scalars(
-            hL, sc8, mask, chunk, b_tile, spr
+            hL, sc8, mask, chunk, b_tile, spr, ts=ts, dts=dts
         )
         excl = _excl_cumsum(tau, spr)
         E_ = jnp.exp(-excl)
@@ -470,7 +522,7 @@ def _bwd_kernel(
         dw = g_r * rgb_r + g_g * rgb_g + g_b * rgb_b + g_acc + g_dep * t2
         G = dw * w
         dtau = -_suffix_sum(G, spr) + dw * (T0 * E_ * emt) - gT * (T0 * Texp)
-        dsig = dtau * sc8[1] * mask
+        dsig = dtau * (sc8[1] if ts is None else dts) * mask
         # d softplus(x-1)/dx = sigmoid(x-1) = 1 - exp(-softplus(x-1))
         dsraw = dsig * (1.0 - jnp.exp(-sig))
         drpre = (w * g_r) * rgb_r * (1.0 - rgb_r)
@@ -484,13 +536,7 @@ def _bwd_kernel(
             gT_run[:] = raysum(dw * E_ * F_) + gT * Texp
 
         # ---- bridge [B,SC] -> [R,1] (one-hot select; no such reshape) --
-        rowmod = jax.lax.broadcasted_iota(jnp.int32, (R, SC), 0) % SC
-        lane = jax.lax.broadcasted_iota(jnp.int32, (R, SC), 1)
-        onehot = (rowmod == lane).astype(jnp.float32)
-
-        def bridge(X2):
-            rep = jnp.broadcast_to(X2[:, None, :], (b_tile, SC, SC)).reshape(R, SC)
-            return jnp.sum(rep * onehot, axis=1, keepdims=True)  # [R,1]
+        bridge = lambda X2: _lane_to_row(X2, b_tile)
 
         ghL = jnp.concatenate(
             [
@@ -538,9 +584,19 @@ def make_fused_trainable(
     interpret: bool = False,
     coarse=None,
     rpc: int = 1,
+    tmode: bool = False,
 ):
     """Build fused(W_f32, Bias, gamma, beta, rays8, mask, words) -> out
     with a custom VJP onto (W, Bias).
+
+    tmode=True (CDF / arbitrary monotone sample placement): the call
+    grows two inputs, fused(W, Bias, gamma, beta, rays8, mask, ts, dts,
+    words) — ts/dts are per-SAMPLE depth and quadrature step in the
+    same chunk-major lane layout as mask, and gamma/beta must be folded
+    at (t_enter=0, dt=1) (encode_gamma_beta with zeros/ones) so the
+    in-kernel feature is act(gamma + t_s*beta).  ts/dts are
+    non-differentiable (positions get zero cotangent, the onehot-path
+    contract).
 
     rpc == 1: gamma/beta [B,128], rays8 [B,8], mask [B, n_chunks*128],
     out [B,8].
@@ -570,14 +626,19 @@ def make_fused_trainable(
             f"need rpc*8 <= {LANES} lanes), got {rpc}"
         )
 
-    def fwd_call(Wb, Bias, gamma, beta, rays8, mask, words):
+    def fwd_call(Wb, Bias, gamma, beta, rays8, mask, ts, dts, words):
         B_rows = gamma.shape[0] // rpc
         kernel = functools.partial(
             _fwd_kernel, b_tile=b_tile, n_layers=NL, n_chunks=NK,
-            term_eps=term_eps, coarse=coarse, rpc=rpc,
+            term_eps=term_eps, coarse=coarse, rpc=rpc, tmode=tmode,
         )
         out_cols = 8 if rpc == 1 else SC
         rays_cols = 8 if rpc == 1 else LANES
+        chunk_block = lambda bt: pl.BlockSpec(
+            (bt, SC), lambda rb, k: (rb, k), memory_space=pltpu.VMEM
+        )
+        t_specs = [chunk_block(b_tile), chunk_block(b_tile)] if tmode else []
+        t_args = (ts, dts) if tmode else ()
         return pl.pallas_call(
             kernel,
             grid=(B_rows // b_tile, NK),
@@ -585,7 +646,8 @@ def make_fused_trainable(
                 pl.BlockSpec((b_tile * rpc, LANES), lambda rb, k: (rb, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec((b_tile * rpc, LANES), lambda rb, k: (rb, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec((b_tile, rays_cols), lambda rb, k: (rb, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((b_tile, SC), lambda rb, k: (rb, k), memory_space=pltpu.VMEM),
+                chunk_block(b_tile),
+                *t_specs,
                 pl.BlockSpec((8, LANES), lambda rb, k: (0, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec((NL, LANES, LANES), lambda rb, k: (0, 0, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec((NL, LANES), lambda rb, k: (0, 0), memory_space=pltpu.VMEM),
@@ -608,17 +670,23 @@ def make_fused_trainable(
                 pltpu.VMEM((b_tile, 8 if rpc == 1 else SC), jnp.float32)
             ],
             interpret=interpret,
-        )(gamma, beta, rays8, mask, words, Wb, Bias)
+        )(gamma, beta, rays8, mask, *t_args, words, Wb, Bias)
 
-    def bwd_call(Wb, Wt, Bias, gamma, beta, rays8, mask, words, tchk, gout):
+    def bwd_call(Wb, Wt, Bias, gamma, beta, rays8, mask, ts, dts, words,
+                 tchk, gout):
         B_rows = gamma.shape[0] // rpc
         bt = b_tile_bwd
         kernel = functools.partial(
             _bwd_kernel, b_tile=bt, n_layers=NL, n_chunks=NK,
-            term_eps=term_eps, coarse=coarse, rpc=rpc,
+            term_eps=term_eps, coarse=coarse, rpc=rpc, tmode=tmode,
         )
         rays_cols = 8 if rpc == 1 else LANES
         gout_cols = 8 if rpc == 1 else SC
+        rev_block = lambda: pl.BlockSpec(
+            (bt, SC), lambda rb, k: (rb, NK - 1 - k), memory_space=pltpu.VMEM
+        )
+        t_specs = [rev_block(), rev_block()] if tmode else []
+        t_args = (ts, dts) if tmode else ()
         return pl.pallas_call(
             kernel,
             grid=(B_rows // bt, NK),
@@ -626,7 +694,8 @@ def make_fused_trainable(
                 pl.BlockSpec((bt * rpc, LANES), lambda rb, k: (rb, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec((bt * rpc, LANES), lambda rb, k: (rb, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec((bt, rays_cols), lambda rb, k: (rb, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((bt, SC), lambda rb, k: (rb, NK - 1 - k), memory_space=pltpu.VMEM),
+                rev_block(),
+                *t_specs,
                 pl.BlockSpec((8, LANES), lambda rb, k: (0, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec((NL, LANES, LANES), lambda rb, k: (0, 0, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec((NL, LANES, LANES), lambda rb, k: (0, 0, 0), memory_space=pltpu.VMEM),
@@ -651,22 +720,64 @@ def make_fused_trainable(
                 pltpu.VMEM((bt, 8 if rpc == 1 else SC), jnp.float32),
             ],
             interpret=interpret,
-        )(gamma, beta, rays8, mask, words, Wb, Wt, Bias, tchk, gout)
+        )(gamma, beta, rays8, mask, *t_args, words, Wb, Wt, Bias, tchk, gout)
+
+    if tmode:
+        @jax.custom_vjp
+        def fused_t(W, Bias, gamma, beta, rays8, mask, ts, dts, words):
+            out, _ = fwd_call(
+                W.astype(jnp.bfloat16), Bias, gamma, beta, rays8, mask,
+                ts, dts, words,
+            )
+            return out
+
+        def fused_t_fwd(W, Bias, gamma, beta, rays8, mask, ts, dts, words):
+            Wb = W.astype(jnp.bfloat16)
+            out, tchk = fwd_call(Wb, Bias, gamma, beta, rays8, mask, ts, dts, words)
+            return out, (Wb, Bias, gamma, beta, rays8, mask, ts, dts, words, tchk)
+
+        def fused_t_bwd(res, gout):
+            Wb, Bias, gamma, beta, rays8, mask, ts, dts, words, tchk = res
+            Wt = jnp.transpose(Wb, (0, 2, 1))
+            dW, dB8 = bwd_call(
+                Wb, Wt, Bias, gamma, beta, rays8, mask, ts, dts, words,
+                tchk, gout,
+            )
+            return (
+                dW,
+                dB8[:, 0, :],
+                jnp.zeros_like(gamma),
+                jnp.zeros_like(beta),
+                jnp.zeros_like(rays8),
+                jnp.zeros_like(mask),
+                jnp.zeros_like(ts),
+                jnp.zeros_like(dts),
+                np.zeros(words.shape, dtype=jax.dtypes.float0),  # int primal
+            )
+
+        fused_t.defvjp(fused_t_fwd, fused_t_bwd)
+        return fused_t
 
     @jax.custom_vjp
     def fused(W, Bias, gamma, beta, rays8, mask, words):
-        out, _ = fwd_call(W.astype(jnp.bfloat16), Bias, gamma, beta, rays8, mask, words)
+        out, _ = fwd_call(
+            W.astype(jnp.bfloat16), Bias, gamma, beta, rays8, mask,
+            None, None, words,
+        )
         return out
 
     def fused_fwd(W, Bias, gamma, beta, rays8, mask, words):
         Wb = W.astype(jnp.bfloat16)
-        out, tchk = fwd_call(Wb, Bias, gamma, beta, rays8, mask, words)
+        out, tchk = fwd_call(Wb, Bias, gamma, beta, rays8, mask, None, None, words)
         return out, (Wb, Bias, gamma, beta, rays8, mask, words, tchk)
 
     def fused_bwd(res, gout):
         Wb, Bias, gamma, beta, rays8, mask, words, tchk = res
         Wt = jnp.transpose(Wb, (0, 2, 1))
-        dW, dB8 = bwd_call(Wb, Wt, Bias, gamma, beta, rays8, mask, words, tchk, gout)
+        dW, dB8 = bwd_call(
+            Wb, Wt, Bias, gamma, beta, rays8, mask, None, None, words,
+            tchk, gout,
+        )
         return (
             dW,
             dB8[:, 0, :],
@@ -715,6 +826,41 @@ def fused_reference_v2(W, Bias, gamma, beta, rays8, mask):
     rgb_out = jnp.sum(w[..., None] * rgb, axis=1)
     acc = jnp.sum(w, axis=1)
     depth = jnp.sum(w * t, axis=1)
+    T_final = jnp.exp(-jnp.sum(tau, axis=1))
+    return jnp.concatenate(
+        [rgb_out, acc[:, None], depth[:, None], T_final[:, None],
+         jnp.zeros((B, 2), jnp.float32)],
+        axis=1,
+    )
+
+
+def fused_reference_v2_t(W, Bias, gamma, beta, mask, ts, dts):
+    """Pure-jnp mirror of the tmode forward (CDF placement): feature =
+    act(gamma + t_s*beta), tau = sigma*dts*mask, depth weights ts.
+    Differentiable — jax.grad of this is the tmode grad oracle."""
+    B = gamma.shape[0]
+    NL = W.shape[0]
+    I = gamma[:, None, :] + ts[..., None] * beta[:, None, :]      # [B,S,128]
+    lane = jnp.arange(LANES)
+    E = jnp.where(lane[None, None, :] < 5, I, jnp.sin(I))
+    S = ts.shape[1]
+    h = E.reshape(B * S, LANES).astype(jnp.bfloat16)
+    Wb = W.astype(jnp.bfloat16)
+    for l in range(NL - 1):
+        h = jnp.maximum(
+            jnp.dot(h, Wb[l], preferred_element_type=jnp.float32) + Bias[l][None, :],
+            0.0,
+        ).astype(jnp.bfloat16)
+    hL = jnp.dot(h, Wb[NL - 1], preferred_element_type=jnp.float32) + Bias[NL - 1][None, :]
+    hL = hL.reshape(B, S, LANES)
+    rgb = jax.nn.sigmoid(hL[..., 0:3])
+    sig = jax.nn.softplus(hL[..., 3] - 1.0)
+    tau = sig * dts * mask
+    excl = jnp.cumsum(tau, axis=1) - tau
+    w = jnp.exp(-excl) * (1.0 - jnp.exp(-tau))
+    rgb_out = jnp.sum(w[..., None] * rgb, axis=1)
+    acc = jnp.sum(w, axis=1)
+    depth = jnp.sum(w * ts, axis=1)
     T_final = jnp.exp(-jnp.sum(tau, axis=1))
     return jnp.concatenate(
         [rgb_out, acc[:, None], depth[:, None], T_final[:, None],
@@ -782,7 +928,7 @@ def make_fused_pipeline_renderer_v2(
     from tnerf.grid.pallas_dda import tighten_range_pallas
     from tnerf.grid.traversal import occupancy_lookup, ray_aabb
     from tnerf.render.composite import RenderResult
-    from tnerf.sampling import sample_positions
+    from tnerf.sampling import cdf_ray_samples, sample_positions
 
     s_aff, b_aff = _norm_affine(grid_cfg)
     A, C, _ = _encoding_matrices(field_cfg, s_aff, b_aff)
@@ -794,59 +940,115 @@ def make_fused_pipeline_renderer_v2(
     res = grid_cfg.resolution
     res_c = min(16, res)
     use_coarse = occupancy_mode == "coarse_kernel"
+    # CDF sample placement (sampler.placement="occupancy_cdf"): the
+    # tmode kernel takes per-SAMPLE (t, dt) blocks, so the reduced
+    # budget concentrates on occupied bins the way the march CDF path
+    # does (one quadrature contract; see cdf_ray_samples).  Bin weights
+    # come from the SAME tighten+sample-mask kernel launch that
+    # tightens the span, run at n_samples=cdf_bins (the kernel-fold:
+    # its phase-2 midpoint masks ARE the per-bin occupancy bits),
+    # probed on a <=32^3 pooled grid.
+    use_cdf = sampler_cfg.placement == "occupancy_cdf"
+    if sampler_cfg.placement == "density_cdf":
+        raise ValueError(
+            "render.pipeline='fused' supports sampler.placement="
+            "'occupancy_cdf' (binary bin weights from the fold kernel); "
+            "density_cdf needs density-EMA bin probes — use "
+            "render.pipeline='grid_march' for density-weighted placement"
+        )
+    if use_cdf and not tighten:
+        raise ValueError(
+            "fused CDF placement needs tighten=True (bin weights come "
+            "from the tighten+sample-mask kernel); set "
+            "render.fused_tighten=true"
+        )
+    res_t = min(32, res)  # tighten/bin-probe pooling (finer than words)
     lo = np.asarray(grid_cfg.aabb_min, np.float32)
     hi = np.asarray(grid_cfg.aabb_max, np.float32)
     coarse = (res_c, tuple(lo), tuple(res_c / (hi - lo))) if use_coarse else None
     fused = make_fused_trainable(
         nl, n_chunks, b_tile=b_tile, b_tile_bwd=b_tile_bwd,
         term_eps=render_cfg.transmittance_threshold, interpret=interpret,
-        coarse=coarse, rpc=rpc,
+        coarse=coarse, rpc=rpc, tmode=use_cdf,
     )
     zero_words = jnp.zeros((8, LANES), jnp.int32)
     full_words = jnp.full((8, LANES), -1, jnp.int32)  # all bits set
 
     unit = max(b_tile, b_tile_bwd) * rpc
 
-    def core(params, o, d, tp, te, tx, words, occupancy):
-        """Fused-kernel render of pre-tightened rays; returns full-length
-        (rgb, acc, depth), background not yet composited."""
-        # dt divides by the REQUESTED S, not the chunk-padded S_pad: the
-        # kernel processes S_pad lane-slots but slots s >= S are masked
-        # off below, so sampler.samples_per_ray means what it says and
-        # e.g. rpc=1 S=64 is quadrature-identical to rpc=2 S=64 (train
-        # and fast-render configs share one quadrature — the round-2
-        # fused fast path lost ~2 dB to exactly this mismatch).
-        dt = (tx - te) / S
-        mask = (tx > te)[:, None] & (
-            jnp.arange(S_pad, dtype=jnp.int32)[None, :] < S
+    def _chunk_major(X, b_rows):
+        """[Bp, S_pad] -> chunk-major lane layout [B_rows, NK*128]."""
+        return (
+            X.reshape(b_rows, rpc, n_chunks, spr)
+            .transpose(0, 2, 1, 3)
+            .reshape(b_rows, n_chunks * SC)
         )
+
+    def core(params, o, d, tp, te, tx, words, occupancy,
+             ts=None, dts=None, smask=None):
+        """Fused-kernel render of pre-tightened rays; returns full-length
+        (rgb, acc, depth), background not yet composited.  ts/dts/smask
+        [Bp, S] (CDF placement): per-sample quadrature for the tmode
+        kernel; None = uniform placement folded into (gamma, beta)."""
+        Bp = o.shape[0]
+        slot = jnp.arange(S_pad, dtype=jnp.int32)[None, :] < S
+        if ts is None:
+            # dt divides by the REQUESTED S, not the chunk-padded S_pad:
+            # the kernel processes S_pad lane-slots but slots s >= S are
+            # masked off below, so sampler.samples_per_ray means what it
+            # says and e.g. rpc=1 S=64 is quadrature-identical to rpc=2
+            # S=64 (train and fast-render configs share one quadrature —
+            # the round-2 fused fast path lost ~2 dB to exactly this
+            # mismatch).
+            dt = (tx - te) / S
+            mask = (tx > te)[:, None] & slot
+            gamma, beta = encode_gamma_beta(o, d, tp, te, dt, A, C)
+            rays8 = pack_rays8(te, dt, o, d)
+            ts_pad = dts_pad = None
+        else:
+            pad_s = ((0, 0), (0, S_pad - S))
+            ts_pad = jnp.pad(ts, pad_s)
+            dts_pad = jnp.pad(dts, pad_s)
+            mask = jnp.pad(smask, pad_s) & slot
+            # gamma/beta folded at (t=0, dt=1): feature = act(g + t*b)
+            zero1 = jnp.zeros_like(te)
+            gamma, beta = encode_gamma_beta(
+                o, d, tp, zero1, jnp.ones_like(te), A, C
+            )
+            rays8 = pack_rays8(zero1, zero1, o, d)
         if occupancy is not None and not use_coarse:
-            s_idx = jnp.arange(S_pad, dtype=jnp.float32) + 0.5
-            t = te[:, None] + s_idx * dt[:, None]
+            if ts is None:
+                s_idx = jnp.arange(S_pad, dtype=jnp.float32) + 0.5
+                t = te[:, None] + s_idx * dt[:, None]
+            else:
+                t = ts_pad
             pts = sample_positions(o, d, t)
             mask = mask & occupancy_lookup(
                 pts, occupancy.reshape(res, res, res), grid_cfg
             )
 
         W, Bias = pack_params_f32(params, field_cfg, s_aff, b_aff)
-        gamma, beta = encode_gamma_beta(o, d, tp, te, dt, A, C)
         maskf = mask.astype(jnp.float32)
         if rpc == 1:
-            out = fused(W, Bias, gamma, beta, pack_rays8(te, dt, o, d),
-                        maskf, words)
+            if ts is None:
+                out = fused(W, Bias, gamma, beta, rays8, maskf, words)
+            else:
+                out = fused(W, Bias, gamma, beta, rays8, maskf,
+                            ts_pad, dts_pad, words)
             return out[:, 0:3], out[:, 3], out[:, 4]
-        Bp = o.shape[0]
         b_rows = Bp // rpc
         # rays_pack [B_rows, 128]: scalar q of in-row ray j at col j*8+q
-        r8 = pack_rays8(te, dt, o, d).reshape(b_rows, rpc * 8)
+        r8 = rays8.reshape(b_rows, rpc * 8)
         rays_pack = jnp.pad(r8, ((0, 0), (0, LANES - rpc * 8)))
-        # mask [Bp, S_pad] -> chunk-major lane layout [B_rows, NK*128]
-        mlane = (
-            maskf.reshape(b_rows, rpc, n_chunks, spr)
-            .transpose(0, 2, 1, 3)
-            .reshape(b_rows, n_chunks * SC)
-        )
-        out = fused(W, Bias, gamma, beta, rays_pack, mlane, words)
+        mlane = _chunk_major(maskf, b_rows)
+        if ts is None:
+            out = fused(W, Bias, gamma, beta, rays_pack, mlane, words)
+        else:
+            out = fused(
+                W, Bias, gamma, beta, rays_pack, mlane,
+                _chunk_major(ts_pad, b_rows), _chunk_major(dts_pad, b_rows),
+                words,
+            )
         # lane q*rpc+j -> [Bp, 6]
         per_ray = (
             out[:, : 6 * rpc].reshape(b_rows, 6, rpc)
@@ -854,6 +1056,36 @@ def make_fused_pipeline_renderer_v2(
             .reshape(Bp, 6)
         )
         return per_ray[:, 0:3], per_ray[:, 3], per_ray[:, 4]
+
+    def _cdf_bins(o, d, te, tx, occupancy):
+        """Tighten + per-bin occupancy bits in ONE kernel launch (the
+        fold): tighten_sample_mask_pallas at n_samples=cdf_bins on a
+        <=32^3 pooled grid — its midpoint masks ARE the bin weights."""
+        from tnerf.grid.pallas_dda import tighten_sample_mask_pallas
+        from tnerf.grid.traversal import make_coarse_occupancy
+
+        occ_t3 = make_coarse_occupancy(
+            occupancy.reshape(res, res, res), res // res_t
+        )
+        return tighten_sample_mask_pallas(
+            o, d, te, tx, occ_t3, sampler_cfg.cdf_bins, grid_cfg,
+            interpret=interpret,
+        )
+
+    def _cdf_samples(te_, tx_, bins_, key_):
+        """Inverse-CDF stratified placement over the bin bits (midpoint
+        strata for eval, key-jittered for training — the march CDF
+        contract, grid_renderer.cdf_place)."""
+        jit_ = (
+            jax.random.uniform(key_, (*te_.shape, S), jnp.float32)
+            if key_ is not None
+            else None
+        )
+        rs = cdf_ray_samples(
+            te_, tx_, S, bins_.astype(jnp.float32),
+            floor=sampler_cfg.cdf_floor, jitter=jit_, bin_support=bins_,
+        )
+        return rs.t, rs.deltas, rs.mask
 
     def render(params, rays: Rays, key=None, occupancy=None) -> RenderResult:
         B = rays.origins.shape[0]
@@ -873,6 +1105,56 @@ def make_fused_pipeline_renderer_v2(
             packed = pack_occupancy_words(occupancy, res, res_c)
             if use_coarse:
                 words = packed
+
+        if use_cdf:
+            if occupancy is None:
+                raise ValueError(
+                    "fused CDF placement (sampler.placement="
+                    "'occupancy_cdf') needs an occupancy grid at render "
+                    "time — pass occupancy=..."
+                )
+            P = sampler_cfg.cdf_bins
+            te, tx, bins = _cdf_bins(o, d, te, tx, occupancy)
+            if ray_compact:
+                keep = jnp.any(bins, axis=1)
+                Bp = o.shape[0]
+                cap = -(-max(1, int(Bp * render_cfg.ray_compact_fraction))
+                        // unit) * unit
+                pk = jnp.concatenate(
+                    [o, d, tp, te[:, None], tx[:, None],
+                     bins.astype(jnp.float32)], axis=1,
+                )  # [Bp, 10 + P]
+                buf, widx = compact_rows(keep, pk, cap)
+                ts_c, dts_c, sm_c = _cdf_samples(
+                    buf[:, 8], buf[:, 9], buf[:, 10:10 + P] > 0.5, key
+                )
+                rgb_c, acc_c, dep_c = core(
+                    params, buf[:, 0:3], buf[:, 3:6], buf[:, 6:8],
+                    buf[:, 8], buf[:, 9], words, occupancy,
+                    ts=ts_c, dts=dts_c, smask=sm_c,
+                )
+                outp = jnp.concatenate(
+                    [rgb_c, acc_c[:, None], dep_c[:, None]], axis=1
+                )
+                out_full = scatter_back(
+                    outp, widx, jnp.zeros((1, 5), jnp.float32)
+                )[:B]
+                rgb, acc, depth = (
+                    out_full[:, 0:3], out_full[:, 3], out_full[:, 4]
+                )
+            else:
+                ts_, dts_, sm_ = _cdf_samples(te, tx, bins, key)
+                rgb, acc, depth = core(
+                    params, o, d, tp, te, tx, words, occupancy,
+                    ts=ts_, dts=dts_, smask=sm_,
+                )
+                rgb, acc, depth = rgb[:B], acc[:B], depth[:B]
+            if render_cfg.white_background:
+                rgb = rgb + (1.0 - acc)[:, None]
+            empty = jnp.zeros((B, 0), jnp.float32)
+            return RenderResult(rgb=rgb, acc=acc, depth=depth,
+                                weights=empty, transmittance=empty,
+                                distortion=jnp.zeros_like(acc))
 
         if ray_compact and occupancy is not None and tighten:
             # RAY compaction (render-only; the march analog lives in

@@ -85,12 +85,24 @@ def build_renderer(
             "the renderer adds — set both to the same value"
         )
     p = cfg.render.pipeline
-    if cfg.sampler.placement != "uniform" and p != "grid_march":
+    if cfg.sampler.placement != "uniform" and p not in ("grid_march", "fused"):
         raise ValueError(
-            f"sampler.placement={cfg.sampler.placement!r} is a grid_march "
-            f"quadrature (render.pipeline={p!r}): the fused kernel bakes "
-            "uniform dt into its gamma/beta algebra and grid_intervals "
-            "places samples per traversal interval"
+            f"sampler.placement={cfg.sampler.placement!r} needs "
+            f"render.pipeline='grid_march' or 'fused' (got {p!r}): "
+            "grid_intervals places samples per traversal interval"
+        )
+    if cfg.sampler.placement == "density_cdf" and p == "fused":
+        raise ValueError(
+            "sampler.placement='density_cdf' is a grid_march quadrature: "
+            "the fused kernel's CDF fold probes binary occupancy bins "
+            "(occupancy_cdf); density-weighted placement needs the "
+            "density-EMA probes of the march path"
+        )
+    if cfg.sampler.placement == "occupancy_cdf" and p == "fused" \
+            and not cfg.render.fused_tighten:
+        raise ValueError(
+            "fused occupancy_cdf placement needs render.fused_tighten="
+            "true (bin weights come from the tighten+sample-mask kernel)"
         )
     if p == "uniform":
         return make_uniform_renderer(field, cfg.sampler, cfg.render)

@@ -65,8 +65,15 @@ def main() -> int:
     key = jax.random.PRNGKey(0)
     x01 = jax.random.uniform(key, (n_samples, 3), jnp.float32)
 
+    out_path = os.path.join(_REPO, "runs/pallas_hash_measure.json")
+    os.makedirs(os.path.join(_REPO, "runs"), exist_ok=True)
     out = {"n_samples_encode": n_samples, "batch": batch,
            "samples_per_ray": samples}
+
+    def flush():
+        # incremental: a timeout-killed run keeps everything measured so far
+        with open(out_path, "w") as fh:
+            json.dump(out, fh, indent=1)
     # onehot at 2^19 is shape-infeasible ([N, 2^19] one-hot matmuls);
     # gather vs pallas is the contest there.
     for log2T, modes in ((14, ("onehot", "pallas", "gather")),
@@ -97,6 +104,7 @@ def main() -> int:
                     n_samples / t_b / 1e6, 2)
             except Exception as e:  # noqa: BLE001 — record and continue
                 out[f"error_t{log2T}_{m}_encode"] = f"{type(e).__name__}: {e}"[:200]
+            flush()
 
     # -- (c): full train step through the compacted renderer
     for log2T, m in ((14, "onehot"), (14, "pallas"),
@@ -128,10 +136,9 @@ def main() -> int:
                 batch / t_s / 1e3, 1)
         except Exception as e:  # noqa: BLE001
             out[f"error_t{log2T}_{m}_train"] = f"{type(e).__name__}: {e}"[:200]
+        flush()
 
-    os.makedirs(os.path.join(_REPO, "runs"), exist_ok=True)
-    with open(os.path.join(_REPO, "runs/pallas_hash_measure.json"), "w") as fh:
-        json.dump(out, fh, indent=1)
+    flush()
     print(json.dumps(out, indent=1))
     return 0
 
