@@ -652,6 +652,22 @@ def gate_metrics() -> dict:
         except (json.JSONDecodeError, KeyError):
             pass
 
+    # Round-4 fused-CDF tier parity artifacts: same-quadrature kernel
+    # parity AND the stricter vs-uniform-S=64 march render of the same
+    # checkpoint (tools/tpu_queue_r4b.sh stages 2-3).
+    for key, rel in (
+        ("fused_cdf_parity_db", "runs/hard_r4_fused_cdf/render_parity.json"),
+        ("fused_cdf_parity_vs_s64_db",
+         "runs/hard_r4_fused_cdf/render_parity_vs_s64.json"),
+    ):
+        qpath = os.path.join(here, rel)
+        if os.path.exists(qpath):
+            try:
+                with open(qpath) as fh:
+                    out[key] = json.load(fh)["parity_db"]
+            except (json.JSONDecodeError, KeyError):
+                pass
+
     # Loader throughput from the 800x800 dress rehearsal (real reader +
     # native threaded PNG decode; tools/dress_rehearsal.py).
     lpath = os.path.join(here, "runs/dress_rehearsal/loader_bench.json")

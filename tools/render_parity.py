@@ -32,6 +32,13 @@ def main(argv=None) -> int:
     p.add_argument("--max-views", type=int, default=None,
                    help="evaluate only the first N test views (smoke runs; "
                    "the number of record uses the full split)")
+    p.add_argument("--march-overrides", nargs="*", default=[],
+                   help="extra dotted overrides applied to the MARCH side "
+                   "only (e.g. sampler.placement=uniform "
+                   "sampler.samples_per_ray=64) — for parity against a "
+                   "HIGHER-quality march quadrature than the fast config's "
+                   "own; the default (none) keeps the same-quadrature "
+                   "kernel-parity contract")
     args = p.parse_args(argv)
 
     from tnerf.cli import _restore_state
@@ -53,7 +60,7 @@ def main(argv=None) -> int:
     out = {"config": args.config, "run": args.run}
     for tag, overrides in (
         ("fused", []),
-        ("march", ["render.pipeline=grid_march"]),
+        ("march", ["render.pipeline=grid_march"] + args.march_overrides),
     ):
         c = cfg.apply_overrides(overrides)
         field = build_field(c)
