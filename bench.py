@@ -607,6 +607,8 @@ def gate_metrics() -> dict:
         "gate_triplane_prog": "runs/hard_r3_triplane_prog",
         # round-4: fused turbo quadrature + occupancy-CDF placement
         "gate_fused_cdf": "runs/hard_r4_fused_cdf",
+        # round-4: flagship quadrature (rpc=2 S=64) + CDF placement
+        "gate_fused_cdf2": "runs/hard_r4_fused_cdf2",
     }
     here = os.path.dirname(os.path.abspath(__file__))
     for name, rel in gates.items():

@@ -203,17 +203,30 @@ def test_renderer_cdf_placement_matches_uniform_when_grid_dense():
     )
 
 
-def test_fused_pipeline_rejects_cdf_placement():
+def test_pipeline_cdf_placement_validation():
+    """occupancy_cdf is a grid_march AND (since round 4) fused
+    quadrature; interval/uniform pipelines reject it.  density_cdf
+    stays march-only (the fused fold probes binary occupancy bins)."""
     from tnerf.config import Config
     from tnerf.train_loop import build_field, build_renderer
 
-    for pipe in ("fused", "grid_intervals", "uniform"):
+    for pipe in ("grid_intervals", "uniform"):
         cfg = Config().apply_overrides([
             f"render.pipeline={pipe}", "sampler.placement=occupancy_cdf",
         ])
         field = build_field(cfg)
         with pytest.raises(ValueError, match="placement"):
             build_renderer(cfg, field)
+    cfg = Config().apply_overrides([
+        "render.pipeline=fused", "sampler.placement=density_cdf",
+    ])
+    with pytest.raises(ValueError, match="density_cdf"):
+        build_renderer(cfg, build_field(cfg))
+    # fused + occupancy_cdf builds (the round-4 tmode kernel)
+    cfg = Config().apply_overrides([
+        "render.pipeline=fused", "sampler.placement=occupancy_cdf",
+    ])
+    build_renderer(cfg, build_field(cfg))
 
 
 def test_renderer_cdf_placement_trains_with_jitter():

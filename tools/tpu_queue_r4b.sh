@@ -43,6 +43,13 @@ run fused_cdf_parity_q 1200 $T tools/render_parity.py \
   --config configs/procedural_hard_fused_cdf.json --run runs/hard_r4_fused_cdf \
   --out render_parity_vs_s64.json \
   --march-overrides sampler.placement=uniform sampler.samples_per_ray=64
+# Flagship quadrature (rpc=2, S=64) with CDF placement: does
+# concentration lift the 38.24 dB flagship the way it lifted hashgrid?
+run fused_cdf_rpc2 1500 $T -m tnerf.cli train \
+  --config configs/procedural_hard_fused.json \
+  -o sampler.placement=occupancy_cdf -o sampler.cdf_bins=64 \
+  --out runs/hard_r4_fused_cdf2
+
 run colmap 1800 $T tools/colmap_rehearsal.py
 run pallas_remeasure 1800 $T tools/measure_pallas_hash.py
 
