@@ -670,6 +670,22 @@ def gate_metrics() -> dict:
             except (json.JSONDecodeError, KeyError):
                 pass
 
+    # COLMAP at-scale rehearsal (tools/colmap_rehearsal.py): loader rate
+    # through the real sparse-model reader + the trained NDC quality.
+    cpath = os.path.join(here, "runs/colmap_rehearsal/summary.json")
+    if os.path.exists(cpath):
+        try:
+            with open(cpath) as fh:
+                cm = json.load(fh)
+            n_views = sum(v["views"] for v in cm["loader"].values()
+                          if isinstance(v, dict) and "views" in v)
+            out["loader_colmap_images_per_sec"] = round(
+                n_views / cm["loader"]["seconds"], 1
+            )
+            out["colmap_ndc_psnr_test"] = round(cm["train"]["psnr_test"], 2)
+        except (json.JSONDecodeError, KeyError, ZeroDivisionError):
+            pass
+
     # Loader throughput from the 800x800 dress rehearsal (real reader +
     # native threaded PNG decode; tools/dress_rehearsal.py).
     lpath = os.path.join(here, "runs/dress_rehearsal/loader_bench.json")

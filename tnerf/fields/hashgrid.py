@@ -175,9 +175,15 @@ def apply_hashgrid(
         )
     m = mode or resolve_gather_mode(cfg)
     if m == "pallas":
-        from tnerf.fields.pallas_hash import apply_hashgrid_pallas
-
-        return apply_hashgrid_pallas(params, x01, cfg)
+        raise ValueError(
+            "hash_gather_mode='pallas' was removed after the round-4 "
+            "measurement: the fused VMEM-resident encode kernel LOST to "
+            "the MXU one-hot formulation on the real chip (fwd 10.3 vs "
+            "14.7 Msamples/s at T=2^14) and its backward ran out of VMEM "
+            "at production L=16 (the [L, T/128, F*128] f32 table-grad "
+            "block).  See docs/KERNEL_NOTES.md round-4 verdict; use "
+            "'onehot' (or 'auto')."
+        )
     if m == "onehot":
         return apply_hashgrid_onehot(params, x01, cfg)
     return apply_hashgrid_gather(params, x01, cfg)

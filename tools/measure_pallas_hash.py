@@ -1,7 +1,10 @@
-"""Measure the fused Pallas hash-encode against the XLA one-hot and
-gather formulations on the real chip (the last un-measured kernel
-decision of round 3 — docs/ROUND3.md continuation 2 shipped the kernel
-behind explicit hash_gather_mode=pallas pending this measurement).
+"""Measure the hash-encode formulations (MXU one-hot vs XLA gather)
+on the real chip, at both table sizes of record.  This tool ORIGINALLY
+also measured the fused Pallas hash-encode kernel; that contest is now
+ADJUDICATED and the kernel deleted (round 4): pallas fwd 10.29 vs
+onehot 14.69 Msamples/s at T=2^14 N=65536, and the pallas backward ran
+out of VMEM at production L=16 on v5e (the [L, T/128, F*128] f32
+table-grad accumulation block) — docs/KERNEL_NOTES.md round-4 verdict.
 
 Times (a) encode-only forward, (b) encode forward+backward through a
 table-gradient loss, and (c) a full hashgrid train step through the
@@ -11,19 +14,18 @@ methodology as bench.py (transport-proof on the axon relay).
 Both table sizes of record are measured: T=2^14 (the repo's measured
 fast-path default, configs/procedural_hard_hashgrid.json) and T=2^19
 (tcnn's own default, /root/reference/main.cu:35-69) — at 2^19 the
-one-hot MXU path is shape-infeasible ([N, 2^19] one-hots), so the
-contest there is pallas vs the XLA gather path that currently makes
-reference_parity.json slow (round-3 verdict, missing #2).
+one-hot MXU path is shape-infeasible ([N, 2^19] one-hots), so only the
+XLA gather path remains; its measured rate documents the T<=2^15
+envelope as a design decision (round-3 verdict, missing #2).
 
 Each (phase, table-size, mode) runs in its OWN subprocess: the axon
-remote-compile helper reliably dies (HTTP 500, subprocess exit 1) when
-a large scan-wrapped pallas/gather compile follows earlier big compiles
-in one process — the same request compiles fine from a fresh process
-(measured twice, round-4 queues).  Results merge incrementally into
+remote-compile helper intermittently dies (HTTP 500, subprocess exit 1)
+on large scan-wrapped gather compiles; isolation plus the smaller N_ENC
+makes the sweep reliable.  Results merge incrementally into
 runs/pallas_hash_measure.json so a timeout keeps partial results.
 
     python tools/measure_pallas_hash.py            # full sweep
-    python tools/measure_pallas_hash.py --one enc:14:pallas   # child mode
+    python tools/measure_pallas_hash.py --one enc:14:onehot   # child mode
 """
 
 import json
@@ -35,13 +37,18 @@ _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, _REPO)
 
 SPECS = [
-    "enc:14:onehot", "enc:14:pallas", "enc:14:gather",
-    "enc:19:pallas", "enc:19:gather",
-    "train:14:onehot", "train:14:pallas",
-    "train:19:gather", "train:19:pallas",
+    "enc:14:onehot", "enc:14:gather",
+    "enc:19:gather",
+    "train:14:onehot",
+    "train:19:gather",
 ]
 
-N_ENC = 262144
+# 65536: the size at which every formulation compiles reliably through
+# the axon remote-compile helper (262144 scan-wrapped gather/pallas
+# compiles intermittently 500 it); rates are slope-based so the smaller
+# N changes amortization, not the per-sample number (onehot fwd: 14.46
+# at 262144 vs 14.69 at 65536).
+N_ENC = 65536
 BATCH, SAMPLES, RES = 8192, 128, 64
 
 
