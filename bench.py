@@ -572,6 +572,25 @@ def bench_fused_render(width=800, height=800, res=64, samples=128,
                 cfg_cdf.render, rpc=4, tighten=True, b_tile=16,
                 ray_compact=True,
             ))
+    # Flagship quadrature + CDF (rpc=2, S=64, occupancy-CDF placement —
+    # runs/hard_r4_fused_cdf2, 38.96 dB vs 38.24 uniform): is the better
+    # quality free at render time too?
+    fps_cdf2 = None
+    if os.path.exists("runs/hard_r4_fused_cdf2/checkpoints"):
+        tparams2, occ2, trained2 = _restore_gate(
+            field, cfg, "runs/hard_r4_fused_cdf2"
+        )
+        if trained2:
+            params, occ3 = jax.device_put(tparams2), jnp.asarray(occ2)
+            cfg_cdf2 = cfg.apply_overrides([
+                "sampler.samples_per_ray=64", "render.ray_compact_fraction=0.75",
+                "sampler.placement=occupancy_cdf", "sampler.cdf_bins=64",
+            ])
+            _, fps_cdf2 = fps_of(make_fused_pipeline_renderer_v2(
+                cfg_cdf2.field_, cfg_cdf2.grid, cfg_cdf2.sampler,
+                cfg_cdf2.render, rpc=2, tighten=True, b_tile=16,
+                ray_compact=True,
+            ))
     is800 = (width, height) == (800, 800)
     return {
         "fused_mrays_per_sec": mrays_fast,
@@ -580,6 +599,7 @@ def bench_fused_render(width=800, height=800, res=64, samples=128,
         "fused_hq_fps_800x800": fps_hq if is800 else None,
         "fused_turbo_fps_800x800": fps_turbo if is800 else None,
         "fused_cdf_fps_800x800": fps_cdf if is800 else None,
+        "fused_cdf2_fps_800x800": fps_cdf2 if is800 else None,
     }
 
 
@@ -856,7 +876,9 @@ def main():
     march_cdf_render = None
     if _os.path.exists("runs/hard_r3_march_cdf/checkpoints"):
         march_cdf_render = attempt(
-            bench_render, samples=48, res=128, strided=True,
+            # res must match the gate checkpoint's occupancy grid: the
+            # march preset trains at 64^3 (hashgrid/triplane at 128^3)
+            bench_render, samples=48, res=64, strided=True,
             scene_field="hard",
             config_file="configs/procedural_hard_30db.json",
             ckpt_run="runs/hard_r3_march_cdf",
@@ -875,7 +897,7 @@ def main():
     march_dcdf_render = None
     if _os.path.exists("runs/hard_r3_march_dcdf/checkpoints"):
         march_dcdf_render = attempt(
-            bench_render, samples=48, res=128, strided=True,
+            bench_render, samples=48, res=64, strided=True,
             scene_field="hard",
             config_file="configs/procedural_hard_30db.json",
             ckpt_run="runs/hard_r3_march_dcdf",
@@ -933,6 +955,7 @@ def main():
     put(fused, "fused_hq_fps_800x800")
     put(fused, "fused_turbo_fps_800x800")
     put(fused, "fused_cdf_fps_800x800")
+    put(fused, "fused_cdf2_fps_800x800")
     put(train, "fused_train_krays_per_sec", digits=1)
     put(train, "xla_train_krays_per_sec", digits=1)
     put(train, "fused_train_speedup", digits=2)

@@ -214,8 +214,21 @@ def cdf_ray_samples(
     idx = jnp.sum(
         cdf[..., 1:-1][..., None, :] < u_pts[..., :, None], axis=-1
     ).astype(jnp.int32)
-    c0 = jnp.take_along_axis(cdf, idx, axis=-1)
-    pmf_s = jnp.take_along_axis(pmf, idx, axis=-1)
+    # Per-sample bin lookups as ONE-HOT masked sums, NOT take_along_axis:
+    # XLA row gathers cost ~8 ns/element on TPU (the measured pathology
+    # every other lookup in this codebase routes around) — at an 800x800
+    # render chunk that is ~46 M gathered elements, and it cut the CDF
+    # render tiers to a FIFTH of their uniform-placement fps before this
+    # change (BENCH r4: fused_cdf 1.77 vs turbo 8.55 fps; hashgrid S=24
+    # cdf 0.84 vs S=48 uniform 2.0).  The one-hot compare + multiply +
+    # sum fuses into VPU elementwise passes, and selecting one f32 per
+    # row with a 0/1 mask is bit-exact vs the gather.
+    ohf = (
+        idx[..., None] == jnp.arange(P, dtype=jnp.int32)
+    ).astype(jnp.float32)                                      # [..., S, P]
+    pick = lambda v: jnp.sum(ohf * v[..., None, :], axis=-1)
+    c0 = pick(cdf[..., :-1])
+    pmf_s = pick(pmf)
     frac = (u_pts - c0) / jnp.maximum(pmf_s, 1e-12)
     x = (idx.astype(jnp.float32) + frac) / P
     t = t_enter[..., None] + x * span[..., None]
@@ -225,6 +238,6 @@ def cdf_ray_samples(
         if bin_support is None
         else bin_support
     )
-    in_support = jnp.take_along_axis(support, idx, axis=-1)
+    in_support = pick(support.astype(jnp.float32)) > 0.5
     mask = (span > 0)[..., None] & in_support
     return RaySamples(t=t, deltas=deltas, mask=mask)
