@@ -681,6 +681,8 @@ def gate_metrics() -> dict:
         ("fused_cdf_parity_db", "runs/hard_r4_fused_cdf/render_parity.json"),
         ("fused_cdf_parity_vs_s64_db",
          "runs/hard_r4_fused_cdf/render_parity_vs_s64.json"),
+        ("fused_cdf2_parity_db",
+         "runs/hard_r4_fused_cdf2/render_parity.json"),
     ):
         qpath = os.path.join(here, rel)
         if os.path.exists(qpath):
