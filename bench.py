@@ -629,6 +629,12 @@ def gate_metrics() -> dict:
         "gate_fused_cdf": "runs/hard_r4_fused_cdf",
         # round-4: flagship quadrature (rpc=2 S=64) + CDF placement
         "gate_fused_cdf2": "runs/hard_r4_fused_cdf2",
+        # round-4 coverage gates: the reference's own pipeline shape
+        # (grid_intervals 8^3 / 32 per interval) + 16^3 variant, and
+        # the TensoRF-CP family at rank 64
+        "gate_intervals": "runs/hard_r4_intervals",
+        "gate_intervals16": "runs/hard_r4_intervals16",
+        "gate_cp": "runs/hard_r4_cp",
     }
     here = os.path.dirname(os.path.abspath(__file__))
     for name, rel in gates.items():
