@@ -552,20 +552,25 @@ def bench_fused_render(width=800, height=800, res=64, samples=128,
                 ray_compact=True,
             ))
     # CDF tier (rpc=4, S=32, occupancy-CDF placement in the tmode
-    # kernel — runs/hard_r4_fused_cdf, trained at its own quadrature):
-    # the reduced budget concentrates on occupied bins, recovering the
-    # quality the turbo tier's uniform S=32 loses.  Timed against its
-    # own trained checkpoint.
+    # kernel — trained at its own quadrature): the reduced budget
+    # concentrates on occupied bins, recovering the quality the turbo
+    # tier's uniform S=32 loses.  Timed against its own trained
+    # checkpoint; prefers the P=32 gate (identical quality to P=64 at
+    # lower placement cost — 37.75 vs 37.72 dB, parity 0.253 vs 0.317).
     fps_cdf = None
-    if os.path.exists("runs/hard_r4_fused_cdf/checkpoints"):
-        tparamsc, occc, trainedc = _restore_gate(
-            field, cfg, "runs/hard_r4_fused_cdf"
-        )
+    cdf_run, cdf_bins = (
+        ("runs/hard_r4_fused_cdf_p32", 32)
+        if os.path.exists("runs/hard_r4_fused_cdf_p32/checkpoints")
+        else ("runs/hard_r4_fused_cdf", 64)
+    )
+    if os.path.exists(os.path.join(cdf_run, "checkpoints")):
+        tparamsc, occc, trainedc = _restore_gate(field, cfg, cdf_run)
         if trainedc:
             params, occ3 = jax.device_put(tparamsc), jnp.asarray(occc)
             cfg_cdf = cfg.apply_overrides([
                 "sampler.samples_per_ray=32", "render.ray_compact_fraction=0.75",
-                "sampler.placement=occupancy_cdf", "sampler.cdf_bins=64",
+                "sampler.placement=occupancy_cdf",
+                f"sampler.cdf_bins={cdf_bins}",
             ])
             _, fps_cdf = fps_of(make_fused_pipeline_renderer_v2(
                 cfg_cdf.field_, cfg_cdf.grid, cfg_cdf.sampler,
@@ -627,6 +632,7 @@ def gate_metrics() -> dict:
         "gate_triplane_prog": "runs/hard_r3_triplane_prog",
         # round-4: fused turbo quadrature + occupancy-CDF placement
         "gate_fused_cdf": "runs/hard_r4_fused_cdf",
+        "gate_fused_cdf_p32": "runs/hard_r4_fused_cdf_p32",
         # round-4: flagship quadrature (rpc=2 S=64) + CDF placement
         "gate_fused_cdf2": "runs/hard_r4_fused_cdf2",
         # round-4 coverage gates: the reference's own pipeline shape
@@ -689,6 +695,10 @@ def gate_metrics() -> dict:
          "runs/hard_r4_fused_cdf/render_parity_vs_s64.json"),
         ("fused_cdf2_parity_db",
          "runs/hard_r4_fused_cdf2/render_parity.json"),
+        ("fused_cdf_p32_parity_db",
+         "runs/hard_r4_fused_cdf_p32/render_parity.json"),
+        ("fused_turbo_parity_db",
+         "runs/hard_r3_fused_rpc4/render_parity.json"),
     ):
         qpath = os.path.join(here, rel)
         if os.path.exists(qpath):

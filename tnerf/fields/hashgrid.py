@@ -132,7 +132,7 @@ def resolve_gather_mode(cfg: FieldConfig) -> str:
     if jax.default_backend() == "tpu":
         if 128 <= T <= (1 << 15):
             return "onehot"
-        # Loud, once: on TPU the silent fallback costs 6-9x throughput
+        # Loud, once: on TPU the silent fallback costs ~10-20x throughput
         # (58.8k vs 8.5k rays/s measured, docs/KERNEL_NOTES.md).
         global _warned_gather_downgrade
         if not _warned_gather_downgrade:
@@ -154,7 +154,8 @@ def resolve_gather_mode(cfg: FieldConfig) -> str:
                 )
             logging.getLogger("tnerf").warning(
                 "hash_gather_mode=auto: table size T=2^%d %s; falling back "
-                "to the XLA gather path, ~6-9x slower on TPU — or silence "
+                "to the XLA gather path, ~10-20x slower on TPU (r4 measured: "
+                "encode fwd 14.7 vs 0.72 Msamples/s) — or silence "
                 "this by setting hash_gather_mode=gather explicitly.",
                 cfg.hash_log2_table_size, constraint,
             )
