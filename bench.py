@@ -27,6 +27,18 @@ import time
 import numpy as np
 
 
+def _diff_timeit_spread(scalar_fn, o, runs=3, inner=(2, 12), reps=4):
+    """The fps PROTOCOL OF RECORD (docs/ROUND4.md): `runs` independent
+    _diff_timeit measurements at inner=(2,12), reps=4; returns
+    (median_dt, min_dt, max_dt).  Single _diff_timeit calls have ±10%
+    run-to-run variance on this transport (a single favorable run once
+    overstated a tier by 20%), so every number of record carries its
+    spread and the median is the quoted value."""
+    dts = sorted(_diff_timeit(scalar_fn, o, inner=inner, reps=reps)
+                 for _ in range(runs))
+    return dts[len(dts) // 2], dts[0], dts[-1]
+
+
 def _diff_timeit(scalar_fn, o, inner=(2, 10), reps=2):
     """Differential in-program timing: scalar_fn(o_perturbed) -> scalar is
     run `inner[i]` times inside one jit (lax.scan, serially-dependent
@@ -56,6 +68,61 @@ def _diff_timeit(scalar_fn, o, inner=(2, 10), reps=2):
     w1 = wall(make(inner[0]))
     w2 = wall(make(inner[1]))
     return max((w2 - w1) / (inner[1] - inner[0]), 1e-9)
+
+
+# ---------------------------------------------------------------------------
+# MFU accounting (round-5, VERDICT r4 missing #2): analytic MXU-scheduled
+# FLOPs per sample per field family, divided into the measured rates.
+# "Scheduled" counts the dense matmul work the formulation actually issues
+# at its STATIC shapes — one-hot encode matmuls count their full 2*T*F,
+# compaction capacities count at capacity, masked/padded lanes count.
+# This is hardware utilization (how close the MXU runs to peak), not
+# useful-math efficiency; a gather architecture would do ~8 interp FLOPs
+# where the one-hot path schedules 2*T*F on purpose (KERNEL_NOTES).
+# Train steps count fwd+bwd as 3x forward (dX and dW matmuls).
+# ---------------------------------------------------------------------------
+
+V5E_BF16_PEAK_FLOPS = 197e12  # TPU v5e bf16 peak, FLOP/s per chip
+
+
+def _mlp_fwd_flops(width: int, n_mats: int) -> float:
+    """Forward FLOPs/sample of an n_mats-matmul MLP at `width` lanes (the
+    fused kernel runs hidden_layers+1 [128,128] matmuls; the XLA paths'
+    input/head layers are approximated as full width x width)."""
+    return 2.0 * width * width * n_mats
+
+
+def _field_fwd_flops(field_cfg) -> float:
+    """Analytic forward FLOPs per FIELD EVALUATION (encode + MLP) for
+    each family, at the shapes the production formulations schedule."""
+    enc = field_cfg.encoding
+    if enc == "frequency":
+        return _mlp_fwd_flops(
+            field_cfg.hidden_width, field_cfg.hidden_layers + 1
+        )
+    mlp = _mlp_fwd_flops(
+        field_cfg.hash_hidden_width
+        if enc == "hashgrid" else field_cfg.tri_hidden_width,
+        (field_cfg.hash_hidden_layers
+         if enc == "hashgrid" else field_cfg.tri_hidden_layers) + 1,
+    )
+    if enc == "hashgrid":
+        T = 2 ** field_cfg.hash_log2_table_size
+        F = field_cfg.hash_features_per_level
+        return field_cfg.hash_levels * 2.0 * T * F + mlp
+    R, F = field_cfg.tri_resolution, field_cfg.tri_features
+    if enc == "triplane":
+        # 3 plane one-hot matmuls [C,R] @ [R, R*F] + 3 line lookups
+        return 3 * 2.0 * R * R * F + 3 * 2.0 * R * F + mlp
+    if enc == "cp":
+        return 3 * 2.0 * R * F + mlp
+    return mlp
+
+
+def _mfu(samples_per_sec: float, fwd_flops: float, train: bool = False):
+    """Fraction of v5e bf16 peak the given rate sustains."""
+    factor = 3.0 if train else 1.0
+    return round(samples_per_sec * fwd_flops * factor / V5E_BF16_PEAK_FLOPS, 4)
 
 
 def _camera_ray_variants(width: int, height: int, n_variants: int = 4):
@@ -239,6 +306,16 @@ def bench_render(width=800, height=800, res=64, samples=128, overrides=(),
 
     dt_chunk = _diff_timeit(chunk_scalar, o)
     dt = dt_chunk * n_chunks  # per 800x800 frame
+    # MFU: field evaluations scheduled per second at the renderer's
+    # static shapes — kept-ray capacity x S, then the per-sample
+    # compaction capacity when compact=True (encode+MLP both run at
+    # capacity in compacted_shade).
+    keep = (
+        cfg.render.ray_compact_fraction if cfg.render.ray_compact else 1.0
+    )
+    sched = chunk * keep * samples / dt_chunk
+    if compact:
+        sched = min(sched, chunk * samples * cfg.render.compact_fraction / dt_chunk)
     return {
         "render_mrays_per_sec": chunk / dt_chunk / 1e6,
         "fps_800x800": (1.0 / dt) if (width, height) == (800, 800) else None,
@@ -246,6 +323,7 @@ def bench_render(width=800, height=800, res=64, samples=128, overrides=(),
         "samples_per_ray": samples,
         "field": cfg.field_.encoding,
         "trained_ckpt": trained,
+        "mfu": _mfu(sched, _field_fwd_flops(cfg.field_)),
     }
 
 
@@ -355,11 +433,16 @@ def bench_fused_train(res=64, samples=128, batch=32768) -> dict:
     t_f = _diff_timeit(mk(rend_f), o, inner=(2, 6))
     t_x = _diff_timeit(mk(rend_x), o, inner=(2, 6))
     t_p = _diff_timeit(mk(rend_p), o, inner=(2, 6))
+    flops = _field_fwd_flops(cfg.field_)
     return {
         "fused_train_krays_per_sec": batch / t_f / 1e3,
         "xla_train_krays_per_sec": batch / t_x / 1e3,
         "fused_train_speedup": t_x / t_f,
         "fused_train_rpc2_s64_krays_per_sec": batch / t_p / 1e3,
+        # dense batch x S samples, fwd+bwd counted as 3x forward
+        "fused_train_mfu": _mfu(batch * samples / t_f, flops, train=True),
+        "xla_train_mfu": _mfu(batch * samples / t_x, flops, train=True),
+        "fused_train_rpc2_s64_mfu": _mfu(batch * 64 / t_p, flops, train=True),
     }
 
 
@@ -461,6 +544,10 @@ def bench_hashgrid_train(res=64, samples=128, batch=8192, log2T=14) -> dict:
         "hashgrid_gather_train_krays_per_sec": batch / t_gather / 1e3,
         "hashgrid_onehot_speedup": t_gather / t_onehot,
         "hashgrid_compact_overflow_frac": overflow,
+        # field evals at the compaction capacity (static shape), 3x fwd
+        "hashgrid_train_mfu": _mfu(
+            capacity / t_onehot, _field_fwd_flops(cfg.field_), train=True
+        ),
     }
 
 
@@ -509,13 +596,36 @@ def bench_fused_render(width=800, height=800, res=64, samples=128,
     # (required for honest ray-compaction numbers).
     o, d, v = o[::n_chunks][:chunk], d[::n_chunks][:chunk], v[::n_chunks][:chunk]
 
-    def fps_of(rend):
+    mfus = {}
+
+    def fps_of(rend, tier=None, s_pad=None, frac=None, rpc=1):
+        """(mrays, fps_median, fps_lo, fps_hi) under the protocol of
+        record (_diff_timeit_spread) — BENCH rows and README numbers
+        come from the same code path so they cannot disagree.  When
+        tier/s_pad are given, records the tier's MFU from the kernel's
+        static scheduled shape (ray-compaction capacity x S_pad lanes;
+        chunk-skip makes this a mild upper bound on issued work)."""
         def chunk_scalar(o2):
             rays = Rays(origins=o2, directions=d, viewdirs_tp=v)
             return rend(params, rays, None, occ3).rgb.sum()
 
-        dt_chunk = _diff_timeit(chunk_scalar, o)
-        return chunk / dt_chunk / 1e6, 1.0 / (dt_chunk * n_chunks)
+        dt_med, dt_min, dt_max = _diff_timeit_spread(chunk_scalar, o)
+        if tier is not None and s_pad is not None:
+            unit = 16 * rpc  # b_tile=16 in every timed tier
+            cap = (
+                chunk if frac is None
+                else -(-max(1, int(chunk * frac)) // unit) * unit
+            )
+            mfus[f"fused_{tier}_mfu"] = _mfu(
+                cap * s_pad / dt_med,
+                _mlp_fwd_flops(128, cfg.field_.hidden_layers + 1),
+            )
+        return (
+            chunk / dt_med / 1e6,
+            1.0 / (dt_med * n_chunks),
+            1.0 / (dt_max * n_chunks),
+            1.0 / (dt_min * n_chunks),
+        )
 
     # Fast config (matches the hard_r3_fused_rpc2 gate quadrature: S=64
     # exact, rpc=2, tighten, ray compaction at the trained-occupancy
@@ -524,19 +634,19 @@ def bench_fused_render(width=800, height=800, res=64, samples=128,
     cfg_fast = cfg.apply_overrides([
         "sampler.samples_per_ray=64", "render.ray_compact_fraction=0.75",
     ])
-    mrays_fast, fps_fast = fps_of(make_fused_pipeline_renderer_v2(
+    mrays_fast, fps_fast, fast_lo, fast_hi = fps_of(make_fused_pipeline_renderer_v2(
         cfg_fast.field_, cfg_fast.grid, cfg_fast.sampler, cfg_fast.render,
         rpc=2, tighten=True, b_tile=16,  # measured fastest (5.3 vs 5.2 fps @32)
         ray_compact=True,
-    ))
-    mrays_hq, fps_hq = fps_of(make_fused_pipeline_renderer_v2(
+    ), tier="render", s_pad=64, frac=0.75, rpc=2)
+    mrays_hq, fps_hq, _, _ = fps_of(make_fused_pipeline_renderer_v2(
         cfg.field_, cfg.grid, cfg.sampler, cfg.render, tighten=True,
-    ))
+    ), tier="hq", s_pad=samples, rpc=1)
     # Turbo tier (rpc=4, S=32, trained at its own quadrature —
     # runs/hard_r3_fused_rpc4: 36.88 dB test / min 35.0; march render of
     # the same checkpoint 37.69 dB, so the tier is 0.8 dB off parity and
     # stays optional).  Timed against its own trained checkpoint.
-    fps_turbo = None
+    fps_turbo = turbo_lo = turbo_hi = None
     if os.path.exists("runs/hard_r3_fused_rpc4/checkpoints"):
         tparams4, occ4, trained4 = _restore_gate(
             field, cfg, "runs/hard_r3_fused_rpc4"
@@ -546,18 +656,18 @@ def bench_fused_render(width=800, height=800, res=64, samples=128,
             cfg_turbo = cfg.apply_overrides([
                 "sampler.samples_per_ray=32", "render.ray_compact_fraction=0.75",
             ])
-            _, fps_turbo = fps_of(make_fused_pipeline_renderer_v2(
+            _, fps_turbo, turbo_lo, turbo_hi = fps_of(make_fused_pipeline_renderer_v2(
                 cfg_turbo.field_, cfg_turbo.grid, cfg_turbo.sampler,
                 cfg_turbo.render, rpc=4, tighten=True, b_tile=16,
                 ray_compact=True,
-            ))
+            ), tier="turbo", s_pad=32, frac=0.75, rpc=4)
     # CDF tier (rpc=4, S=32, occupancy-CDF placement in the tmode
     # kernel — trained at its own quadrature): the reduced budget
     # concentrates on occupied bins, recovering the quality the turbo
     # tier's uniform S=32 loses.  Timed against its own trained
     # checkpoint; prefers the P=32 gate (identical quality to P=64 at
     # lower placement cost — 37.75 vs 37.72 dB, parity 0.253 vs 0.317).
-    fps_cdf = None
+    fps_cdf = cdf_lo = cdf_hi = None
     cdf_run, cdf_bins = (
         ("runs/hard_r4_fused_cdf_p32", 32)
         if os.path.exists("runs/hard_r4_fused_cdf_p32/checkpoints")
@@ -572,15 +682,15 @@ def bench_fused_render(width=800, height=800, res=64, samples=128,
                 "sampler.placement=occupancy_cdf",
                 f"sampler.cdf_bins={cdf_bins}",
             ])
-            _, fps_cdf = fps_of(make_fused_pipeline_renderer_v2(
+            _, fps_cdf, cdf_lo, cdf_hi = fps_of(make_fused_pipeline_renderer_v2(
                 cfg_cdf.field_, cfg_cdf.grid, cfg_cdf.sampler,
                 cfg_cdf.render, rpc=4, tighten=True, b_tile=16,
                 ray_compact=True,
-            ))
+            ), tier="cdf", s_pad=32, frac=0.75, rpc=4)
     # Flagship quadrature + CDF (rpc=2, S=64, occupancy-CDF placement —
     # runs/hard_r4_fused_cdf2, 38.96 dB vs 38.24 uniform): is the better
     # quality free at render time too?
-    fps_cdf2 = None
+    fps_cdf2 = cdf2_lo = cdf2_hi = None
     if os.path.exists("runs/hard_r4_fused_cdf2/checkpoints"):
         tparams2, occ2, trained2 = _restore_gate(
             field, cfg, "runs/hard_r4_fused_cdf2"
@@ -591,20 +701,28 @@ def bench_fused_render(width=800, height=800, res=64, samples=128,
                 "sampler.samples_per_ray=64", "render.ray_compact_fraction=0.75",
                 "sampler.placement=occupancy_cdf", "sampler.cdf_bins=64",
             ])
-            _, fps_cdf2 = fps_of(make_fused_pipeline_renderer_v2(
+            _, fps_cdf2, cdf2_lo, cdf2_hi = fps_of(make_fused_pipeline_renderer_v2(
                 cfg_cdf2.field_, cfg_cdf2.grid, cfg_cdf2.sampler,
                 cfg_cdf2.render, rpc=2, tighten=True, b_tile=16,
                 ray_compact=True,
-            ))
+            ), tier="cdf2", s_pad=64, frac=0.75, rpc=2)
     is800 = (width, height) == (800, 800)
+    spread = lambda lo, hi: (
+        [round(lo, 2), round(hi, 2)] if is800 and lo is not None else None
+    )
     return {
         "fused_mrays_per_sec": mrays_fast,
         "fused_fps_800x800": fps_fast if is800 else None,
+        "fused_fps_800x800_spread": spread(fast_lo, fast_hi),
         "fused_hq_mrays_per_sec": mrays_hq,
         "fused_hq_fps_800x800": fps_hq if is800 else None,
         "fused_turbo_fps_800x800": fps_turbo if is800 else None,
+        "fused_turbo_fps_800x800_spread": spread(turbo_lo, turbo_hi),
         "fused_cdf_fps_800x800": fps_cdf if is800 else None,
+        "fused_cdf_fps_800x800_spread": spread(cdf_lo, cdf_hi),
         "fused_cdf2_fps_800x800": fps_cdf2 if is800 else None,
+        "fused_cdf2_fps_800x800_spread": spread(cdf2_lo, cdf2_hi),
+        **mfus,
     }
 
 
@@ -949,7 +1067,9 @@ def main():
 
     def put(src, key, out_key=None, digits=3):
         if src is not None and src.get(key) is not None:
-            extra[out_key or key] = round(src[key], digits)
+            v = src[key]
+            extra[out_key or key] = round(v, digits) if not isinstance(
+                v, (list, tuple)) else list(v)
 
     put(march128, "mrays_per_sec", "march_128grid_mrays_per_sec", 2)
     put(march128_scan, "mrays_per_sec", "march_128grid_scan_mrays_per_sec", 2)
@@ -969,11 +1089,15 @@ def main():
     put(march_dcdf_render, "fps_800x800", "march_dcdf_fps_800x800")
     put(fused, "fused_mrays_per_sec", "fused_render_mrays_per_sec")
     put(fused, "fused_fps_800x800")
+    put(fused, "fused_fps_800x800_spread")
     put(fused, "fused_hq_mrays_per_sec")
     put(fused, "fused_hq_fps_800x800")
     put(fused, "fused_turbo_fps_800x800")
+    put(fused, "fused_turbo_fps_800x800_spread")
     put(fused, "fused_cdf_fps_800x800")
+    put(fused, "fused_cdf_fps_800x800_spread")
     put(fused, "fused_cdf2_fps_800x800")
+    put(fused, "fused_cdf2_fps_800x800_spread")
     put(train, "fused_train_krays_per_sec", digits=1)
     put(train, "xla_train_krays_per_sec", digits=1)
     put(train, "fused_train_speedup", digits=2)
@@ -981,6 +1105,22 @@ def main():
     put(hg, "hashgrid_train_krays_per_sec", digits=1)
     put(hg, "hashgrid_gather_train_krays_per_sec", digits=1)
     put(hg, "hashgrid_onehot_speedup", digits=2)
+    # MFU rows (fraction of v5e bf16 peak; see the accounting block at
+    # the top of this file for what "scheduled" means per row)
+    put(train, "fused_train_mfu", "mfu_fused_train", 4)
+    put(train, "xla_train_mfu", "mfu_xla_train", 4)
+    put(train, "fused_train_rpc2_s64_mfu", "mfu_fused_train_rpc2_s64", 4)
+    put(hg, "hashgrid_train_mfu", "mfu_hashgrid_train", 4)
+    put(render, "mfu", "mfu_march_render", 4)
+    put(hg_render, "mfu", "mfu_hashgrid_render", 4)
+    put(hg_cdf_render, "mfu", "mfu_hashgrid_cdf_render", 4)
+    put(tri_render, "mfu", "mfu_triplane_render", 4)
+    put(march_cdf_render, "mfu", "mfu_march_cdf_render", 4)
+    put(fused, "fused_render_mfu", "mfu_fused_render", 4)
+    put(fused, "fused_hq_mfu", "mfu_fused_hq", 4)
+    put(fused, "fused_turbo_mfu", "mfu_fused_turbo", 4)
+    put(fused, "fused_cdf_mfu", "mfu_fused_cdf", 4)
+    put(fused, "fused_cdf2_mfu", "mfu_fused_cdf2", 4)
     put(render, "occupancy_frac", "render_occupancy_frac", 4)
     if render is not None:
         extra["render_samples_per_ray"] = render["samples_per_ray"]

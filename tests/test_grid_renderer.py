@@ -303,10 +303,11 @@ def test_ray_keep_fraction_mirrors_keep_rule():
 
 def test_ray_compact_guard_res_is_pipeline_aware():
     """The cli capacity guard must probe at the POOLING the active
-    pipeline's keep rule uses — fused pools at min(16, res) regardless
-    of sampler.tighten_res; march pools at tighten_res but only on the
-    kernel-eligible configs; pipelines that never compact get no guard
-    (a spurious warning trains users to ignore the real one)."""
+    pipeline's keep rule uses — fused pools at the kernel's
+    min(render.fused_coarse_res, res) regardless of sampler.tighten_res;
+    march pools at tighten_res but only on the kernel-eligible configs;
+    pipelines that never compact get no guard (a spurious warning trains
+    users to ignore the real one)."""
     from tnerf.cli import _ray_compact_guard
 
     base = [
@@ -316,8 +317,11 @@ def test_ray_compact_guard_res_is_pipeline_aware():
     ]
     mk = lambda *ov: Config().apply_overrides(base + list(ov))
 
-    # fused: always the kernel's res_c = min(16, res), not tighten_res
-    assert _ray_compact_guard(mk("render.pipeline=fused")) == (True, 16)
+    # fused: the kernel's res_c = min(fused_coarse_res, res), not tighten_res
+    assert _ray_compact_guard(mk("render.pipeline=fused")) == (True, 32)
+    assert _ray_compact_guard(
+        mk("render.pipeline=fused", "render.fused_coarse_res=16")
+    ) == (True, 16)
     # fused without tighten never compacts
     assert _ray_compact_guard(
         mk("render.pipeline=fused", "render.fused_tighten=false"))[0] is False

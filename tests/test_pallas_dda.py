@@ -84,20 +84,22 @@ def test_capacity_truncation_and_padding():
     assert got2.cells.shape[-1] == 10
 
 
-def test_tighten_range_pallas_brackets_occupied_span():
+@pytest.mark.parametrize("res_c", [16, 32])
+def test_tighten_range_pallas_brackets_occupied_span(res_c):
     """The Pallas probe-tightening kernel must bracket the occupied span
-    (padded) and keep the full span for rays with no occupied probe."""
+    (padded) and keep the full span for rays with no occupied probe —
+    at both the one-row (16^3) and row-selected (32^3) bitfields."""
     from tnerf.config import GridConfig
-    from tnerf.grid.pallas_dda import pack_coarse_words, tighten_range_pallas
+    from tnerf.grid.pallas_dda import pack_words_rows, tighten_range_pallas
     from tnerf.grid.traversal import make_coarse_occupancy, ray_aabb
 
-    res, res_c = 64, 16
+    res = 64
     grid = GridConfig(resolution=res, aabb_min=(-1.0, -1.0, -1.0),
                       aabb_max=(1.0, 1.0, 1.0))
     occ = np.zeros((res, res, res), bool)
     occ[28:36, 28:36, 28:36] = True  # central blob, x,y,z in [-0.125, 0.125]
     occ_c = make_coarse_occupancy(jnp.asarray(occ), res // res_c)
-    words = pack_coarse_words(occ_c)
+    words = pack_words_rows(occ_c)
 
     # ray through the center hits; a ray offset far in +y misses
     origins = jnp.asarray([[-3.0, 0.0, 0.0], [-3.0, 0.9, 0.0]], jnp.float32)

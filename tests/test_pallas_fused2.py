@@ -162,15 +162,22 @@ def test_grad_zero_for_fully_masked_batch(workload):
     assert float(jnp.abs(gB).max()) == 0.0
 
 
-def test_coarse_kernel_mask_matches_xla_coarse_occupancy():
+@pytest.mark.parametrize("res_c", [16, 32])
+def test_coarse_kernel_mask_matches_xla_coarse_occupancy(res_c):
     """occupancy_mode=coarse_kernel computes the occupancy test INSIDE
-    the kernel from a 128-word bitfield.  With the XLA renderer given the
+    the kernel from the [8,128]-word bitfield (one row at res_c=16, all
+    8 row-selected rows at res_c=32).  With the XLA renderer given the
     SAME coarsened occupancy (max-pooled then re-expanded to fine), the
     outputs must agree."""
     from tnerf.fields.nerf_field import NeRFField
     from tnerf.render.grid_renderer import make_grid_renderer
 
-    cfg = _small_cfg().apply_overrides(["grid.resolution=32"])
+    cfg = _small_cfg().apply_overrides([
+        "grid.resolution=32", f"render.fused_coarse_res={res_c}",
+        # align the march reference's mask pooling with the kernel's
+        # res_c and compare pure full-span quadrature (no tighten)
+        f"sampler.occupancy_mask_res={res_c}", "sampler.tighten=false",
+    ])
     field = NeRFField(cfg.field_, cfg.grid)
     params = field.init(jax.random.PRNGKey(0))
     rend2 = make_fused_pipeline_renderer_v2(
@@ -180,12 +187,9 @@ def test_coarse_kernel_mask_matches_xla_coarse_occupancy():
                                strategy="march", compact=False)
     rng = np.random.default_rng(7)
     occ = rng.uniform(0, 1, (32, 32, 32)) < 0.15
-    # expand the 16^3 max-pool back to 32^3 for the XLA fine-mask path
-    occ_c = occ.reshape(16, 2, 16, 2, 16, 2).any(axis=(1, 3, 5))
-    occ_exp = np.repeat(np.repeat(np.repeat(occ_c, 2, 0), 2, 1), 2, 2)
     rays = _rays(64, seed=9)
     r2 = rend2(params, rays, None, jnp.asarray(occ))
-    rx = rendx(params, rays, None, jnp.asarray(occ_exp))
+    rx = rendx(params, rays, None, jnp.asarray(occ))
     np.testing.assert_allclose(np.asarray(r2.rgb), np.asarray(rx.rgb), atol=2e-2)
     np.testing.assert_allclose(np.asarray(r2.acc), np.asarray(rx.acc), atol=2e-2)
 

@@ -38,8 +38,9 @@ def _ray_compact_guard(cfg: Config):
     ray-compacted path.
 
     The keep rule is PIPELINE-specific: the fused renderer pools at
-    min(16, res) (pallas_fused2 res_c) whenever tighten is on — the
-    override tells ray_keep_fraction to use that pooling.  The march
+    min(render.fused_coarse_res, res) (pallas_fused2 res_c) whenever
+    tighten is on — the override tells ray_keep_fraction to use that
+    pooling.  The march
     renderer only compacts on the kernel-eligible configs (eval-time
     tighten with t_res <= 32 and a mask resolution no coarser —
     grid_renderer use_kernel); there the override stays None so
@@ -54,7 +55,9 @@ def _ray_compact_guard(cfg: Config):
     t_res = min(cfg.sampler.tighten_res or res, res)
     m_res = min(cfg.sampler.occupancy_mask_res or res, res)
     if cfg.render.pipeline == "fused" and cfg.render.fused_tighten:
-        return True, min(16, res)
+        from tnerf.render.pallas_fused2 import select_coarse_res
+
+        return True, select_coarse_res(cfg.render, res)
     if (
         cfg.render.pipeline == "grid_march"
         and cfg.sampler.tighten
@@ -317,8 +320,9 @@ def main(argv=None) -> int:
     # occupancy (trained EMA grids are much fatter than analytic
     # ones); kept rays beyond ray_compact_fraction silently render
     # as background.  One cheap XLA pass over a probe view.  The keep
-    # rule is pipeline-specific: fused always pools at min(16, res)
-    # (pallas_fused2 res_c); march pools at sampler.tighten_res but
+    # rule is pipeline-specific: fused pools at
+    # min(render.fused_coarse_res, res) (pallas_fused2 res_c); march
+    # pools at sampler.tighten_res but
     # only takes the compacted path on the kernel-eligible configs —
     # for anything else the renderer never compacts, so no guard.
     guard_on, guard_pool = (

@@ -318,6 +318,15 @@ class RenderConfig:
     # with the Pallas probe kernel before sampling (+1.2 dB at equal
     # cost on the hard gate).
     fused_tighten: bool = True
+    # Fused pipeline: resolution of the IN-KERNEL coarse occupancy
+    # bitfield (pooled to min(fused_coarse_res, grid.resolution)).
+    # 32 (default) packs 32^3 bits into all 8 lane-rows of the [8,128]
+    # i32 words buffer (row-selected lookups); 16 is the round-4
+    # single-row bitfield.  Finer shrinks the coarse-vs-fine mask
+    # divergence that bounded round-4's fused/march render parity at
+    # tight budgets (docs/ROUND4.md turbo 0.803 dB).  Max 32 (the words
+    # buffer holds 8*128*32 = 32^3 bits).
+    fused_coarse_res: int = 32
 
 
 @dataclass(frozen=True)

@@ -299,8 +299,8 @@ def traverse_grid_pallas(
 def _probe_tighten(o_xyz, d_xyz, te, tx, occ_test, *, probes, pad_diag):
     """Shared tighten probe phase of _tighten_kernel and
     _tighten_mask_kernel, parameterized by the in-kernel occupancy test
-    `occ_test(x, y, z) -> bool` (identical-rows words vs row-selected
-    words — the only place the two kernels legitimately differ).
+    `occ_test(x, y, z) -> bool` (both use the row-selected
+    pack_words_rows bitfield via _occ_bit_rows since round 5).
 
     Match the XLA tightened_range arithmetic op-for-op (association
     included): positions must agree bit-for-bit with the train-time
@@ -333,21 +333,15 @@ def _probe_tighten(o_xyz, d_xyz, te, tx, occ_test, *, probes, pad_diag):
 def _tighten_kernel(
     ox, oy, oz, dx, dy, dz, te_ref, tx_ref, words_ref,
     t0_out, t1_out,
-    *, res_c, lo, cell_c, probes, pad_diag,
+    *, res_c, rows_used, lo, cell_c, probes, pad_diag,
 ):
-    f32 = jnp.float32
-    i32 = jnp.int32
-    lox, loy, loz = (f32(v) for v in lo)
-    inv_cx, inv_cy, inv_cz = (f32(1.0 / v) for v in cell_c)
     words = words_ref[:]
 
     def occ_test(x, y, z):
-        ci = jnp.clip(jnp.floor((x - lox) * inv_cx).astype(i32), 0, res_c - 1)
-        cj = jnp.clip(jnp.floor((y - loy) * inv_cy).astype(i32), 0, res_c - 1)
-        ck = jnp.clip(jnp.floor((z - loz) * inv_cz).astype(i32), 0, res_c - 1)
-        cflat = (ci * res_c + cj) * res_c + ck
-        w = jnp.take_along_axis(words, cflat >> 5, axis=1)
-        return ((w >> (cflat & 31)) & 1) > 0
+        return _occ_bit_rows(
+            x, y, z, words,
+            res_c=res_c, rows_used=rows_used, lo=lo, cell_c=cell_c,
+        )
 
     t0, t1 = _probe_tighten(
         (ox[:], oy[:], oz[:]), (dx[:], dy[:], dz[:]), te_ref[:], tx_ref[:],
@@ -537,12 +531,14 @@ def tighten_range_pallas(
     rays with no occupied probe keep the full span; hits are padded by
     one probe step + one fine-cell diagonal).
 
-    words: [8, >=128] i32 coarse bitfield (pack_coarse_words /
-    pallas_fused2.pack_occupancy_words layout) for a res_c^3 grid.
+    words: [8, 128] i32 coarse bitfield in pack_words_rows layout
+    (rows DISTINCT, word w at [w >> 7, w & 127]) for a res_c^3 grid,
+    res_c <= 32; pallas_fused2.pack_occupancy_words produces it.
     """
     lo = np.asarray(grid.aabb_min, np.float32)
     hi = np.asarray(grid.aabb_max, np.float32)
     cell_c = (hi - lo) / res_c
+    rows_used = max(1, -(-(res_c ** 3) // (32 * _LANES)))
     fine_diag = float(np.linalg.norm((hi - lo) / grid.resolution))
 
     B = origins.shape[0]
@@ -559,7 +555,7 @@ def tighten_range_pallas(
 
     kernel = functools.partial(
         _tighten_kernel,
-        res_c=res_c, lo=tuple(lo), cell_c=tuple(cell_c),
+        res_c=res_c, rows_used=rows_used, lo=tuple(lo), cell_c=tuple(cell_c),
         probes=probes, pad_diag=fine_diag,
     )
     ray_spec = pl.BlockSpec((_SUB, _LANES), lambda rb: (rb, 0), memory_space=pltpu.VMEM)

@@ -174,9 +174,9 @@ def ray_keep_fraction(
 
     `pool_res` overrides the pooling resolution: the keep rule's pooling
     is PIPELINE-specific (march pools at sampler.tighten_res; the fused
-    renderer always pools at min(16, res) — pallas_fused2 res_c), so
-    callers guarding a fused render must pass the fused pooling, not
-    inherit the march default."""
+    renderer pools at min(render.fused_coarse_res, res) — pallas_fused2
+    res_c), so callers guarding a fused render must pass the fused
+    pooling, not inherit the march default."""
     res = grid_cfg.resolution
     occ3 = occupancy.reshape(res, res, res)
     t_res = min(pool_res or sampler_cfg.tighten_res or res, res)
@@ -186,7 +186,7 @@ def ray_keep_fraction(
     # probe cdf_bins bin midpoints instead of samples_per_ray — mirror
     # that so the guard tests the keep rule that actually runs.
     # pool_res is the FUSED-pipeline override (fused callers pass
-    # min(16, res)); march callers MUST leave it None so this mirror
+    # min(fused_coarse_res, res)); march callers MUST leave it None so this mirror
     # stays in charge of the march pooling and probe count.
     kernel_probes = (
         pool_res is None

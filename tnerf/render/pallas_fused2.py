@@ -258,14 +258,22 @@ def _coarse_mask(sc8, words, mask, chunk, b_tile, spr, coarse, ts=None):
 
     XLA's per-sample occupancy gather costs ~8 ns/index (~34 ms for a
     32K x 128 chunk — KERNEL_NOTES round-2 addendum); here the coarse
-    bitfield is <=4096 bits packed into 128 i32 words = one lane row, and
-    the test is pure [B, SC] lane arithmetic + one same-shape
-    take_along_axis — the only gather Mosaic (and the VPU) actually has.
-    coarse = (res_c, lo, inv_cell) static tuple, or None to pass through.
+    bitfield is <=32768 bits packed into the [8,128] i32 words buffer
+    (pack_words_rows layout: word w at [w >> 7, w & 127]) and the test
+    is pure [B, SC] lane arithmetic + one within-row take_along_axis
+    per used word-row (the only gather Mosaic and the VPU actually
+    have), rows resolved by a static select chain (_occ_bit_rows).
+    res_c <= 16 uses one row exactly as round 4 did; res_c = 32 uses
+    all 8 — the finer bitfield that closes the coarse-vs-fine mask
+    divergence (docs/ROUND4.md turbo parity).
+    coarse = (res_c, rows_used, lo, cell_c) static tuple, or None to
+    pass through.
     """
     if coarse is None:
         return mask
-    res_c, lo, inv_ch = coarse
+    from tnerf.grid.pallas_dda import _occ_bit_rows
+
+    res_c, rows_used, lo, cell_c = coarse
     i32 = jnp.int32
     if ts is not None:
         t2 = ts
@@ -278,14 +286,10 @@ def _coarse_mask(sc8, words, mask, chunk, b_tile, spr, coarse, ts=None):
     x = sc8[2] + t2 * sc8[5]
     y = sc8[3] + t2 * sc8[6]
     z = sc8[4] + t2 * sc8[7]
-    ci = jnp.clip(jnp.floor((x - lo[0]) * inv_ch[0]).astype(i32), 0, res_c - 1)
-    cj = jnp.clip(jnp.floor((y - lo[1]) * inv_ch[1]).astype(i32), 0, res_c - 1)
-    ck = jnp.clip(jnp.floor((z - lo[2]) * inv_ch[2]).astype(i32), 0, res_c - 1)
-    cflat = (ci * res_c + cj) * res_c + ck
-    wrow = jnp.broadcast_to(words[0:1, :], (b_tile, LANES))
-    w = jnp.take_along_axis(wrow, cflat >> 5, axis=1)
-    bit = ((w >> (cflat & 31)) & 1).astype(jnp.float32)
-    return mask * bit
+    bit = _occ_bit_rows(
+        x, y, z, words, res_c=res_c, rows_used=rows_used, lo=lo, cell_c=cell_c
+    )
+    return mask * bit.astype(jnp.float32)
 
 
 def _tri(strict_upper: bool, spr: int = SC):
@@ -873,11 +877,27 @@ def fused_reference_v2_t(W, Bias, gamma, beta, mask, ts, dts):
 # Renderer adapter (standard protocol, trainable)
 # --------------------------------------------------------------------------
 
+def select_coarse_res(render_cfg, res: int) -> int:
+    """The in-kernel coarse bitfield resolution the fused renderer uses
+    for grid resolution `res`: the largest divisor of res not exceeding
+    min(render.fused_coarse_res, res, 32).  Shared with the cli
+    ray-compaction capacity guard so guard pooling matches the kernel."""
+    want_c = min(getattr(render_cfg, "fused_coarse_res", 32), res)
+    if want_c > 32:
+        raise ValueError(
+            f"render.fused_coarse_res={want_c}: the [8,128] i32 words "
+            "buffer holds at most 32^3 bits"
+        )
+    if want_c < 1:
+        raise ValueError(f"render.fused_coarse_res={want_c} must be >= 1")
+    return next(c for c in range(want_c, 0, -1) if res % c == 0)
+
+
 def pack_occupancy_words(occupancy: jnp.ndarray, res: int, res_c: int) -> jnp.ndarray:
-    """Max-pool a [res]^3 occupancy to res_c^3 (<= 4096 cells) and pack
-    into [8, 128] i32 bit-words for the in-kernel coarse test (the
-    shared coarse-pool + bit-pack from tnerf.grid)."""
-    from tnerf.grid.pallas_dda import pack_coarse_words
+    """Max-pool a [res]^3 occupancy to res_c^3 (<= 32768 cells) and pack
+    into [8, 128] i32 bit-words (pack_words_rows layout, rows DISTINCT)
+    for the in-kernel coarse test and the tighten probe kernels."""
+    from tnerf.grid.pallas_dda import pack_words_rows
     from tnerf.grid.traversal import make_coarse_occupancy
 
     if res % res_c != 0:
@@ -888,7 +908,7 @@ def pack_occupancy_words(occupancy: jnp.ndarray, res: int, res_c: int) -> jnp.nd
     occ_c = make_coarse_occupancy(
         occupancy.reshape(res, res, res), res // res_c
     )
-    return pack_coarse_words(occ_c)[:, :LANES]
+    return pack_words_rows(occ_c)
 
 
 def make_fused_pipeline_renderer_v2(
@@ -910,11 +930,12 @@ def make_fused_pipeline_renderer_v2(
     pack_params_f32).
 
     occupancy_mode:
-    - "coarse_kernel" (default): occupancy max-pooled to <=16^3, packed
-      into 128 bit-words and tested INSIDE the kernel per sample — zero
-      XLA gathers (the per-sample XLA occupancy gather costs ~8 ns/index,
-      ~34 ms per 32Kx128 chunk) and it feeds the kernel's empty-block
-      skipping.
+    - "coarse_kernel" (default): occupancy max-pooled to
+      min(render.fused_coarse_res, res)^3 (<= 32^3), bit-packed into the
+      [8,128] words buffer and tested INSIDE the kernel per sample —
+      zero XLA gathers (the per-sample XLA occupancy gather costs
+      ~8 ns/index, ~34 ms per 32Kx128 chunk) and it feeds the kernel's
+      empty-block skipping.
     - "xla_fine": exact fine-grid mask via the XLA gather (parity path).
 
     rpc: pack rpc rays per 128-lane chunk row, giving each ray
@@ -938,7 +959,8 @@ def make_fused_pipeline_renderer_v2(
     S_pad = n_chunks * spr
     nl = field_cfg.hidden_layers + 1
     res = grid_cfg.resolution
-    res_c = min(16, res)
+    res_c = select_coarse_res(render_cfg, res)
+    rows_c = max(1, -(-(res_c ** 3) // (32 * LANES)))
     use_coarse = occupancy_mode == "coarse_kernel"
     # CDF sample placement (sampler.placement="occupancy_cdf"): the
     # tmode kernel takes per-SAMPLE (t, dt) blocks, so the reduced
@@ -962,10 +984,13 @@ def make_fused_pipeline_renderer_v2(
             "from the tighten+sample-mask kernel); set "
             "render.fused_tighten=true"
         )
-    res_t = min(32, res)  # tighten/bin-probe pooling (finer than words)
+    res_t = min(32, res)  # tighten/bin-probe pooling
     lo = np.asarray(grid_cfg.aabb_min, np.float32)
     hi = np.asarray(grid_cfg.aabb_max, np.float32)
-    coarse = (res_c, tuple(lo), tuple(res_c / (hi - lo))) if use_coarse else None
+    coarse = (
+        (res_c, rows_c, tuple(lo), tuple((hi - lo) / res_c))
+        if use_coarse else None
+    )
     fused = make_fused_trainable(
         nl, n_chunks, b_tile=b_tile, b_tile_bwd=b_tile_bwd,
         term_eps=render_cfg.transmittance_threshold, interpret=interpret,
