@@ -171,6 +171,35 @@ def main(argv=None) -> int:
         "vertex-color extension)",
     )
 
+    sp = sub.add_parser(
+        "bake",
+        help="bake a trained field into a dense density+RGB grid for "
+        "fast lookup-only rendering (SNeRG-style; see "
+        "tnerf/render/baked.py)",
+    )
+    common(sp)
+    sp.add_argument("--checkpoint", required=False)
+    sp.add_argument(
+        "--out", default=None,
+        help="output npz (default <out_dir>/baked/baked_<res>.npz)",
+    )
+    sp.add_argument(
+        "--bake-res", type=int, default=256,
+        help="vertex-grid resolution per axis (memory: res^3 * 16 B)",
+    )
+    sp.add_argument(
+        "--mode", default="trilinear_brick",
+        choices=("nearest", "trilinear", "trilinear_brick"),
+        help="lookup mode the --eval render uses (the npz always stores "
+        "the unpacked [R^3,4] table; brick packing happens at load)",
+    )
+    sp.add_argument(
+        "--eval", action="store_true",
+        help="evaluate the baked render over the test split and write "
+        "<out_dir>/baked_parity.json: baked PSNR vs the config's own "
+        "direct (march) render of the same checkpoint",
+    )
+
     sp = sub.add_parser("config", help="print resolved config JSON")
     common(sp)
     sp.add_argument(
@@ -393,6 +422,72 @@ def main(argv=None) -> int:
         from tnerf.parallel.mesh import make_mesh
 
         mesh = make_mesh(n_dp, cfg.parallel.axis_name)
+
+    if args.cmd == "bake":
+        import time as _time
+
+        import numpy as np
+
+        from tnerf.eval import evaluate
+        from tnerf.render.baked import bake_field, make_baked_renderer
+
+        ep = eval_params(state)
+        t0 = _time.perf_counter()
+        table = bake_field(
+            field, ep, cfg.grid, bake_res=args.bake_res, occupancy=bits,
+        )
+        table.block_until_ready()
+        bake_s = _time.perf_counter() - t0
+        out_npz = args.out or os.path.join(
+            cfg.logging.out_dir, "baked", f"baked_{args.bake_res}.npz"
+        )
+        os.makedirs(os.path.dirname(out_npz) or ".", exist_ok=True)
+        np.savez_compressed(
+            out_npz, table=np.asarray(table, np.float16),
+            bake_res=args.bake_res,
+        )
+        print(
+            f"baked {args.bake_res}^3 grid in {bake_s:.1f}s -> {out_npz} "
+            f"({os.path.getsize(out_npz) / 1e6:.0f} MB)", file=sys.stderr,
+        )
+        if not args.eval:
+            return 0
+        test = datasets["test"]
+        brend = make_baked_renderer(
+            table, args.bake_res, cfg.grid, cfg.sampler, cfg.render,
+            mode=args.mode,
+        )
+        mb = evaluate(
+            brend, None, test, cfg.scene.scene_scale,
+            white_background=cfg.scene.white_background,
+            chunk_size=cfg.render.chunk_size, occupancy=payload,
+            ndc_near=ndc,
+        )
+        # direct render of the same checkpoint at the config's own
+        # (march) quadrature — the parity reference
+        dcfg = cfg.apply_overrides(["render.pipeline=grid_march"])
+        drend = build_renderer(dcfg, field, for_eval=True)
+        md = evaluate(
+            drend, ep, test, cfg.scene.scene_scale,
+            white_background=cfg.scene.white_background,
+            chunk_size=cfg.render.chunk_size, occupancy=payload,
+            ndc_near=ndc,
+        )
+        art = {
+            "bake_res": args.bake_res, "mode": args.mode,
+            "bake_seconds": round(bake_s, 1),
+            "baked": {k: round(float(v), 4) for k, v in mb.items()},
+            "march": {k: round(float(v), 4) for k, v in md.items()},
+            "parity_db": round(
+                abs(float(md["psnr_test"]) - float(mb["psnr_test"])), 4
+            ),
+            "checkpoint_step": step,
+        }
+        ppath = os.path.join(cfg.logging.out_dir, "baked_parity.json")
+        with open(ppath, "w") as fh:
+            json.dump(art, fh, indent=2)
+        print(json.dumps(art, indent=2))
+        return 0
 
     if args.cmd == "render":
         from tnerf.data.png_io import write_png
