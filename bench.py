@@ -231,7 +231,7 @@ def _restore_gate(field, cfg, ckpt_run):
 
 def bench_render(width=800, height=800, res=64, samples=128, overrides=(),
                  compact=False, strided=False, scene_field="prims",
-                 config_file=None, ckpt_run=None) -> dict:
+                 config_file=None, ckpt_run=None, strategy="march") -> dict:
     """Full-pipeline render throughput (march + field + composite).
 
     strided=True times a STRIDED chunk (every n_chunks-th ray) instead of
@@ -297,7 +297,7 @@ def bench_render(width=800, height=800, res=64, samples=128, overrides=(),
         o, d, v = o[mid:mid + chunk], d[mid:mid + chunk], v[mid:mid + chunk]
     renderer = make_grid_renderer(
         field, cfg.grid, cfg.sampler, cfg.render,
-        strategy="march", compact=compact,
+        strategy=strategy, compact=compact,
     )
 
     def chunk_scalar(o2):
@@ -726,6 +726,84 @@ def bench_fused_render(width=800, height=800, res=64, samples=128,
     }
 
 
+def bench_baked_render(width=800, height=800, bake_res=256,
+                       ckpt_run="runs/hard_r3_hashgrid_cdf",
+                       config_file="configs/procedural_hard_hashgrid.json",
+                       mode="trilinear_brick") -> dict:
+    """Baked-field fast render (tnerf/render/baked.py): bake the quality
+    gate's trained hashgrid into a dense [bake_res^3,4] grid on the fly
+    (~seconds), then time the lookup-only render at the gate's CDF
+    quadrature (S=24, bins 64, pooled 32^3 fold kernel, ray compaction).
+    The quality side lives in the committed baked_parity.json artifact
+    (cli bake --eval) — this row is the fps.  Role: the interactive
+    render intent of reference main.cu:19-21 / optixPrograms.cu:43-116."""
+    import os
+
+    import jax
+    import jax.numpy as jnp
+
+    from tnerf.cameras import Rays
+    from tnerf.config import Config
+    from tnerf.fields.nerf_field import NeRFField
+    from tnerf.render.baked import bake_field, make_baked_renderer
+
+    if not os.path.exists(os.path.join(ckpt_run, "checkpoints")):
+        return {}
+    cfg = Config.from_json_file(config_file).apply_overrides([
+        "sampler.samples_per_ray=24", "sampler.placement=occupancy_cdf",
+        "sampler.cdf_bins=64", "sampler.tighten_res=32",
+        "sampler.occupancy_mask_res=32",
+        "render.ray_compact=true", "render.ray_compact_fraction=0.65",
+        "render.compact=false",
+    ])
+    arch = (
+        "twobranch" if cfg.field_.encoding in ("hashgrid", "triplane", "cp")
+        else "fused5d"
+    )
+    field = NeRFField(cfg.field_, cfg.grid, arch=arch)
+    tparams, occ, trained = _restore_gate(field, cfg, ckpt_run)
+    if not trained:
+        return {}
+    occ3 = jnp.asarray(occ)
+    import time as _time
+
+    t0 = _time.perf_counter()
+    table = bake_field(
+        field, jax.device_put(tparams), cfg.grid, bake_res=bake_res,
+        occupancy=occ3,
+    )
+    table.block_until_ready()
+    bake_s = _time.perf_counter() - t0
+    rend = make_baked_renderer(
+        table, bake_res, cfg.grid, cfg.sampler, cfg.render, mode=mode
+    )
+
+    (o, d, v), = _camera_ray_variants(width, height, n_variants=1)
+    n = width * height
+    n_chunks = -(-n // 32768)
+    chunk = n // n_chunks
+    o, d, v = o[::n_chunks][:chunk], d[::n_chunks][:chunk], v[::n_chunks][:chunk]
+
+    def chunk_scalar(o2):
+        rays = Rays(origins=o2, directions=d, viewdirs_tp=v)
+        return rend(None, rays, None, occ3).rgb.sum()
+
+    dt_med, dt_min, dt_max = _diff_timeit_spread(chunk_scalar, o)
+    is800 = (width, height) == (800, 800)
+    return {
+        "baked_mrays_per_sec": chunk / dt_med / 1e6,
+        "baked_fps_800x800": (
+            1.0 / (dt_med * n_chunks) if is800 else None
+        ),
+        "baked_fps_800x800_spread": (
+            [round(1.0 / (dt_max * n_chunks), 2),
+             round(1.0 / (dt_min * n_chunks), 2)] if is800 else None
+        ),
+        "baked_bake_seconds": round(bake_s, 1),
+        "baked_res": bake_res,
+    }
+
+
 def gate_metrics() -> dict:
     """Quality numbers of record from the committed gate runs (runs/*/
     metrics.jsonl): mean AND min test-view PSNR — the acceptance asserts
@@ -759,6 +837,11 @@ def gate_metrics() -> dict:
         "gate_intervals": "runs/hard_r4_intervals",
         "gate_intervals16": "runs/hard_r4_intervals16",
         "gate_cp": "runs/hard_r4_cp",
+        # round-5: speed-tier gate retrained end-to-end with the 32^3
+        # in-kernel mask, and the march pipeline at the reference's own
+        # 8^3 grid (the reference_parity measured row)
+        "gate_fused_cdf_p32_r5": "runs/hard_r5_fused_cdf_p32",
+        "gate_march8": "runs/hard_r5_march8",
     }
     here = os.path.dirname(os.path.abspath(__file__))
     for name, rel in gates.items():
@@ -817,12 +900,35 @@ def gate_metrics() -> dict:
          "runs/hard_r4_fused_cdf_p32/render_parity.json"),
         ("fused_turbo_parity_db",
          "runs/hard_r3_fused_rpc4/render_parity.json"),
+        # round-5: retrained 32^3-mask speed tier + CP compaction
+        # exactness (gate render vs dense march, same checkpoint)
+        ("fused_cdf_p32_r5_parity_db",
+         "runs/hard_r5_fused_cdf_p32/render_parity.json"),
+        ("cp_compaction_parity_db",
+         "runs/hard_r4_cp/render_parity_compaction.json"),
     ):
         qpath = os.path.join(here, rel)
         if os.path.exists(qpath):
             try:
                 with open(qpath) as fh:
                     out[key] = json.load(fh)["parity_db"]
+            except (json.JSONDecodeError, KeyError):
+                pass
+
+    # Baked-field fast-render parity artifacts (cli bake --eval): baked
+    # lookup render vs the direct march render of the same checkpoint.
+    for tag, rel in (
+        ("hashgrid_cdf", "runs/hard_r3_hashgrid_cdf/baked_parity.json"),
+        ("triplane", "runs/hard_r3_triplane_prog/baked_parity.json"),
+        ("cp", "runs/hard_r4_cp/baked_parity.json"),
+    ):
+        bpath = os.path.join(here, rel)
+        if os.path.exists(bpath):
+            try:
+                with open(bpath) as fh:
+                    b = json.load(fh)
+                out[f"baked_{tag}_parity_db"] = b["parity_db"]
+                out[f"baked_{tag}_psnr_test"] = b["baked"]["psnr_test"]
             except (json.JSONDecodeError, KeyError):
                 pass
 
@@ -1061,6 +1167,42 @@ def main():
                 "render.compact_fraction=0.25",
             ),
         )
+    # CP family render (runs/hard_r4_cp, 41.58 dB gate): the lightest
+    # TensoRF family — same march/compaction shape as triplane; fills
+    # the configs/README measured-matrix CP render cell (r4 verdict
+    # missing #4).  The gate's own config.json is the exact shape.
+    cp_render = None
+    if _os.path.exists("runs/hard_r4_cp/checkpoints"):
+        cp_render = attempt(
+            bench_render, samples=48, res=128, strided=True, compact=True,
+            scene_field="hard",
+            config_file="runs/hard_r4_cp/config.json",
+            ckpt_run="runs/hard_r4_cp",
+            overrides=(
+                "render.ray_compact=true", "render.ray_compact_fraction=0.65",
+                "render.compact_fraction=0.25",
+            ),
+        )
+    # Reference-shape interval pipeline renders (runs/hard_r4_intervals*,
+    # the reference's own execution shape — main.cu:394, sampler.h:4):
+    # per-cell interval lists, 8^3 x 32/interval and 16^3 x 16/interval.
+    iv_render = None
+    if _os.path.exists("runs/hard_r4_intervals/checkpoints"):
+        iv_render = attempt(
+            bench_render, res=8, strided=True, strategy="intervals",
+            scene_field="hard",
+            config_file="runs/hard_r4_intervals/config.json",
+            ckpt_run="runs/hard_r4_intervals",
+        )
+    iv16_render = None
+    if _os.path.exists("runs/hard_r4_intervals16/checkpoints"):
+        iv16_render = attempt(
+            bench_render, res=16, strided=True, strategy="intervals",
+            scene_field="hard",
+            config_file="runs/hard_r4_intervals16/config.json",
+            ckpt_run="runs/hard_r4_intervals16",
+        )
+    baked = attempt(bench_baked_render)
     fused = attempt(bench_fused_render)
     train = attempt(bench_fused_train)
     hg = attempt(bench_hashgrid_train)
@@ -1087,6 +1229,18 @@ def main():
     put(march_cdf_render, "fps_800x800", "march_cdf_fps_800x800")
     put(march_dcdf_render, "render_mrays_per_sec", "march_dcdf_render_mrays_per_sec")
     put(march_dcdf_render, "fps_800x800", "march_dcdf_fps_800x800")
+    put(cp_render, "render_mrays_per_sec", "cp_render_mrays_per_sec")
+    put(cp_render, "fps_800x800", "cp_fps_800x800")
+    put(cp_render, "mfu", "mfu_cp_render", 4)
+    put(iv_render, "render_mrays_per_sec", "intervals8_render_mrays_per_sec")
+    put(iv_render, "fps_800x800", "intervals8_fps_800x800")
+    put(iv16_render, "render_mrays_per_sec", "intervals16_render_mrays_per_sec")
+    put(iv16_render, "fps_800x800", "intervals16_fps_800x800")
+    put(baked, "baked_mrays_per_sec")
+    put(baked, "baked_fps_800x800")
+    put(baked, "baked_fps_800x800_spread")
+    put(baked, "baked_bake_seconds", digits=1)
+    put(baked, "baked_res", digits=0)
     put(fused, "fused_mrays_per_sec", "fused_render_mrays_per_sec")
     put(fused, "fused_fps_800x800")
     put(fused, "fused_fps_800x800_spread")

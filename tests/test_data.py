@@ -119,6 +119,34 @@ def test_hard_procedural_scene_properties():
     assert float(diffs.max()) > 0.05
 
 
+def test_suite_scene_variants_generate_content():
+    """The rings/layers suite scenes (BASELINE config 4 diversity): white
+    background, real content, and geometry distinct from prims (a torus
+    ring registers density on the ring but not at the torus hole)."""
+    import jax.numpy as jnp
+    import pytest
+
+    from tnerf.data.procedural import (
+        FIELDS,
+        analytic_field_rings,
+        generate_procedural_scene,
+    )
+
+    assert set(FIELDS) >= {"prims", "hard", "rings", "layers"}
+    for name in ("rings", "layers"):
+        ds = generate_procedural_scene(name, width=32, height=32,
+                                       n_train=1, n_val=0, n_test=1,
+                                       n_samples=128)
+        img = ds["train"].images[0]
+        assert img[0, :, :].min() > 0.9  # white background border
+        assert img.min() < 0.6           # content present
+    # outer torus: R=0.45 r=0.09 about z — on-ring dense, hole empty
+    _, s_on = analytic_field_rings(jnp.asarray([[0.45, 0.0, 0.0]], jnp.float32))
+    _, s_far = analytic_field_rings(jnp.asarray([[0.65, 0.65, 0.65]], jnp.float32))
+    assert float(s_on[0]) > 20.0
+    assert float(s_far[0]) < 1.0
+
+
 def test_unknown_procedural_scene_errors():
     import pytest
 

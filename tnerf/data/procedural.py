@@ -132,7 +132,76 @@ def analytic_field(x: jnp.ndarray, sharpness: float = 60.0, density_scale: float
     return rgb, sigma
 
 
-FIELDS = {"prims": analytic_field, "hard": analytic_field_hard}
+def _torus_sdf(x, center, axis: int, R, r):
+    """Torus of major radius R, tube radius r, in the plane through
+    `center` perpendicular to coordinate `axis`."""
+    c = jnp.asarray(center)
+    d = x - c
+    perp = [i for i in range(3) if i != axis]
+    ring = jnp.sqrt(d[..., perp[0]] ** 2 + d[..., perp[1]] ** 2) - R
+    return jnp.sqrt(ring ** 2 + d[..., axis] ** 2) - r
+
+
+_RING_PRIMS = (
+    (partial(_torus_sdf, center=(0.0, 0.0, 0.0), axis=2, R=0.45, r=0.09),
+     (0.9, 0.35, 0.2)),
+    (partial(_torus_sdf, center=(0.0, 0.0, 0.0), axis=0, R=0.32, r=0.07),
+     (0.25, 0.6, 0.95)),
+    (partial(_torus_sdf, center=(0.1, -0.1, 0.2), axis=1, R=0.22, r=0.06),
+     (0.3, 0.9, 0.4)),
+    (partial(_sphere_sdf, center=(0.0, 0.0, 0.0), radius=0.13),
+     (0.95, 0.85, 0.3)),
+)
+
+_LAYER_PRIMS = (
+    # staircase of slabs (strong mutual occlusion from most viewpoints)
+    (partial(_box_sdf, center=(-0.35, 0.0, -0.45), half=(0.22, 0.55, 0.07)),
+     (0.85, 0.3, 0.3)),
+    (partial(_box_sdf, center=(-0.05, 0.0, -0.22), half=(0.22, 0.5, 0.07)),
+     (0.9, 0.65, 0.25)),
+    (partial(_box_sdf, center=(0.25, 0.0, 0.01), half=(0.22, 0.45, 0.07)),
+     (0.35, 0.8, 0.35)),
+    (partial(_box_sdf, center=(0.5, 0.0, 0.24), half=(0.18, 0.4, 0.07)),
+     (0.3, 0.55, 0.9)),
+    (partial(_sphere_sdf, center=(-0.3, 0.3, 0.25), radius=0.18),
+     (0.8, 0.35, 0.85)),
+    (partial(_sphere_sdf, center=(0.0, -0.4, 0.35), radius=0.14),
+     (0.3, 0.85, 0.85)),
+    (partial(_cylinder_sdf, center=(-0.45, -0.3, -0.05), axis=2,
+             radius=0.07, half_len=0.45), (0.95, 0.9, 0.5)),
+)
+
+
+def _soft_union_field(prims, x, sharpness=60.0, density_scale=45.0):
+    """Shared soft-union contract of analytic_field over any prim list."""
+    sdfs = jnp.stack([sdf(x) for sdf, _ in prims], axis=-1)
+    colors = jnp.asarray([c for _, c in prims], dtype=jnp.float32)
+    occ = jax.nn.sigmoid(-sharpness * sdfs)
+    union = 1.0 - jnp.prod(1.0 - occ, axis=-1)
+    sigma = density_scale * union
+    wts = jax.nn.softmax(-sharpness * sdfs, axis=-1)
+    rgb = jnp.sum(wts[..., :, None] * colors, axis=-2)
+    return rgb, sigma
+
+
+def analytic_field_rings(x: jnp.ndarray):
+    """Interlocked tori + core sphere: curved thin structure the
+    box/sphere scenes lack (suite diversity, BASELINE config 4)."""
+    return _soft_union_field(_RING_PRIMS, x, sharpness=80.0)
+
+
+def analytic_field_layers(x: jnp.ndarray):
+    """Staircase slabs + spheres + rod: occlusion-heavy layered scene
+    (suite diversity, BASELINE config 4)."""
+    return _soft_union_field(_LAYER_PRIMS, x)
+
+
+FIELDS = {
+    "prims": analytic_field,
+    "hard": analytic_field_hard,
+    "rings": analytic_field_rings,
+    "layers": analytic_field_layers,
+}
 
 
 def scene_background(name: str) -> bool:

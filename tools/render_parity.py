@@ -39,6 +39,11 @@ def main(argv=None) -> int:
                    "HIGHER-quality march quadrature than the fast config's "
                    "own; the default (none) keeps the same-quadrature "
                    "kernel-parity contract")
+    p.add_argument("--fast-overrides", nargs="*", default=[],
+                   help="extra dotted overrides applied to the FAST side "
+                   "only — e.g. the turbo tier's render knobs on top of "
+                   "the gate config, or a march-family fast-render shape "
+                   "(CP/triplane) vs its own gate eval quadrature")
     args = p.parse_args(argv)
 
     from tnerf.cli import _restore_state
@@ -58,8 +63,10 @@ def main(argv=None) -> int:
     test = datasets["test"]
 
     out = {"config": args.config, "run": args.run}
+    if args.fast_overrides:
+        out["fast_overrides"] = list(args.fast_overrides)
     for tag, overrides in (
-        ("fused", []),
+        ("fused", list(args.fast_overrides)),
         ("march", ["render.pipeline=grid_march"] + args.march_overrides),
     ):
         c = cfg.apply_overrides(overrides)
