@@ -138,9 +138,11 @@ def bake_field(
     -z for every vertex (debug).
 
     occupancy: optional fine bitfield — vertices in cells that are
-    unoccupied AND not adjacent to an occupied cell are skipped (sigma=0,
-    rgb=0), which keeps bake time proportional to the surface, and the
-    renderer's occupancy masking never samples there anyway.
+    unoccupied AND not adjacent to an occupied cell are ZEROED after
+    evaluation (sigma=0, rgb=0), so stale field values can never leak
+    into empty space through interpolation.  The full grid is still
+    evaluated (16.7M vertices at 256^3 is seconds on the MXU paths;
+    masking compute would cost more in gathers than it saves).
     """
     from tnerf.cameras import viewdirs_to_thetaphi
     from tnerf.grid.traversal import occupancy_lookup
