@@ -18,7 +18,17 @@ import sys
 os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
-    os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+    _flags = (_flags + " --xla_force_host_platform_device_count=8").strip()
+# The suite is CPU-COMPILE-bound (~3.8 s/test average, mostly XLA/LLVM
+# time on tiny programs).  Tests assert correctness, not performance —
+# compile at low optimization: measured 28% faster on the heaviest file
+# (81.5 s vs 113.3 s, all green).  XLA parses these at first backend
+# use, which happens after clear_backends below re-creates the CPU
+# client, so setting them here (post-sitecustomize) still takes effect.
+if "xla_backend_optimization_level" not in _flags:
+    _flags += (" --xla_backend_optimization_level=0"
+               " --xla_llvm_disable_expensive_passes=true")
+os.environ["XLA_FLAGS"] = _flags
 sys.path[:] = [p for p in sys.path if ".axon_site" not in p]
 
 import pytest  # noqa: E402

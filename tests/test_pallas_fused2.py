@@ -138,11 +138,15 @@ def test_training_through_fused_kernel_reduces_loss():
     def loss_fn(p):
         return jnp.mean((rend2(p, rays, None, occ).rgb - gt) ** 2)
 
+    @jax.jit  # one trace for all steps (an eager loop re-traces 8x)
+    def step(p, o):
+        l, g = jax.value_and_grad(loss_fn)(p)
+        up, o = opt.update(g, o)
+        return optax.apply_updates(p, up), o, l
+
     losses = []
     for _ in range(8):
-        l, g = jax.value_and_grad(loss_fn)(params)
-        up, ost = opt.update(g, ost)
-        params = optax.apply_updates(params, up)
+        params, ost, l = step(params, ost)
         losses.append(float(l))
     assert losses[-1] < losses[0] * 0.8, losses
     assert all(np.isfinite(losses)), losses
@@ -641,13 +645,17 @@ def test_fused_cdf_training_reduces_loss():
     def loss_fn(p, key):
         return jnp.mean((rend(p, rays, key, occ).rgb - gt) ** 2)
 
+    @jax.jit  # one trace for all steps (an eager loop re-traces 12x)
+    def step(p, o, k):
+        l, g = jax.value_and_grad(loss_fn)(p, k)
+        up, o = opt.update(g, o)
+        return optax.apply_updates(p, up), o, l
+
     losses = []
     key = jax.random.PRNGKey(1)
     for i in range(12):
         key, k = jax.random.split(key)
-        l, g = jax.value_and_grad(loss_fn)(params, k)
-        up, ost = opt.update(g, ost)
-        params = optax.apply_updates(params, up)
+        params, ost, l = step(params, ost, k)
         losses.append(float(l))
     assert losses[-1] < losses[0] * 0.7, losses
 
