@@ -269,7 +269,7 @@ def bench_render(width=800, height=800, res=64, samples=128, overrides=(),
         *overrides,
     ])
     arch = (
-        "twobranch" if cfg.field_.encoding in ("hashgrid", "triplane")
+        "twobranch" if cfg.field_.encoding in ("hashgrid", "triplane", "cp")
         else "fused5d"
     )
     field = NeRFField(cfg.field_, cfg.grid, arch=arch)
@@ -1033,15 +1033,18 @@ def main():
     extra = {"device": device}
     extra.update(gate_metrics())
 
-    def attempt(fn, **kw):
+    def attempt(fn, tag=None, **kw):
         """Run one sub-benchmark; a failure (e.g. a transient remote-compile
         hiccup) records an error string instead of killing the whole run —
-        the headline line must always be emitted."""
+        the headline line must always be emitted.  `tag` disambiguates
+        the error key when the same fn backs several rows (bench_render
+        has ~8 call sites; colliding keys silently overwrite)."""
         try:
             return fn(**kw)
         except Exception as e:  # noqa: BLE001 — deliberately broad
             traceback.print_exc(file=sys.stderr)
-            extra[f"error_{fn.__name__}"] = f"{type(e).__name__}: {e}"[:200]
+            key = tag or kw.get("ckpt_run") or fn.__name__
+            extra[f"error_{key}"] = f"{type(e).__name__}: {e}"[:200]
             return None
 
     march8 = attempt(bench_ray_march, res=8)

@@ -55,8 +55,18 @@ def _ray_compact_guard(cfg: Config):
     t_res = min(cfg.sampler.tighten_res or res, res)
     m_res = min(cfg.sampler.occupancy_mask_res or res, res)
     if cfg.render.pipeline == "fused" and cfg.render.fused_tighten:
-        from tnerf.render.pallas_fused2 import select_coarse_res
+        from tnerf.render.pallas_fused2 import (
+            select_bin_pool_res,
+            select_coarse_res,
+        )
 
+        # CDF placement: the keep rule is any(bins) from the res_t fold
+        # (cdf_bins midpoints on the bin-probe pooling), NOT the
+        # in-kernel coarse bitfield — guard at the pooling that actually
+        # decides keeps (ray_keep_fraction switches to cdf_bins probes
+        # when given an explicit pool under CDF placement)
+        if cfg.sampler.placement == "occupancy_cdf":
+            return True, select_bin_pool_res(res)
         return True, select_coarse_res(cfg.render, res)
     if (
         cfg.render.pipeline == "grid_march"
@@ -336,7 +346,6 @@ def main(argv=None) -> int:
     field, state, occ, step, err = _build_restore(
         cfg, ckpt_dir, len(datasets["train"])
     )
-    renderer = build_renderer(cfg, field, for_eval=True)
     if err:
         print(f"error: {err}", file=sys.stderr)
         return 1
@@ -345,6 +354,17 @@ def main(argv=None) -> int:
     # renderers consume (density EMA under density_cdf placement).
     bits = occ.bitfield if occ is not None else None
     payload = renderer_payload(occ, cfg.sampler, cfg.grid)
+
+    if args.cmd == "bake":
+        # handled BEFORE the config renderer + compaction guards are
+        # built: baking needs only the field (its own march renderer is
+        # constructed inside the branch), and e.g. a fused-pipeline
+        # validation error must not abort a bake that never runs the
+        # fused path.
+        return _run_bake(args, cfg, field, state, occ, payload, bits,
+                         datasets, step, ndc)
+
+    renderer = build_renderer(cfg, field, for_eval=True)
     # Capacity guard: the keep fraction depends on the RESTORED
     # occupancy (trained EMA grids are much fatter than analytic
     # ones); kept rays beyond ray_compact_fraction silently render
@@ -422,72 +442,6 @@ def main(argv=None) -> int:
         from tnerf.parallel.mesh import make_mesh
 
         mesh = make_mesh(n_dp, cfg.parallel.axis_name)
-
-    if args.cmd == "bake":
-        import time as _time
-
-        import numpy as np
-
-        from tnerf.eval import evaluate
-        from tnerf.render.baked import bake_field, make_baked_renderer
-
-        ep = eval_params(state)
-        t0 = _time.perf_counter()
-        table = bake_field(
-            field, ep, cfg.grid, bake_res=args.bake_res, occupancy=bits,
-        )
-        table.block_until_ready()
-        bake_s = _time.perf_counter() - t0
-        out_npz = args.out or os.path.join(
-            cfg.logging.out_dir, "baked", f"baked_{args.bake_res}.npz"
-        )
-        os.makedirs(os.path.dirname(out_npz) or ".", exist_ok=True)
-        np.savez_compressed(
-            out_npz, table=np.asarray(table, np.float16),
-            bake_res=args.bake_res,
-        )
-        print(
-            f"baked {args.bake_res}^3 grid in {bake_s:.1f}s -> {out_npz} "
-            f"({os.path.getsize(out_npz) / 1e6:.0f} MB)", file=sys.stderr,
-        )
-        if not args.eval:
-            return 0
-        test = datasets["test"]
-        brend = make_baked_renderer(
-            table, args.bake_res, cfg.grid, cfg.sampler, cfg.render,
-            mode=args.mode,
-        )
-        mb = evaluate(
-            brend, None, test, cfg.scene.scene_scale,
-            white_background=cfg.scene.white_background,
-            chunk_size=cfg.render.chunk_size, occupancy=payload,
-            ndc_near=ndc,
-        )
-        # direct render of the same checkpoint at the config's own
-        # (march) quadrature — the parity reference
-        dcfg = cfg.apply_overrides(["render.pipeline=grid_march"])
-        drend = build_renderer(dcfg, field, for_eval=True)
-        md = evaluate(
-            drend, ep, test, cfg.scene.scene_scale,
-            white_background=cfg.scene.white_background,
-            chunk_size=cfg.render.chunk_size, occupancy=payload,
-            ndc_near=ndc,
-        )
-        art = {
-            "bake_res": args.bake_res, "mode": args.mode,
-            "bake_seconds": round(bake_s, 1),
-            "baked": {k: round(float(v), 4) for k, v in mb.items()},
-            "march": {k: round(float(v), 4) for k, v in md.items()},
-            "parity_db": round(
-                abs(float(md["psnr_test"]) - float(mb["psnr_test"])), 4
-            ),
-            "checkpoint_step": step,
-        }
-        ppath = os.path.join(cfg.logging.out_dir, "baked_parity.json")
-        with open(ppath, "w") as fh:
-            json.dump(art, fh, indent=2)
-        print(json.dumps(art, indent=2))
-        return 0
 
     if args.cmd == "render":
         from tnerf.data.png_io import write_png
@@ -790,6 +744,81 @@ def _restore_state(ckpt_dir, state, occ):
     else:
         state = payload
     return step, state, occ, None
+
+
+def _run_bake(args, cfg, field, state, occ, payload, bits, datasets,
+              step, ndc) -> int:
+    """`tnerf bake`: evaluate the restored field into a dense [R^3,4]
+    grid (tnerf/render/baked.py), save the npz, and with --eval compare
+    the baked lookup render against the config's direct march render of
+    the same checkpoint over the test split (baked_parity.json)."""
+    import os
+    import time as _time
+
+    import numpy as np
+
+    from tnerf.eval import evaluate
+    from tnerf.render.baked import bake_field, make_baked_renderer
+    from tnerf.train import eval_params
+    from tnerf.train_loop import build_renderer
+
+    ep = eval_params(state)
+    t0 = _time.perf_counter()
+    table = bake_field(
+        field, ep, cfg.grid, bake_res=args.bake_res, occupancy=bits,
+    )
+    table.block_until_ready()
+    bake_s = _time.perf_counter() - t0
+    out_npz = args.out or os.path.join(
+        cfg.logging.out_dir, "baked", f"baked_{args.bake_res}.npz"
+    )
+    os.makedirs(os.path.dirname(out_npz) or ".", exist_ok=True)
+    np.savez_compressed(
+        out_npz, table=np.asarray(table, np.float16),
+        bake_res=args.bake_res,
+    )
+    print(
+        f"baked {args.bake_res}^3 grid in {bake_s:.1f}s -> {out_npz} "
+        f"({os.path.getsize(out_npz) / 1e6:.0f} MB)", file=sys.stderr,
+    )
+    if not args.eval:
+        return 0
+    test = datasets["test"]
+    brend = make_baked_renderer(
+        table, args.bake_res, cfg.grid, cfg.sampler, cfg.render,
+        mode=args.mode,
+    )
+    mb = evaluate(
+        brend, None, test, cfg.scene.scene_scale,
+        white_background=cfg.scene.white_background,
+        chunk_size=cfg.render.chunk_size, occupancy=payload,
+        ndc_near=ndc,
+    )
+    # direct render of the same checkpoint at the config's own (march)
+    # quadrature — the parity reference
+    dcfg = cfg.apply_overrides(["render.pipeline=grid_march"])
+    drend = build_renderer(dcfg, field, for_eval=True)
+    md = evaluate(
+        drend, ep, test, cfg.scene.scene_scale,
+        white_background=cfg.scene.white_background,
+        chunk_size=cfg.render.chunk_size, occupancy=payload,
+        ndc_near=ndc,
+    )
+    art = {
+        "bake_res": args.bake_res, "mode": args.mode,
+        "bake_seconds": round(bake_s, 1),
+        "baked": {k: round(float(v), 4) for k, v in mb.items()},
+        "march": {k: round(float(v), 4) for k, v in md.items()},
+        "parity_db": round(
+            abs(float(md["psnr_test"]) - float(mb["psnr_test"])), 4
+        ),
+        "checkpoint_step": step,
+    }
+    ppath = os.path.join(cfg.logging.out_dir, "baked_parity.json")
+    with open(ppath, "w") as fh:
+        json.dump(art, fh, indent=2)
+    print(json.dumps(art, indent=2))
+    return 0
 
 
 def _run_suite(cfg, scenes) -> int:

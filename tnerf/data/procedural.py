@@ -95,18 +95,12 @@ def analytic_field_hard(x: jnp.ndarray, sharpness: float = 220.0,
     Same contract as analytic_field.  Colors carry a sin-product checker
     (frequency ~22 rad/unit: ~25 periods across the box — well into the
     upper frequency bands of the L=10 encoding / fine hash levels)."""
-    sdfs = [sdf(x) for sdf, _ in _HARD_PRIMS]
-    colors = [c for _, c in _HARD_PRIMS]
-    for (center, axis, radius, half), col in zip(_HARD_RODS, _ROD_COLORS):
-        sdfs.append(_cylinder_sdf(x, center, axis, radius, half))
-        colors.append(col)
-    sdfs = jnp.stack(sdfs, axis=-1)                                   # [..., P]
-    colors_a = jnp.asarray(colors, dtype=jnp.float32)                 # [P, 3]
-    occ = jax.nn.sigmoid(-sharpness * sdfs)
-    union = 1.0 - jnp.prod(1.0 - occ, axis=-1)
-    sigma = density_scale * union
-    wts = jax.nn.softmax(-sharpness * sdfs, axis=-1)
-    rgb = jnp.sum(wts[..., :, None] * colors_a, axis=-2)
+    prims = list(_HARD_PRIMS) + [
+        (partial(_cylinder_sdf, center=center, axis=axis, radius=radius,
+                 half_len=half), col)
+        for (center, axis, radius, half), col in zip(_HARD_RODS, _ROD_COLORS)
+    ]
+    rgb, sigma = _soft_union_field(prims, x, sharpness, density_scale)
     f = 22.0
     checker = 0.55 + 0.45 * jnp.sin(f * x[..., 0]) * jnp.sin(f * x[..., 1] + 1.3) \
         * jnp.sin(f * x[..., 2] + 2.1)
@@ -119,17 +113,10 @@ def analytic_field(x: jnp.ndarray, sharpness: float = 60.0, density_scale: float
 
     x: [..., 3] positions. Returns (rgb [..., 3], sigma [...]).
     Density is a smooth indicator of the union of primitives; color is the
-    softmin-weighted blend of primitive colors.
+    softmin-weighted blend of primitive colors (_soft_union_field — ONE
+    copy of the union contract for every scene).
     """
-    sdfs = jnp.stack([sdf(x) for sdf, _ in _PRIMS], axis=-1)        # [..., P]
-    colors = jnp.asarray([c for _, c in _PRIMS], dtype=jnp.float32)  # [P, 3]
-    occ = jax.nn.sigmoid(-sharpness * sdfs)                          # [..., P]
-    union = 1.0 - jnp.prod(1.0 - occ, axis=-1)
-    sigma = density_scale * union
-    wts = jax.nn.softmax(-sharpness * sdfs, axis=-1)
-    # explicit fp32 blend (einsum would run at bf16 matmul precision)
-    rgb = jnp.sum(wts[..., :, None] * colors, axis=-2)
-    return rgb, sigma
+    return _soft_union_field(_PRIMS, x, sharpness, density_scale)
 
 
 def _torus_sdf(x, center, axis: int, R, r):
@@ -173,13 +160,16 @@ _LAYER_PRIMS = (
 
 
 def _soft_union_field(prims, x, sharpness=60.0, density_scale=45.0):
-    """Shared soft-union contract of analytic_field over any prim list."""
+    """THE soft-union GT contract (one copy for every scene): density is
+    a smooth indicator of the primitive union, color the softmin-
+    weighted blend of primitive colors."""
     sdfs = jnp.stack([sdf(x) for sdf, _ in prims], axis=-1)
     colors = jnp.asarray([c for _, c in prims], dtype=jnp.float32)
     occ = jax.nn.sigmoid(-sharpness * sdfs)
     union = 1.0 - jnp.prod(1.0 - occ, axis=-1)
     sigma = density_scale * union
     wts = jax.nn.softmax(-sharpness * sdfs, axis=-1)
+    # explicit fp32 blend (einsum would run at bf16 matmul precision)
     rgb = jnp.sum(wts[..., :, None] * colors, axis=-2)
     return rgb, sigma
 

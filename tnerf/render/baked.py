@@ -153,13 +153,20 @@ def bake_field(
     if occupancy is not None:
         res = grid.resolution
         occ3 = occupancy.reshape(res, res, res)
-        # dilate by one cell so surface-adjacent vertices get real values
+        # dilate by one cell so surface-adjacent vertices get real
+        # values — CLAMPED shifts (pad+slice), not jnp.roll: roll would
+        # wrap occupancy at one AABB face onto the opposite face and
+        # keep stale values there
         occ_d = occ3
         for ax in range(3):
-            occ_d = (
-                occ_d
-                | jnp.roll(occ3, 1, axis=ax) | jnp.roll(occ3, -1, axis=ax)
-            )
+            pw = [(0, 0)] * 3
+            pw[ax] = (1, 1)
+            p = jnp.pad(occ3, pw)
+            lo_sl = [slice(None)] * 3
+            hi_sl = [slice(None)] * 3
+            lo_sl[ax] = slice(0, res)
+            hi_sl[ax] = slice(2, res + 2)
+            occ_d = occ_d | p[tuple(lo_sl)] | p[tuple(hi_sl)]
         keep = occupancy_lookup(pts_all, occ_d, grid)
 
     @jax.jit

@@ -195,9 +195,13 @@ def ray_keep_fraction(
         and t_res < res
         and t_res <= 32
     )
+    # CDF placement probes cdf_bins midpoints, both on the march kernel
+    # path (kernel_probes) and on the fused path (explicit pool_res —
+    # its keep rule is any(bins) from the res_t fold at cdf_bins
+    # midpoints, see pallas_fused2._cdf_bins)
     n_mid = (
         sampler_cfg.cdf_bins
-        if kernel_probes
+        if (kernel_probes or pool_res is not None)
         and sampler_cfg.placement in ("occupancy_cdf", "density_cdf")
         else sampler_cfg.samples_per_ray
     )

@@ -877,6 +877,14 @@ def fused_reference_v2_t(W, Bias, gamma, beta, mask, ts, dts):
 # Renderer adapter (standard protocol, trainable)
 # --------------------------------------------------------------------------
 
+def select_bin_pool_res(res: int) -> int:
+    """The fused CDF path's tighten/bin-probe pooling resolution: the
+    largest divisor of res <= 32 (independent of fused_coarse_res —
+    bin weights always probe the finest packable grid).  Shared with
+    the cli capacity guard so guard pooling matches the keep rule."""
+    return next(c for c in range(min(32, res), 0, -1) if res % c == 0)
+
+
 def select_coarse_res(render_cfg, res: int) -> int:
     """The in-kernel coarse bitfield resolution the fused renderer uses
     for grid resolution `res`: the largest divisor of res not exceeding
@@ -984,7 +992,10 @@ def make_fused_pipeline_renderer_v2(
             "from the tighten+sample-mask kernel); set "
             "render.fused_tighten=true"
         )
-    res_t = min(32, res)  # tighten/bin-probe pooling
+    # tighten/bin-probe pooling: largest divisor of res <= 32 (a
+    # non-divisor res like 48 must pool to 24, not crash
+    # pack_words_rows with a 48^3 bitfield)
+    res_t = select_bin_pool_res(res)
     lo = np.asarray(grid_cfg.aabb_min, np.float32)
     hi = np.asarray(grid_cfg.aabb_max, np.float32)
     coarse = (
