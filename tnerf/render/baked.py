@@ -125,7 +125,10 @@ def bake_field(
     params,
     grid: GridConfig,
     bake_res: int = 256,
-    chunk: int = 262144,
+    # 64K, not bigger: the axon remote-compile relay rejects very large
+    # programs (HTTP 413 at 256K-sample one-hot encode chunks), and the
+    # per-chunk overhead is negligible at 64 dispatches per 256^3 bake
+    chunk: int = 65536,
     view_mode: str = "radial_in",
     occupancy: Optional[jnp.ndarray] = None,
     dtype=jnp.float32,

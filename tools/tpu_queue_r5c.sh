@@ -33,6 +33,21 @@ run() {
 
 T=python
 
+# r5b stages 1-2 re-run: the first attempt shipped 256K-sample bake
+# chunks that the axon compile relay rejects (HTTP 413); bake_field now
+# chunks at 64K.
+run bake_hashgrid 2400 $T -m tnerf.cli bake \
+  --config runs/hard_r3_hashgrid_cdf/config.json \
+  -o logging.out_dir=runs/hard_r3_hashgrid_cdf \
+  -o sampler.occupancy_mask_res=32 -o render.compact=false \
+  --bake-res 256 --eval
+
+run bake_triplane 2400 $T -m tnerf.cli bake \
+  --config runs/hard_r3_triplane_prog/config.json \
+  -o logging.out_dir=runs/hard_r3_triplane_prog \
+  -o sampler.occupancy_mask_res=32 -o render.compact=false \
+  --bake-res 256 --eval
+
 run cdf_tune 2700 $T tools/cdf_tier_tune.py
 
 run baked_bench 2400 $T -c "import bench, json; print('BAKED_BENCH ' + json.dumps(bench.bench_baked_render()))"
