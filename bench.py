@@ -786,7 +786,7 @@ def bench_baked_render(width=800, height=800, bake_res=256,
 
     def chunk_scalar(o2):
         rays = Rays(origins=o2, directions=d, viewdirs_tp=v)
-        return rend(None, rays, None, occ3).rgb.sum()
+        return rend(rend.params, rays, None, occ3).rgb.sum()
 
     dt_med, dt_min, dt_max = _diff_timeit_spread(chunk_scalar, o)
     is800 = (width, height) == (800, 800)

@@ -124,7 +124,7 @@ def test_baked_render_matches_direct_render(mode):
         directions=jnp.asarray(d, jnp.float32),
         viewdirs_tp=viewdirs_to_thetaphi(jnp.asarray(d, jnp.float32)),
     )
-    rb = brend(None, rays, None, occ)
+    rb = brend(brend.params, rays, None, occ)
     rd = drend({}, rays, None, occ)
     err = float(jnp.abs(rb.rgb - rd.rgb).max())
     mse = float(jnp.mean((rb.rgb - rd.rgb) ** 2))

@@ -789,7 +789,7 @@ def _run_bake(args, cfg, field, state, occ, payload, bits, datasets,
         mode=args.mode,
     )
     mb = evaluate(
-        brend, None, test, cfg.scene.scene_scale,
+        brend, brend.params, test, cfg.scene.scene_scale,
         white_background=cfg.scene.white_background,
         chunk_size=cfg.render.chunk_size, occupancy=payload,
         ndc_near=ndc,

@@ -241,6 +241,8 @@ def make_baked_renderer(
     gather — compacting it would cost more than it saves (the same
     measurement that turned render.compact off for the frequency MLP).
     """
+    import jax
+
     from tnerf.render.grid_renderer import make_grid_renderer
 
     bf = BakedField(bake_res=bake_res, grid=grid_cfg, mode=mode)
@@ -249,16 +251,24 @@ def make_baked_renderer(
         if mode == "trilinear_brick" and baked_table.shape[-1] == 4
         else baked_table
     )
-    params = {"table": table}
+    # bf16 storage: halves HBM (a 256^3 brick table is 2.1 GB in f32)
+    # and, critically, the table must ride as a jit ARGUMENT — a
+    # closure constant of this size gets embedded in the lowered
+    # program (2.15 GB of captured constants) and rejected by the
+    # remote-compile relay.  Lookups cast back to f32 (BakedField).
+    params = {"table": jax.device_put(table.astype(jnp.bfloat16))}
     rend = make_grid_renderer(
         bf, grid_cfg, sampler_cfg, render_cfg, strategy="march",
         compact=False,
     )
 
-    def render(_params, rays, key=None, occupancy=None):
-        """Standard RendererFn signature; the params slot is ignored —
-        the baked table is closed over (pass None)."""
-        return rend(params, rays, key, occupancy)
+    def render(params_, rays, key=None, occupancy=None):
+        """Standard RendererFn signature.  Pass `render.params` (the
+        baked-table pytree) as params so the table is a traced jit
+        argument; params=None falls back to the closure (fine outside
+        jit / on CPU, but captures the table as a program constant)."""
+        return rend(params_ if params_ is not None else params,
+                    rays, key, occupancy)
 
-    render.params = params  # exposed for benchmarking/donation
+    render.params = params
     return render

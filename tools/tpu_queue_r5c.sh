@@ -48,6 +48,12 @@ run bake_triplane 2400 $T -m tnerf.cli bake \
   -o sampler.occupancy_mask_res=32 -o render.compact=false \
   --bake-res 256 --eval
 
+run bake_cp 2400 $T -m tnerf.cli bake \
+  --config runs/hard_r4_cp/config.json \
+  -o logging.out_dir=runs/hard_r4_cp \
+  -o sampler.occupancy_mask_res=32 -o render.compact=false \
+  --bake-res 256 --eval
+
 run cdf_tune 2700 $T tools/cdf_tier_tune.py
 
 run baked_bench 2400 $T -c "import bench, json; print('BAKED_BENCH ' + json.dumps(bench.bench_baked_render()))"
