@@ -58,6 +58,9 @@ run cdf_tune 2700 $T tools/cdf_tier_tune.py
 
 run baked_bench 2400 $T -c "import bench, json; print('BAKED_BENCH ' + json.dumps(bench.bench_baked_render()))"
 
+# r5b stage 4 re-run (transient TPU FailedPrecondition mid-run)
+run loop_breakdown 3600 $T tools/loop_breakdown.py 600
+
 run full_bench 5400 $T bench.py
 
 echo "r5c queue drained ($(date -u +%H:%M:%S))" >&2
