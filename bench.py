@@ -915,6 +915,32 @@ def gate_metrics() -> dict:
             except (json.JSONDecodeError, KeyError):
                 pass
 
+    # Multi-scene suite rehearsal (cli suite over runs/suite_rehearsal,
+    # BASELINE config 4): per-scene final eval from each run's metrics.
+    suite_psnrs = []
+    for scene in ("prims", "rings", "layers"):
+        mpath = os.path.join(
+            here, "runs/suite_rehearsal", scene, "metrics.jsonl"
+        )
+        if not os.path.exists(mpath):
+            continue
+        last = {}
+        with open(mpath) as fh:
+            for line in fh:
+                try:
+                    rec = json.loads(line)
+                except json.JSONDecodeError:
+                    continue
+                if "psnr_test" in rec:
+                    last = rec
+        if last:
+            out[f"suite_{scene}_psnr_test"] = round(last["psnr_test"], 2)
+            suite_psnrs.append(last["psnr_test"])
+    if suite_psnrs:
+        out["suite_mean_psnr_test"] = round(
+            sum(suite_psnrs) / len(suite_psnrs), 2
+        )
+
     # Baked-field fast-render parity artifacts (cli bake --eval): baked
     # lookup render vs the direct march render of the same checkpoint.
     for tag, rel in (
