@@ -726,7 +726,7 @@ def bench_fused_render(width=800, height=800, res=64, samples=128,
     }
 
 
-def bench_baked_render(width=800, height=800, bake_res=256,
+def bench_baked_render(width=800, height=800, bake_res=320,
                        ckpt_run="runs/hard_r3_hashgrid_cdf",
                        config_file="configs/procedural_hard_hashgrid.json",
                        mode="trilinear_brick") -> dict:
