@@ -678,7 +678,11 @@ def bench_fused_render(width=800, height=800, res=64, samples=128,
         if trainedc:
             params, occ3 = jax.device_put(tparamsc), jnp.asarray(occc)
             cfg_cdf = cfg.apply_overrides([
-                "sampler.samples_per_ray=32", "render.ray_compact_fraction=0.75",
+                # 0.70: right-sized to the measured 0.6525 keep fraction
+                # at the 32^3 kernel pooling +0.05 margin — render-
+                # identical to 0.75 (runs/cdf_tier_tune.json; parity
+                # artifact render_parity_tuned.json, same PSNR to 4dp)
+                "sampler.samples_per_ray=32", "render.ray_compact_fraction=0.7",
                 "sampler.placement=occupancy_cdf",
                 f"sampler.cdf_bins={cdf_bins}",
             ])
@@ -686,7 +690,7 @@ def bench_fused_render(width=800, height=800, res=64, samples=128,
                 cfg_cdf.field_, cfg_cdf.grid, cfg_cdf.sampler,
                 cfg_cdf.render, rpc=4, tighten=True, b_tile=16,
                 ray_compact=True,
-            ), tier="cdf", s_pad=32, frac=0.75, rpc=4)
+            ), tier="cdf", s_pad=32, frac=0.70, rpc=4)
     # Flagship quadrature + CDF (rpc=2, S=64, occupancy-CDF placement —
     # runs/hard_r4_fused_cdf2, 38.96 dB vs 38.24 uniform): is the better
     # quality free at render time too?
