@@ -264,17 +264,21 @@ def make_baked_renderer(
 
     bf = BakedField(bake_res=bake_res, grid=grid_cfg, mode=mode,
                     sigma_space=sigma_space)
+    # bf16 BEFORE brick packing: packing concatenates 8 shifted copies
+    # of the table, and doing that in f32 at 320^3 transiently holds
+    # ~9 GB (measured ResourceExhausted on the 16 GB chip); in bf16 the
+    # whole build fits easily and the stored table is half the HBM.
+    # The table must also ride as a jit ARGUMENT — a closure constant
+    # of this size gets embedded in the lowered program (2.15 GB of
+    # captured constants) and rejected by the remote-compile relay.
+    # Lookups cast back to f32 (BakedField).
+    t16 = baked_table.astype(jnp.bfloat16)
     table = (
-        brick_pack(baked_table, bake_res)
+        brick_pack(t16, bake_res)
         if mode == "trilinear_brick" and baked_table.shape[-1] == 4
-        else baked_table
+        else t16
     )
-    # bf16 storage: halves HBM (a 256^3 brick table is 2.1 GB in f32)
-    # and, critically, the table must ride as a jit ARGUMENT — a
-    # closure constant of this size gets embedded in the lowered
-    # program (2.15 GB of captured constants) and rejected by the
-    # remote-compile relay.  Lookups cast back to f32 (BakedField).
-    params = {"table": jax.device_put(table.astype(jnp.bfloat16))}
+    params = {"table": jax.device_put(table)}
     rend = make_grid_renderer(
         bf, grid_cfg, sampler_cfg, render_cfg, strategy="march",
         compact=False,

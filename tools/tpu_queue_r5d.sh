@@ -49,4 +49,8 @@ run bake_cp_log 2400 $T -m tnerf.cli bake \
   -o sampler.occupancy_mask_res=32 -o render.compact=false \
   --bake-res 256 --eval
 
+# baked fps row re-run (r5c attempt OOMed packing the 320^3 brick
+# table in f32; brick_pack now runs in bf16)
+run baked_bench 2400 $T -c "import bench, json; print('BAKED_BENCH ' + json.dumps(bench.bench_baked_render()))"
+
 echo "r5d queue drained ($(date -u +%H:%M:%S))" >&2
