@@ -27,31 +27,38 @@ import time
 import numpy as np
 
 
-def _diff_timeit_spread(scalar_fn, o, runs=3, inner=(2, 12), reps=4):
+def _diff_timeit_spread(scalar_fn, o, runs=3, inner=(2, 12), reps=4,
+                        args=()):
     """The fps PROTOCOL OF RECORD (docs/ROUND4.md): `runs` independent
     _diff_timeit measurements at inner=(2,12), reps=4; returns
     (median_dt, min_dt, max_dt).  Single _diff_timeit calls have ±10%
     run-to-run variance on this transport (a single favorable run once
     overstated a tier by 20%), so every number of record carries its
     spread and the median is the quoted value."""
-    dts = sorted(_diff_timeit(scalar_fn, o, inner=inner, reps=reps)
+    dts = sorted(_diff_timeit(scalar_fn, o, inner=inner, reps=reps,
+                              args=args)
                  for _ in range(runs))
     return dts[len(dts) // 2], dts[0], dts[-1]
 
 
-def _diff_timeit(scalar_fn, o, inner=(2, 10), reps=2):
-    """Differential in-program timing: scalar_fn(o_perturbed) -> scalar is
-    run `inner[i]` times inside one jit (lax.scan, serially-dependent
-    carry); per-iteration time is the slope between the two walls.
-    Returns seconds per iteration."""
+def _diff_timeit(scalar_fn, o, inner=(2, 10), reps=2, args=()):
+    """Differential in-program timing: scalar_fn(o_perturbed, *args) ->
+    scalar is run `inner[i]` times inside one jit (lax.scan, serially-
+    dependent carry); per-iteration time is the slope between the two
+    walls.  Returns seconds per iteration.
+
+    args: extra values passed through as jit ARGUMENTS — anything large
+    (e.g. a 2 GB baked table) must ride here, not in scalar_fn's
+    closure, or it gets captured as a program constant and rejected by
+    the remote-compile relay."""
     import jax
     import jax.numpy as jnp
 
     def make(n):
         @jax.jit
-        def many(o):
+        def many(o, *a):
             def body(carry, _):
-                s = scalar_fn(o + carry * 1e-4)
+                s = scalar_fn(o + carry * 1e-4, *a)
                 f = s * 1e-3
                 return f - jnp.floor(f), s
             carry, ss = jax.lax.scan(body, jnp.zeros(()), None, length=n)
@@ -59,10 +66,10 @@ def _diff_timeit(scalar_fn, o, inner=(2, 10), reps=2):
         return many
 
     def wall(fn):
-        float(fn(o))  # compile + warm (+ value fetch)
+        float(fn(o, *args))  # compile + warm (+ value fetch)
         t0 = time.perf_counter()
         for _ in range(reps):
-            float(fn(o))
+            float(fn(o, *args))
         return (time.perf_counter() - t0) / reps
 
     w1 = wall(make(inner[0]))
@@ -788,11 +795,13 @@ def bench_baked_render(width=800, height=800, bake_res=320,
     chunk = n // n_chunks
     o, d, v = o[::n_chunks][:chunk], d[::n_chunks][:chunk], v[::n_chunks][:chunk]
 
-    def chunk_scalar(o2):
+    def chunk_scalar(o2, table):
         rays = Rays(origins=o2, directions=d, viewdirs_tp=v)
-        return rend(rend.params, rays, None, occ3).rgb.sum()
+        return rend({"table": table}, rays, None, occ3).rgb.sum()
 
-    dt_med, dt_min, dt_max = _diff_timeit_spread(chunk_scalar, o)
+    dt_med, dt_min, dt_max = _diff_timeit_spread(
+        chunk_scalar, o, args=(rend.params["table"],)
+    )
     is800 = (width, height) == (800, 800)
     return {
         "baked_mrays_per_sec": chunk / dt_med / 1e6,
