@@ -855,6 +855,9 @@ def gate_metrics() -> dict:
         # 8^3 grid (the reference_parity measured row)
         "gate_fused_cdf_p32_r5": "runs/hard_r5_fused_cdf_p32",
         "gate_march8": "runs/hard_r5_march8",
+        # round-5: diffuse view branch (sh_degree=1) on the hashgrid-CDF
+        # champion config — the quality best AND the view-exact bake
+        "gate_hashgrid_diffuse": "runs/hard_r5_hashgrid_diffuse",
     }
     here = os.path.dirname(os.path.abspath(__file__))
     for name, rel in gates.items():
@@ -960,6 +963,7 @@ def gate_metrics() -> dict:
         ("hashgrid_cdf", "runs/hard_r3_hashgrid_cdf/baked_parity.json"),
         ("triplane", "runs/hard_r3_triplane_prog/baked_parity.json"),
         ("cp", "runs/hard_r4_cp/baked_parity.json"),
+        ("diffuse", "runs/hard_r5_hashgrid_diffuse/baked_parity.json"),
     ):
         bpath = os.path.join(here, rel)
         if os.path.exists(bpath):
