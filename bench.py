@@ -738,8 +738,8 @@ def bench_fused_render(width=800, height=800, res=64, samples=128,
 
 
 def bench_baked_render(width=800, height=800, bake_res=320,
-                       ckpt_run="runs/hard_r3_hashgrid_cdf",
-                       config_file="configs/procedural_hard_hashgrid.json",
+                       ckpt_run=None,
+                       config_file=None,
                        mode="trilinear_brick") -> dict:
     """Baked-field fast render (tnerf/render/baked.py): bake the quality
     gate's trained hashgrid into a dense [bake_res^3,4] grid on the fly
@@ -758,6 +758,17 @@ def bench_baked_render(width=800, height=800, bake_res=320,
     from tnerf.fields.nerf_field import NeRFField
     from tnerf.render.baked import bake_field, make_baked_renderer
 
+    if ckpt_run is None:
+        # prefer the DIFFUSE gate (its bake is view-exact — the fps row
+        # then matches the committed parity artifact); fall back to the
+        # view-dependent champion for older checkouts
+        for cand in ("runs/hard_r5_hashgrid_diffuse",
+                     "runs/hard_r3_hashgrid_cdf"):
+            if os.path.exists(os.path.join(cand, "checkpoints")):
+                ckpt_run, config_file = cand, f"{cand}/config.json"
+                break
+        else:
+            return {}
     if not os.path.exists(os.path.join(ckpt_run, "checkpoints")):
         return {}
     cfg = Config.from_json_file(config_file).apply_overrides([
