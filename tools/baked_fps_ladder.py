@@ -58,6 +58,22 @@ def main():
         "uni48": ["sampler.samples_per_ray=48", "sampler.placement=uniform"],
         "uni32_c64k": ["sampler.samples_per_ray=32",
                        "sampler.placement=uniform", "render.chunk_size=65536"],
+        # round-2 ladder: is the double fold-kernel launch of the
+        # ray-compacted path (pass 1 keep + pass 2 per-kept) worth its
+        # cost when the field is a lookup?  And the bins/probes knobs:
+        "cdf24_nocompact": ["sampler.samples_per_ray=24",
+                            "sampler.placement=occupancy_cdf",
+                            "sampler.cdf_bins=64",
+                            "render.ray_compact=false"],
+        "cdf24_p32": ["sampler.samples_per_ray=24",
+                      "sampler.placement=occupancy_cdf",
+                      "sampler.cdf_bins=32"],
+        "cdf16": ["sampler.samples_per_ray=16",
+                  "sampler.placement=occupancy_cdf", "sampler.cdf_bins=64"],
+        "cdf24_probes32": ["sampler.samples_per_ray=24",
+                           "sampler.placement=occupancy_cdf",
+                           "sampler.cdf_bins=64",
+                           "sampler.tighten_probes=32"],
     }
     for name, ov in ladder.items():
         cfg = base.apply_overrides(ov)
